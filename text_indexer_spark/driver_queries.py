@@ -1,0 +1,250 @@
+"""Driver-contract queries: every implemented operator exposed as a
+(spark, sf_dir) -> DataFrame callable plus a matching DuckDB oracle SQL
+string over the same parquet tables.
+
+These run over the driver's testdata ``documents`` / ``embeddings``
+tables (``doc_id`` is given there, so no id assignment is involved —
+id assignment determinism has its own pytest). Column names and rounding
+are aligned on both sides because the driver hash-compares values.
+
+The oracle SQL is generated from the SAME delimiter-regex constant the
+Spark tokenizer uses — one source of truth for tokenizer semantics.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from text_indexer_spark.functions.bm25 import B, K1
+from text_indexer_spark.sources.tables import load_table
+from text_indexer_spark.tokenizer import duckdb_tokens_sql, tokenize_column
+
+# Fixed query-term sets (all present in the testdata vocabulary).
+AND_TERMS = ["spark", "join", "window"]
+BM25_TERMS = ["merge", "vector", "stream"]
+EMPTY_TERM = ["zzz_nonexistent"]
+ROUND = 4
+
+
+# --------------------------------------------------------------------
+# Spark side
+# --------------------------------------------------------------------
+
+def doc_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → (term, doc_id, tf): the inverted index as a DataFrame
+    (SURVEY §2.3 A1). One explode + one hash agg; map-side combine free."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select("doc_id", F.explode(tokenize_column("text")).alias("term"))
+    return toks.groupBy("term", "doc_id").agg(F.count("*").cast("long").alias("tf"))
+
+
+def q_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-term df + collection frequency (BM25 inputs; SURVEY §2.3)."""
+    p = doc_postings(spark, sf_dir)
+    return p.groupBy("term").agg(
+        F.count("*").cast("long").alias("df"), F.sum("tf").cast("long").alias("cf")
+    )
+
+
+def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc token length (catalog doc_len derivation)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.size(tokenize_column("text")).cast("long").alias("doc_len"),
+    )
+
+
+def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collection constants N + avgdl (single-row aggregate)."""
+    d = q_doc_stats(spark, sf_dir)
+    return d.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.round(F.avg("doc_len"), ROUND).alias("avgdl"),
+    )
+
+
+def _conjunctive(spark: SparkSession, sf_dir: str, terms: list[str]) -> DataFrame:
+    p = doc_postings(spark, sf_dir).filter(F.col("term").isin(terms))
+    return (
+        p.groupBy("doc_id")
+        .agg(F.countDistinct("term").alias("nt"))
+        .filter(F.col("nt") == len(terms))
+        .select("doc_id")
+    )
+
+
+def q_search_and(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive AND membership (reference DocumentsIndexer.kt:58-67)."""
+    return _conjunctive(spark, sf_dir, AND_TERMS)
+
+
+def q_search_empty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nonexistent term → empty (Index.kt:11-13 empty-set default)."""
+    return _conjunctive(spark, sf_dir, EMPTY_TERM)
+
+
+def q_search_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matches joined back to the doc registry (id→path join,
+    IndexedDocuments.kt:68-70), broadcast from the tiny match side."""
+    ids = _conjunctive(spark, sf_dir, AND_TERMS)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "lang")
+    return docs.join(F.broadcast(ids), "doc_id", "inner").select(
+        "doc_id", "source", "lang"
+    )
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 over AND-candidates, deterministic tie-break.
+
+    Everything derives from postings so the oracle and the engine share
+    identical inputs: dl = Σtf per doc, N = #docs with ≥1 token.
+    """
+    p = doc_postings(spark, sf_dir).cache()
+    dl = p.groupBy("doc_id").agg(F.sum("tf").cast("double").alias("dl"))
+    consts = dl.agg(
+        F.count("*").cast("double").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    dfreq = p.groupBy("term").agg(F.count("*").cast("double").alias("df"))
+    matched = p.filter(F.col("term").isin(BM25_TERMS))
+    scored = (
+        matched.join(F.broadcast(dfreq.filter(F.col("term").isin(BM25_TERMS))), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(consts))
+        .withColumn(
+            "w",
+            F.log(
+                F.lit(1.0) + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+            )
+            * F.col("tf").cast("double")
+            * F.lit(K1 + 1.0)
+            / (
+                F.col("tf").cast("double")
+                + F.lit(K1) * (F.lit(1.0 - B) + F.lit(B) * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("w").alias("s"), F.countDistinct("term").alias("nt"))
+        .filter(F.col("nt") == len(BM25_TERMS))
+        .select("doc_id", F.round(F.col("s"), ROUND).alias("score"))
+    )
+    return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(10)
+
+
+# --------------------------------------------------------------------
+# DuckDB oracle SQL (same regex, same math, same aliases)
+# --------------------------------------------------------------------
+
+def _toks_cte() -> str:
+    return (
+        "toks AS (SELECT doc_id, unnest("
+        + duckdb_tokens_sql("text")
+        + ") AS term FROM documents), "
+        "tf AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM toks "
+        "WHERE term <> '' GROUP BY term, doc_id)"
+    )
+
+
+def _sql_list(terms: list[str]) -> str:
+    return ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
+
+
+def sql_postings() -> str:
+    return f"WITH {_toks_cte()} SELECT term, doc_id, tf FROM tf"
+
+
+def sql_term_stats() -> str:
+    return (
+        f"WITH {_toks_cte()} "
+        "SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf FROM tf GROUP BY term"
+    )
+
+
+def sql_doc_stats() -> str:
+    toks = duckdb_tokens_sql("text")
+    return (
+        "SELECT doc_id, lang, "
+        f"length(list_filter({toks}, t -> t <> ''))::BIGINT AS doc_len "
+        "FROM documents"
+    )
+
+
+def sql_corpus_stats() -> str:
+    return (
+        f"WITH d AS ({sql_doc_stats()}) "
+        "SELECT count(*)::BIGINT AS n_docs, round(avg(doc_len), 4) AS avgdl FROM d"
+    )
+
+
+def sql_search(terms: list[str]) -> str:
+    return (
+        f"WITH {_toks_cte()} "
+        f"SELECT doc_id FROM (SELECT doc_id, count(DISTINCT term) AS nt FROM tf "
+        f"WHERE term IN ({_sql_list(terms)}) GROUP BY doc_id) WHERE nt = {len(terms)}"
+    )
+
+
+def sql_search_paths() -> str:
+    return (
+        f"WITH {_toks_cte()}, m AS (SELECT doc_id FROM (SELECT doc_id, "
+        f"count(DISTINCT term) AS nt FROM tf WHERE term IN ({_sql_list(AND_TERMS)}) "
+        f"GROUP BY doc_id) WHERE nt = {len(AND_TERMS)}) "
+        "SELECT d.doc_id, d.source, d.lang FROM documents d JOIN m USING (doc_id)"
+    )
+
+
+def sql_bm25_topk() -> str:
+    k1, b = K1, B
+    return f"""
+WITH {_toks_cte()},
+dl AS (SELECT doc_id, sum(tf)::DOUBLE AS dl FROM tf GROUP BY doc_id),
+consts AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl),
+dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (consts.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+              * tf.tf * {k1 + 1.0}
+              / (tf.tf + {k1} * ({1.0 - b} + {b} * dl.dl / consts.avgdl)) ) AS s,
+         count(DISTINCT tf.term) AS nt
+  FROM tf
+  JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN consts
+  WHERE tf.term IN ({_sql_list(BM25_TERMS)})
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(s, 4) AS score FROM scored WHERE nt = {len(BM25_TERMS)}
+ORDER BY round(s, 4) DESC, doc_id ASC LIMIT 10
+"""
+
+
+# --------------------------------------------------------------------
+# Registry
+# --------------------------------------------------------------------
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        "tokenize_postings": doc_postings,
+        "term_stats": q_term_stats,
+        "doc_stats": q_doc_stats,
+        "corpus_stats": q_corpus_stats,
+        "search_and": q_search_and,
+        "search_and_empty": q_search_empty,
+        "search_paths": q_search_paths,
+        "bm25_topk": q_bm25_topk,
+    }
+
+
+def oracle_sql() -> dict[str, str]:
+    return {
+        "tokenize_postings": sql_postings(),
+        "term_stats": sql_term_stats(),
+        "doc_stats": sql_doc_stats(),
+        "corpus_stats": sql_corpus_stats(),
+        "search_and": sql_search(AND_TERMS),
+        "search_and_empty": sql_search(EMPTY_TERM),
+        "search_paths": sql_search_paths(),
+        "bm25_topk": sql_bm25_topk(),
+    }

@@ -1,0 +1,61 @@
+"""Source abstraction: Iceberg table when a catalog is configured, else
+Parquet directories with the identical schema.
+
+The reference's "scan" is a recursive filesystem walk
+(``FileManager.kt:31-39``); at 10^12-file scale the scan is a table read
+with predicate pushdown — never Python-side filesystem walking. This
+module is the one place that knows how tables are materialized.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one named table.
+
+    If ``sf_dir`` looks like a catalog namespace (no path separator and
+    not an existing directory), read via ``spark.read.table`` (Iceberg /
+    metastore); otherwise read the Parquet file in the directory. Filter
+    and column pruning push down in both cases.
+    """
+    if os.sep not in sf_dir and not os.path.isdir(sf_dir):
+        return spark.read.table(f"{sf_dir}.{name}")
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def documents_as_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map the ``documents`` testdata table onto the corpus input shape
+    ``(repo, path, commit, lang, content)`` (BASELINE input_hint).
+
+    Deterministic: repo = source, path derived from doc_id, commit =
+    sha256 of content (a content-version identity, exactly the role the
+    reference's mtime plays — ``Document.kt:7``, ``IndexedItem.kt:45-51``).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        F.col("source").alias("repo"),
+        F.concat(F.lit("docs/doc_"), F.col("doc_id").cast("string"), F.lit(".txt")).alias(
+            "path"
+        ),
+        F.sha2(F.coalesce(F.col("text"), F.lit("")), 256).alias("commit"),
+        F.col("lang"),
+        F.col("text").alias("content"),
+    )

@@ -1,0 +1,116 @@
+"""Tokenizer — parity with the reference's delimiter semantics.
+
+The reference tokenizes with Java ``StringTokenizer`` after lowercasing,
+using the delimiter set ``" -/.,;:()`<>'!?\"\\t\\n\\r\\f"`` and dropping
+empty tokens (reference ``DocumentTokenizer.kt:18-25``; golden case
+``DocumentTokenizerTest.kt:8-39``). Underscores and digits are NOT
+delimiters and stay inside tokens.
+
+This module is the single source of truth for that delimiter class:
+
+* ``tokenize_column`` — pure JVM-side Spark expression
+  (``split(lower(text))`` + empty filter): whole-stage-codegen'd, no
+  Python in the hot path. This is the default tokenizer for the build.
+* ``TOKENIZE_SQL_DUCKDB`` helpers — the identical regex rendered for
+  DuckDB oracle SQL, so driver-side correctness checks compare the same
+  semantics.
+* ``tokenize_pandas_iter`` — an Arrow-vectorized pandas tokenizer used by
+  ``mapInPandas`` build variants; exists to mirror the reference's
+  pluggable-``DocumentTokenizer`` extension point (a per-``lang``
+  tokenizer would slot in here) and is tested rank-identical to the
+  expression path.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterator
+from typing import TYPE_CHECKING
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+if TYPE_CHECKING:
+    import pandas as pd
+
+# Delimiter class of DocumentTokenizer.kt:21 — space, dash, slash, dot,
+# comma, semicolon, colon, parens, backtick, angle brackets, apostrophe,
+# bang, question mark, double quote, tab, LF, CR, form feed. One-or-more
+# collapses runs (StringTokenizer semantics); empties are filtered after
+# the split for leading/trailing delimiters.
+TOKEN_DELIM_REGEX = "[ \\t\\n\\r\\x0c\\-/.,;:()`<>'!?\"]+"
+
+_PY_DELIM_RE = re.compile(TOKEN_DELIM_REGEX)
+
+
+def tokenize_column(text: Column | str) -> Column:
+    """``text -> array<string>`` of lowercased tokens, empties removed.
+
+    Stays inside whole-stage codegen: lower → regex split → filter.
+    """
+    col = F.col(text) if isinstance(text, str) else text
+    toks = F.split(F.lower(col), TOKEN_DELIM_REGEX)
+    return F.filter(toks, lambda t: F.length(t) > 0)
+
+
+def duckdb_delim_regex_sql() -> str:
+    """The same delimiter regex as a single-quoted DuckDB SQL literal."""
+    return "'" + TOKEN_DELIM_REGEX.replace("\\", "\\").replace("'", "''") + "'"
+
+
+def duckdb_tokens_sql(text_expr: str) -> str:
+    """DuckDB fragment: ``text -> list<varchar>`` with the same semantics.
+
+    Use with ``unnest(...)`` plus a ``token <> ''`` guard (DuckDB's
+    regexp split keeps boundary empties just like Spark's).
+    """
+    return f"regexp_split_to_array(lower({text_expr}), {duckdb_delim_regex_sql()})"
+
+
+def tokenize_text(text: str) -> list[str]:
+    """Driver-side tokenizer for query strings (reference IndexerUI
+    splits the query on commas; we accept free text and tokenize with the
+    same delimiter class, matching ``DocumentTokenizer`` semantics)."""
+    return [t for t in _PY_DELIM_RE.split(text.lower()) if t]
+
+
+def tokenize_series(texts: "pd.Series") -> "pd.Series":
+    """Vectorized pandas tokenizer: Series[str] -> Series[list[str]]."""
+    parts = texts.fillna("").str.lower().str.split(TOKEN_DELIM_REGEX, regex=True)
+    return parts.map(lambda toks: [t for t in toks if t])
+
+
+def tokenize_pandas_iter(
+    batches: Iterator["pd.DataFrame"],
+    text_col: str = "content",
+    id_col: str = "doc_id",
+) -> Iterator["pd.DataFrame"]:
+    """mapInPandas body: (id, text) batches -> (id, term, tf) batches.
+
+    Emits per-document term frequencies (the reference discards tf by
+    collapsing duplicates into a set, ``Index.kt:9``; BM25 needs it, so we
+    keep it — recoverable because the reference tokenizer emits ordered
+    duplicates, ``Document.kt:18``).
+    """
+    import pandas as pd
+
+    for batch in batches:
+        if batch.empty:
+            continue
+        toks = tokenize_series(batch[text_col])
+        exploded = pd.DataFrame(
+            {id_col: batch[id_col].repeat(toks.str.len()).values,
+             "term": [t for doc in toks for t in doc]}
+        )
+        if exploded.empty:
+            yield pd.DataFrame({id_col: [], "term": [], "tf": []}).astype(
+                {id_col: "int64", "term": "object", "tf": "int64"}
+            )
+            continue
+        tf = (
+            exploded.groupby([id_col, "term"], sort=False)
+            .size()
+            .rename("tf")
+            .reset_index()
+        )
+        yield tf
