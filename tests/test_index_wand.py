@@ -1,0 +1,123 @@
+"""Persisted-index build + block-max query path: differential vs the
+uncompressed DataFrame scorer and the numpy oracle; resume; metrics;
+sha256 verification."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from text_indexer_spark import checkpoint as ckpt
+from text_indexer_spark.corpus import synthetic_corpus
+from text_indexer_spark.operators.index_build import (
+    build_index,
+    load_catalog,
+    load_posting_lists,
+)
+from text_indexer_spark.operators.postings import build_catalog, build_postings, term_stats
+from text_indexer_spark.operators.search import bm25_topk
+from text_indexer_spark.operators.wand import wand_topk
+from text_indexer_spark.oracle import OracleIndex
+
+QUERIES = [
+    ["the", "data"],
+    ["spark", "index", "query"],
+    ["theta"],
+    ["the"],
+    ["alpha", "beta", "gamma"],
+    ["zzz_missing"],
+]
+
+
+@pytest.fixture(scope="module")
+def built(spark, tmp_path_factory):
+    index_dir = str(tmp_path_factory.mktemp("index"))
+    corpus = synthetic_corpus(spark, n_docs=300, avg_tokens=80).cache()
+    manifest = build_index(corpus, index_dir, num_shards=6)
+    return corpus, index_dir, manifest
+
+
+def test_manifest_and_layout(built):
+    corpus, index_dir, manifest = built
+    assert manifest["n_docs"] == 300
+    assert manifest["num_shards"] == 6
+    assert ckpt.read_manifest(index_dir) is not None
+    assert len(glob.glob(os.path.join(index_dir, "posting_lists", "*.parquet"))) == 6
+    assert len(ckpt.done_shards(index_dir, "postings")) == 6
+    assert len(ckpt.done_shards(index_dir, "lists")) == 6
+
+
+def test_wand_matches_dataframe_scorer_and_oracle(spark, built):
+    corpus, index_dir, _ = built
+    lists = load_posting_lists(spark, index_dir).cache()
+    catalog = build_catalog(corpus).cache()
+    postings = build_postings(catalog)
+    stats = term_stats(postings)
+    oracle = OracleIndex()
+    for r in catalog.select("doc_id", "content").collect():
+        oracle.add(r["doc_id"], r["content"])
+    for terms in QUERIES:
+        wand = wand_topk(lists, terms, k=10).collect()
+        plain = bm25_topk(postings, catalog, stats, terms, k=10, round_to=None).collect()
+        exp = oracle.bm25_topk(terms, k=10)
+        assert [r["doc_id"] for r in wand] == [r["doc_id"] for r in plain] == [
+            d for d, _ in exp
+        ], terms
+        for w_row, (_, s) in zip(wand, exp):
+            assert w_row["score"] == pytest.approx(s, abs=1e-9)
+
+
+def test_metrics_and_skew_logged(spark, built):
+    _, index_dir, _ = built
+    metrics = spark.read.parquet(os.path.join(index_dir, "metrics"))
+    rows = metrics.collect()
+    a = [r for r in rows if "tokenize_sec" in r.asDict() and r.asDict().get("tokenize_sec") is not None]
+    c = [r for r in rows if r.asDict().get("skew_ratio") is not None]
+    assert a and c
+    # Zipf vocabulary → hottest term well above the mean df
+    assert max(r["skew_ratio"] for r in c) > 2.0
+    assert all(r["postings_per_sec"] > 0 for r in rows)
+
+
+def test_resume_skips_done_shards_and_is_identical(spark, built, tmp_path):
+    corpus, index_dir, _ = built
+    lists_before = {
+        (r["shard_id"], r["term"]): (r["df"], bytes(r["doc_ids_delta_varbyte"]))
+        for r in load_posting_lists(spark, index_dir).collect()
+    }
+    # simulate a build killed after shard 0-3 of stage C: drop manifest,
+    # two list shards and their markers
+    os.remove(os.path.join(index_dir, "_MANIFEST.json"))
+    for s in (4, 5):
+        os.remove(os.path.join(index_dir, "posting_lists", f"shard_{s:05d}.parquet"))
+        os.remove(ckpt.marker_path(index_dir, "lists", s))
+    kept = os.path.join(index_dir, "posting_lists", "shard_00000.parquet")
+    mtime_before = os.path.getmtime(kept)
+
+    manifest = build_index(corpus, index_dir, num_shards=6, resume=True)
+    assert manifest["n_docs"] == 300
+    # untouched shard file was not rewritten
+    assert os.path.getmtime(kept) == mtime_before
+    lists_after = {
+        (r["shard_id"], r["term"]): (r["df"], bytes(r["doc_ids_delta_varbyte"]))
+        for r in load_posting_lists(spark, index_dir).collect()
+    }
+    assert lists_before == lists_after
+
+
+def test_sha256_mismatch_fails_build(spark, tmp_path):
+    corpus = synthetic_corpus(spark, n_docs=20, avg_tokens=10).withColumn(
+        "content_sha256", F.lit("0" * 64)
+    )
+    with pytest.raises(ValueError, match="sha256 verification failed"):
+        build_index(corpus, str(tmp_path / "bad"), num_shards=2, verify_sha=True)
+
+
+def test_catalog_loadable(spark, built):
+    _, index_dir, manifest = built
+    cat = load_catalog(spark, index_dir)
+    assert cat.count() == manifest["n_docs"]
+    assert "content" not in cat.columns

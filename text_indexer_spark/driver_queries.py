@@ -135,6 +135,105 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(10)
 
 
+def _snapshot2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic second corpus snapshot derived from ``documents``:
+    doc_id % 10 == 0 → deleted, % 10 == 1 → content modified, plus one
+    synthetic added doc per 10 (doc_id + 1_000_000). Drives the sync
+    operators with a DuckDB-expressible ground truth."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    kept = docs.filter(F.pmod(F.col("doc_id"), F.lit(10)) != 0)
+    modified = kept.withColumn(
+        "text",
+        F.when(
+            F.pmod(F.col("doc_id"), F.lit(10)) == 1,
+            F.concat(F.col("text"), F.lit(" modified snapshot marker")),
+        ).otherwise(F.col("text")),
+    )
+    added = docs.filter(F.pmod(F.col("doc_id"), F.lit(10)) == 2).select(
+        (F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"),
+        F.concat(F.lit("added doc body "), F.col("text")).alias("text"),
+    )
+    return modified.unionByName(added)
+
+
+SNAPSHOT2_SQL = """
+snap2 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 10 = 1 THEN text || ' modified snapshot marker'
+              ELSE text END AS text
+  FROM documents WHERE doc_id % 10 <> 0
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, 'added doc body ' || text AS text
+  FROM documents WHERE doc_id % 10 = 2
+)
+"""
+
+
+def q_sync_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff as one full outer join (IndexedFileManager.kt:83-143
+    → add / remove / reindex classification on content identity)."""
+    old = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.md5(F.col("text")).alias("old_v")
+    )
+    new = _snapshot2(spark, sf_dir).select("doc_id", F.md5(F.col("text")).alias("new_v"))
+    j = old.join(new, "doc_id", "full_outer")
+    return (
+        j.withColumn(
+            "change",
+            F.when(F.col("old_v").isNull(), F.lit("add"))
+            .when(F.col("new_v").isNull(), F.lit("remove"))
+            .when(F.col("old_v") != F.col("new_v"), F.lit("reindex"))
+            .otherwise(F.lit(None)),
+        )
+        .filter(F.col("change").isNotNull())
+        .select("doc_id", "change")
+    )
+
+
+def q_sync_apply_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Postings after applying the diff with replace semantics
+    (Index.kt:15-23): stale docs anti-joined out, fresh postings unioned.
+    The oracle tokenizes snapshot 2 directly — both must agree exactly."""
+    old_post = doc_postings(spark, sf_dir)
+    diff = q_sync_diff(spark, sf_dir)
+    snap2 = _snapshot2(spark, sf_dir)
+    changed = diff.filter(F.col("change").isin("remove", "reindex")).select("doc_id")
+    fresh_src = snap2.join(
+        diff.filter(F.col("change").isin("add", "reindex")).select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+    fresh = (
+        fresh_src.select("doc_id", F.explode(tokenize_column("text")).alias("term"))
+        .groupBy("term", "doc_id")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    return old_post.join(changed, "doc_id", "left_anti").unionByName(fresh)
+
+
+def q_dir_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog listing rollup per source root (DepthFirstSearch fold)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("source", F.size(tokenize_column("text")).cast("long").alias("doc_len"))
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("doc_len").cast("long").alias("total_tokens"),
+        )
+    )
+
+
+def q_remove_dir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directory removal: drop every doc under source root 'src1', then
+    report surviving per-term df (posting sweep, Index.kt:29-39 — empty
+    lists vanish from the group-by)."""
+    docs = load_table(spark, sf_dir, "documents")
+    victims = docs.filter(F.col("source") == "src1").select("doc_id")
+    p = doc_postings(spark, sf_dir).join(victims, "doc_id", "left_anti")
+    return p.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+
+
 # --------------------------------------------------------------------
 # DuckDB oracle SQL (same regex, same math, same aliases)
 # --------------------------------------------------------------------
@@ -220,6 +319,49 @@ ORDER BY round(s, 4) DESC, doc_id ASC LIMIT 10
 """
 
 
+def sql_sync_diff() -> str:
+    return f"""
+WITH {SNAPSHOT2_SQL.strip()},
+old AS (SELECT doc_id, md5(text) AS old_v FROM documents),
+new AS (SELECT doc_id, md5(text) AS new_v FROM snap2)
+SELECT doc_id,
+       CASE WHEN old_v IS NULL THEN 'add'
+            WHEN new_v IS NULL THEN 'remove'
+            WHEN old_v <> new_v THEN 'reindex' END AS change
+FROM old FULL OUTER JOIN new USING (doc_id)
+WHERE (old_v IS NULL) OR (new_v IS NULL) OR (old_v <> new_v)
+"""
+
+
+def sql_sync_apply_postings() -> str:
+    # ground truth: tokenize snapshot 2 directly
+    toks = duckdb_tokens_sql("text")
+    return f"""
+WITH {SNAPSHOT2_SQL.strip()},
+t AS (SELECT doc_id, unnest({toks}) AS term FROM snap2)
+SELECT term, doc_id, count(*)::BIGINT AS tf FROM t WHERE term <> ''
+GROUP BY term, doc_id
+"""
+
+
+def sql_dir_rollup() -> str:
+    toks = duckdb_tokens_sql("text")
+    return (
+        "SELECT source, count(*)::BIGINT AS n_docs, "
+        f"sum(length(list_filter({toks}, t -> t <> '')))::BIGINT AS total_tokens "
+        "FROM documents GROUP BY source"
+    )
+
+
+def sql_remove_dir() -> str:
+    return (
+        f"WITH {_toks_cte()} "
+        "SELECT term, count(*)::BIGINT AS df FROM tf "
+        "WHERE doc_id NOT IN (SELECT doc_id FROM documents WHERE source = 'src1') "
+        "GROUP BY term"
+    )
+
+
 # --------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------
@@ -234,6 +376,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_and_empty": q_search_empty,
         "search_paths": q_search_paths,
         "bm25_topk": q_bm25_topk,
+        "sync_diff": q_sync_diff,
+        "sync_apply_postings": q_sync_apply_postings,
+        "dir_rollup": q_dir_rollup,
+        "remove_dir": q_remove_dir,
     }
 
 
@@ -247,4 +393,8 @@ def oracle_sql() -> dict[str, str]:
         "search_and_empty": sql_search(EMPTY_TERM),
         "search_paths": sql_search_paths(),
         "bm25_topk": sql_bm25_topk(),
+        "sync_diff": sql_sync_diff(),
+        "sync_apply_postings": sql_sync_apply_postings(),
+        "dir_rollup": sql_dir_rollup(),
+        "remove_dir": sql_remove_dir(),
     }

@@ -39,12 +39,14 @@ def dedup_corpus(corpus: DataFrame) -> DataFrame:
     deterministic replacement for the reference's first-wins
     ``distinctBy(path)`` (``FilesAndDirs.kt:12-16``), which depends on
     arrival order."""
+    extra = [c for c in corpus.columns if c not in ("repo", "path", "commit", "lang", "content")]
     agg = corpus.groupBy("repo", "path").agg(
-        F.max(F.struct("commit", "lang", "content")).alias("v")
+        F.max(F.struct("commit", "lang", "content", *extra)).alias("v")
     )
     return agg.select(
         "repo", "path", F.col("v.commit").alias("commit"),
         F.col("v.lang").alias("lang"), F.col("v.content").alias("content"),
+        *[F.col(f"v.{c}").alias(c) for c in extra],
     )
 
 
@@ -100,18 +102,27 @@ def build_catalog(corpus: DataFrame, num_partitions: int | None = None) -> DataF
     """corpus → catalog (see schema.CATALOG_SCHEMA).
 
     ``content_sha256`` is the per-row invariant re-verified against the
-    source (input_hint); ``is_nested`` mirrors the reference's
+    source (input_hint): if the source table carries its own
+    ``content_sha256`` column that value is kept as the EXPECTED hash
+    (and the build's stage A recomputes + compares); otherwise it is
+    derived here. ``is_nested`` mirrors the reference's
     nested-vs-independent dir state (``IndexedItem.kt:17-22``): a file in
     a subdirectory of its source root is "nested".
     """
+    has_expected = "content_sha256" in corpus.columns
     with_ids = assign_doc_ids(dedup_corpus(corpus), num_partitions)
+    sha_col = (
+        F.col("content_sha256")
+        if has_expected
+        else F.sha2(F.coalesce(F.col("content"), F.lit("")), 256)
+    )
     return with_ids.select(
         "doc_id",
         "repo",
         "path",
         "commit",
         "lang",
-        F.sha2(F.coalesce(F.col("content"), F.lit("")), 256).alias("content_sha256"),
+        sha_col.alias("content_sha256"),
         F.size(tokenize_column(F.coalesce(F.col("content"), F.lit("")))).alias("doc_len"),
         F.col("path").contains("/").alias("is_nested"),
         F.col("repo").alias("source_root"),
