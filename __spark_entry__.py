@@ -11,7 +11,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from text_indexer_spark import driver_queries
+from text_indexer_spark import driver_queries, driver_queries_ext
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -20,8 +20,8 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return driver_queries.queries()
+    return {**driver_queries.queries(), **driver_queries_ext.queries()}
 
 
 def oracle_sql() -> dict[str, str]:
-    return driver_queries.oracle_sql()
+    return {**driver_queries.oracle_sql(), **driver_queries_ext.oracle_sql()}

@@ -121,3 +121,18 @@ def test_catalog_loadable(spark, built):
     cat = load_catalog(spark, index_dir)
     assert cat.count() == manifest["n_docs"]
     assert "content" not in cat.columns
+
+
+def test_wand_batch_matches_single(spark, built):
+    from text_indexer_spark.operators.wand import wand_topk_batch
+
+    corpus, index_dir, _ = built
+    lists = load_posting_lists(spark, index_dir)
+    batch = {f"q{i}": terms for i, terms in enumerate(QUERIES)}
+    got = wand_topk_batch(lists, batch, k=10).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append((r["doc_id"], r["score"]))
+    for i, terms in enumerate(QUERIES):
+        single = [(r["doc_id"], r["score"]) for r in wand_topk(lists, terms, k=10).collect()]
+        assert by_q.get(f"q{i}", []) == single, terms

@@ -1,0 +1,90 @@
+"""Similarity search vs numpy ground truth; LSH recall vs brute force."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from text_indexer_spark.operators.similarity import (
+    cosine_near_pairs,
+    cosine_topk,
+    lsh_bucketed_topk,
+)
+
+DIM = 16
+N = 120
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    rng = np.random.default_rng(42)
+    # 4 clusters → meaningful neighbors
+    centers = rng.normal(size=(4, DIM))
+    rows = []
+    for i in range(N):
+        c = centers[i % 4]
+        v = c + 0.15 * rng.normal(size=DIM)
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>").cache()
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    return df, mat
+
+
+def _np_topk(mat, qi, k):
+    q = mat[qi]
+    cos = mat @ q / (np.linalg.norm(mat, axis=1) * np.linalg.norm(q))
+    cos_r = np.round(cos, 4)
+    order = sorted(
+        (i for i in range(len(mat)) if i != qi),
+        key=lambda i: (-cos_r[i], i),
+    )
+    return [(i, cos_r[i]) for i in order[:k]]
+
+
+def test_cosine_topk_matches_numpy(spark, vecs):
+    df, mat = vecs
+    queries = df.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    got = cosine_topk(df, queries, k=10).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append((r["vec_id"], r["cos"]))
+    for qi in range(3):
+        exp = _np_topk(mat, qi, 10)
+        assert [d for d, _ in by_q[qi]] == [d for d, _ in exp], qi
+        for (_, g), (_, e) in zip(by_q[qi], exp):
+            # float32 storage: cosines may differ in the 4th decimal
+            assert g == pytest.approx(e, abs=2e-4)
+
+
+def test_lsh_recall_against_brute_force(spark, vecs):
+    df, mat = vecs
+    queries = df.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    brute = cosine_topk(df, queries, k=5).collect()
+    ann = lsh_bucketed_topk(df, queries, dim=DIM, k=5, n_planes=5).collect()
+    bq, aq = {}, {}
+    for r in brute:
+        bq.setdefault(r["query_id"], set()).add(r["vec_id"])
+    for r in ann:
+        aq.setdefault(r["query_id"], set()).add(r["vec_id"])
+    recalls = [len(bq[q] & aq.get(q, set())) / len(bq[q]) for q in bq]
+    assert sum(recalls) / len(recalls) >= 0.5  # multiprobe 1-bit, clustered data
+
+
+def test_cosine_near_pairs(spark, vecs):
+    df, mat = vecs
+    small = df.filter(F.col("vec_id") < 30)
+    got = {(r["vec_a"], r["vec_b"]): r["cos"] for r in cosine_near_pairs(small, 0.9).collect()}
+    norms = np.linalg.norm(mat[:30], axis=1)
+    for a in range(30):
+        for b in range(a + 1, 30):
+            cos = round(float(mat[a] @ mat[b] / (norms[a] * norms[b])), 4)
+            if cos >= 0.9005:
+                assert (a, b) in got, (a, b, cos)
+                assert got[(a, b)] == pytest.approx(cos, abs=2e-4)
+            elif cos <= 0.8995:
+                assert (a, b) not in got, (a, b, cos)

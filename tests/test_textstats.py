@@ -1,0 +1,67 @@
+"""Text-analysis operators vs hand-computed values."""
+
+from __future__ import annotations
+
+import pytest
+
+from text_indexer_spark.operators.textstats import (
+    fingerprints,
+    lang_id,
+    quality_scores,
+    token_counts,
+)
+
+
+DOCS = [
+    (0, "the cat is in the house and it is warm"),
+    (1, "der hund ist nicht zu haus und das ist gut"),
+    (2, "le chat est dans la maison et il est content"),
+    (3, "xyzzy plugh"),  # no markers
+    (4, "the quick brown fox, jumps; over!"),
+    (5, "the quick brown fox, jumps; over!"),  # dup of 4
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string").cache()
+
+
+def test_lang_id(docs):
+    pred = {r["doc_id"]: r["pred_lang"] for r in lang_id(docs).collect()}
+    assert pred[0] == "en"
+    assert pred[1] == "de"
+    assert pred[2] == "fr"
+    assert pred[3] == "und"
+
+
+def test_token_counts(docs):
+    rows = {r["doc_id"]: r for r in token_counts(docs).collect()}
+    # doc 0: 10 whitespace tokens, 10 word tokens
+    assert rows[0]["ws_tokens"] == 10
+    assert rows[0]["word_tokens"] == 10
+    # doc 4: "the quick brown fox, jumps; over!" → 6 ws, 6 words
+    assert rows[4]["ws_tokens"] == 6
+    assert rows[4]["word_tokens"] == 6
+    # bpe_ish: alnum chars = len("thequickbrownfoxjumpsover")=25 → ceil/4=7, punct ",;!"=3 → 10
+    assert rows[4]["bpe_ish_pieces"] == 7 + 3
+
+
+def test_quality_scores(docs):
+    rows = {r["doc_id"]: r for r in quality_scores(docs).collect()}
+    r0 = rows[0]
+    text = DOCS[0][1]
+    assert r0["n_chars"] == len(text)
+    assert r0["n_tokens"] == 10
+    alpha = sum(c.isalnum() for c in text)
+    assert r0["alpha_ratio"] == pytest.approx(round(alpha / len(text), 4), abs=1e-4)
+    assert 0.0 <= r0["quality"] <= 1.0
+    # punctuation-heavy doc has higher punct_ratio
+    assert rows[4]["punct_ratio"] > rows[0]["punct_ratio"]
+
+
+def test_fingerprints_dups_collide(docs):
+    fp = {r["doc_id"]: r["fingerprint"] for r in fingerprints(docs, n=5).collect()}
+    assert fp[4] == fp[5]
+    assert fp[0] != fp[4]
+    assert all(len(v) == 32 for v in fp.values())  # md5 hex

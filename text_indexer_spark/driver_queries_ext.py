@@ -1,0 +1,393 @@
+"""Driver-contract queries, part 2: dedup, similarity search, text
+analysis, multimodal plumbing — plus the compressed-index WAND path
+cross-checked against the same SQL oracle as the uncompressed scorer.
+
+Every Spark query here is a thin call into the operator modules; every
+oracle reproduces the operator's math in DuckDB exactly (same md5-based
+hashes, same rounding, same tie-breaks).
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from text_indexer_spark.operators import dedup, multimodal, similarity, textstats
+from text_indexer_spark.sources.tables import load_table
+from text_indexer_spark.tokenizer import duckdb_tokens_sql
+
+MINHASHES = 8
+BANDS = 4
+SHINGLE_N = 3
+SIMHASH_BITS = 16
+JACCARD_T = 0.5
+# testdata embeddings max pairwise cosine ≈ 0.51 — 0.4 keeps the gated
+# near-dup query non-vacuous (≈60 pairs at sf0.01; nearest value is
+# >1e-4 from the boundary, safe under round-4 comparison)
+COSINE_T = 0.4
+ROUND = 4
+
+_WAND_INDEX_CACHE: dict[str, str] = {}
+
+
+# ---------------------------------------------------------------- SQL bits
+def _tokens_sql() -> str:
+    return f"list_filter({duckdb_tokens_sql('text')}, x -> x <> '')"
+
+
+def _shingles_sql(n: int = SHINGLE_N) -> str:
+    t = _tokens_sql()
+    return (
+        f"CASE WHEN len({t}) >= {n} THEN "
+        f"list_transform(range(1, len({t}) - {n} + 2), "
+        f"i -> array_to_string(list_slice({t}, i, i + {n} - 1), ' ')) "
+        f"ELSE [array_to_string({t}, ' ')] END"
+    )
+
+
+def _shingle_cte() -> str:
+    return (
+        f"sh AS (SELECT DISTINCT doc_id, shingle FROM "
+        f"(SELECT doc_id, unnest({_shingles_sql()}) AS shingle FROM documents))"
+    )
+
+
+# ---------------------------------------------------------------- dedup
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup over documents ∪ planted duplicates (every 25th doc
+    re-appears under doc_id+1,000,000): the testdata has only NEAR dups,
+    so without planting, this gate would pass vacuously on 0 rows."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.filter(F.pmod(F.col("doc_id"), F.lit(25)) == 0).select(
+        (F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"), "text"
+    )
+    return dedup.exact_dedup(docs.unionByName(planted))
+
+
+def sql_dedup_exact() -> str:
+    return """
+WITH u AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 25 = 0
+),
+h AS (SELECT doc_id, md5(coalesce(text, '')) AS h FROM u),
+g AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY h) AS canonical_id,
+             count(*) OVER (PARTITION BY h) AS group_size FROM h)
+SELECT doc_id, canonical_id, group_size::BIGINT AS group_size
+FROM g WHERE group_size >= 2
+"""
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_signatures(docs, num_hashes=MINHASHES, n=SHINGLE_N)
+
+
+def sql_dedup_minhash() -> str:
+    mins = ", ".join(
+        f"min(md5('{i}|' || shingle)) AS sig_{i}" for i in range(MINHASHES)
+    )
+    return f"WITH {_shingle_cte()} SELECT doc_id, {mins} FROM sh GROUP BY doc_id"
+
+
+def q_dedup_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = dedup.minhash_signatures(docs, num_hashes=MINHASHES, n=SHINGLE_N)
+    return dedup.lsh_candidate_pairs(sigs, num_hashes=MINHASHES, bands=BANDS)
+
+
+def sql_dedup_lsh_pairs() -> str:
+    rpb = MINHASHES // BANDS
+    mins = ", ".join(f"min(md5('{i}|' || shingle)) AS sig_{i}" for i in range(MINHASHES))
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_idx, "
+        f"md5({' || '.join(f'sig_{b * rpb + r}' for r in range(rpb))}) AS band_hash FROM sigs"
+        for b in range(BANDS)
+    )
+    return f"""
+WITH {_shingle_cte()},
+sigs AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+banded AS ({band_rows})
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM banded a JOIN banded b
+  ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+"""
+
+
+def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(docs, n=SHINGLE_N, threshold=JACCARD_T)
+
+
+def sql_dedup_jaccard() -> str:
+    return f"""
+WITH {_shingle_cte()},
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+       round(i / (sa.sz + sb.sz - i), {ROUND}) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(i / (sa.sz + sb.sz - i), {ROUND}) >= {JACCARD_T}
+"""
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash_signatures(docs, bits=SIMHASH_BITS)
+
+
+def sql_dedup_simhash() -> str:
+    toks = duckdb_tokens_sql("text")
+    bits = " + ".join(
+        f"(CASE WHEN sum(CASE WHEN substr(md5('{j}|' || term), 1, 1) >= '8' "
+        f"THEN tf ELSE -tf END) > 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH t AS (SELECT doc_id, unnest({toks}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM t WHERE term <> '' GROUP BY 1, 2)
+SELECT doc_id, ({bits})::BIGINT AS simhash FROM tf GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------- similarity
+def q_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.cosine_near_pairs(emb, threshold=COSINE_T)
+
+
+def sql_neardup_cosine() -> str:
+    return f"""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), {ROUND}) AS cos
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), {ROUND}) >= {COSINE_T}
+"""
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return similarity.cosine_topk(emb, queries, k=10)
+
+
+def sql_ann_topk() -> str:
+    return f"""
+SELECT q.vec_id AS query_id, e.vec_id,
+       round(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), {ROUND}) AS cos
+FROM embeddings e
+JOIN (SELECT * FROM embeddings WHERE vec_id < 5) q ON e.vec_id <> q.vec_id
+QUALIFY row_number() OVER (
+  PARTITION BY q.vec_id
+  ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), {ROUND}) DESC,
+           e.vec_id ASC
+) <= 10
+"""
+
+
+# ---------------------------------------------------------------- textstats
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.lang_id(load_table(spark, sf_dir, "documents"))
+
+
+def sql_lang_id() -> str:
+    t = _tokens_sql()
+    langs = sorted(textstats.LANG_MARKERS)
+    counts = ", ".join(
+        "len(list_filter({t}, x -> x IN ({m}))) AS n_{lang}".format(
+            t=t,
+            m=", ".join(f"'{w}'" for w in textstats.LANG_MARKERS[lang]),
+            lang=lang,
+        )
+        for lang in langs
+    )
+    best = "greatest(" + ", ".join(f"n_{lang}" for lang in langs) + ")"
+    case = " ".join(
+        f"WHEN best > 0 AND n_{lang} = best THEN '{lang}'" for lang in langs
+    )
+    return f"""
+WITH c AS (SELECT doc_id, {counts} FROM documents),
+b AS (SELECT *, {best} AS best FROM c)
+SELECT doc_id, CASE {case} ELSE 'und' END AS pred_lang FROM b
+"""
+
+
+def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.quality_scores(load_table(spark, sf_dir, "documents"))
+
+
+def sql_quality() -> str:
+    t = _tokens_sql()
+    stop = ", ".join(f"'{w}'" for w in textstats.STOPWORDS)
+    return f"""
+WITH x AS (
+  SELECT doc_id,
+         coalesce(text, '') AS txt,
+         {t} AS toks,
+         length(coalesce(text, '')) AS n_chars,
+         length(regexp_replace(coalesce(text, ''), '[^a-zA-Z0-9]', '', 'g')) AS n_alpha,
+         length(regexp_replace(coalesce(text, ''), '[^.,;:!?]', '', 'g')) AS n_punct
+  FROM documents
+), y AS (
+  SELECT doc_id, n_chars,
+         len(toks) AS n_tokens,
+         CASE WHEN len(toks) > 0
+              THEN list_sum(list_transform(toks, x -> length(x))) / len(toks)
+              ELSE 0.0 END AS mean_len,
+         CASE WHEN n_chars > 0 THEN n_alpha / n_chars ELSE 0.0 END AS alpha_ratio,
+         CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END AS punct_ratio,
+         CASE WHEN len(toks) > 0
+              THEN len(list_filter(toks, x -> x IN ({stop}))) / len(toks)
+              ELSE 0.0 END AS stop_ratio
+  FROM x
+)
+SELECT doc_id,
+       n_chars::BIGINT AS n_chars,
+       n_tokens::BIGINT AS n_tokens,
+       round(mean_len, {ROUND}) AS mean_token_len,
+       round(alpha_ratio, {ROUND}) AS alpha_ratio,
+       round(punct_ratio, {ROUND}) AS punct_ratio,
+       round(stop_ratio, {ROUND}) AS stopword_ratio,
+       round(least(1.0, n_tokens / 100.0) * alpha_ratio * (1.0 - punct_ratio), {ROUND}) AS quality
+FROM y
+"""
+
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.token_counts(load_table(spark, sf_dir, "documents"))
+
+
+def sql_token_counts() -> str:
+    t = _tokens_sql()
+    return f"""
+SELECT doc_id,
+       len(list_filter(regexp_split_to_array(coalesce(text, ''), '\\s+'), x -> x <> ''))::BIGINT AS ws_tokens,
+       len({t})::BIGINT AS word_tokens,
+       (ceil(length(regexp_replace(coalesce(text, ''), '[^a-zA-Z0-9]', '', 'g')) / 4.0)
+        + length(regexp_replace(coalesce(text, ''), '[a-zA-Z0-9\\s]', '', 'g')))::BIGINT AS bpe_ish_pieces
+FROM documents
+"""
+
+
+def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.fingerprints(load_table(spark, sf_dir, "documents"), n=5)
+
+
+def sql_fingerprints() -> str:
+    t = _tokens_sql()
+    n = 5
+    shing = (
+        f"CASE WHEN len({t}) >= {n} THEN "
+        f"list_transform(range(1, len({t}) - {n} + 2), "
+        f"i -> md5(array_to_string(list_slice({t}, i, i + {n} - 1), ' '))) "
+        f"ELSE [md5(array_to_string({t}, ' '))] END"
+    )
+    return f"SELECT doc_id, list_min({shing}) AS fingerprint FROM documents"
+
+
+# ---------------------------------------------------------------- multimodal
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.synthesize_media(docs).select(
+        "media_id", "kind", "n_bytes", "sha256"
+    )
+
+
+def sql_multimodal_meta() -> str:
+    return """
+SELECT doc_id AS media_id,
+       (['image','audio','video'])[(doc_id % 3) + 1] AS kind,
+       octet_length(encode(coalesce(text, '')))::BIGINT AS n_bytes,
+       sha256(text) AS sha256
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------- WAND path
+def q_wand_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 served from the COMPRESSED persisted index (build →
+    encode → block-skip WAND) — checked against the identical SQL oracle
+    as the uncompressed scorer. This gates the whole storage+query
+    pipeline, not just the math."""
+    from text_indexer_spark.driver_queries import BM25_TERMS
+    from text_indexer_spark.operators.index_build import build_index, load_posting_lists
+    from text_indexer_spark.operators.wand import wand_topk
+    from text_indexer_spark.sources.tables import documents_as_corpus
+
+    if sf_dir not in _WAND_INDEX_CACHE:
+        idx = tempfile.mkdtemp(prefix="driver_wand_idx_")
+        corpus = documents_as_corpus(spark, sf_dir)
+        build_index(corpus, idx, num_shards=8, verify_sha=False, resume=False)
+        _WAND_INDEX_CACHE[sf_dir] = idx
+    lists = load_posting_lists(spark, _WAND_INDEX_CACHE[sf_dir])
+    # tie-inclusive per-shard candidates; the GLOBAL cut happens after
+    # re-mapping engine ids to the table's doc_id so the tie-break
+    # (score desc, table doc_id asc) matches the oracle exactly
+    cands = wand_topk(lists, BM25_TERMS, k=10, round_to=ROUND, global_topk=False)
+    from text_indexer_spark.operators.index_build import load_catalog
+
+    cat = load_catalog(spark, _WAND_INDEX_CACHE[sf_dir]).select(
+        F.col("doc_id").alias("engine_id"),
+        F.regexp_extract("path", r"doc_(\d+)\.txt", 1).cast("long").alias("doc_id"),
+    )
+    return (
+        cands.withColumnRenamed("doc_id", "engine_id")
+        .join(F.broadcast(cat), "engine_id")
+        .select("doc_id", "score")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+def sql_wand_bm25_topk() -> str:
+    from text_indexer_spark.driver_queries import sql_bm25_topk
+
+    return sql_bm25_topk()
+
+
+# ---------------------------------------------------------------- registry
+def queries():
+    return {
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash_sigs": q_dedup_minhash,
+        "dedup_lsh_pairs": q_dedup_lsh_pairs,
+        "dedup_ngram_jaccard": q_dedup_jaccard,
+        "dedup_simhash": q_dedup_simhash,
+        "neardup_cosine": q_neardup_cosine,
+        "ann_cosine_topk": q_ann_topk,
+        "lang_id": q_lang_id,
+        "quality_scores": q_quality,
+        "token_counts": q_token_counts,
+        "doc_fingerprints": q_fingerprints,
+        "multimodal_meta": q_multimodal_meta,
+        "wand_bm25_topk": q_wand_bm25_topk,
+    }
+
+
+def oracle_sql():
+    return {
+        "dedup_exact": sql_dedup_exact(),
+        "dedup_minhash_sigs": sql_dedup_minhash(),
+        "dedup_lsh_pairs": sql_dedup_lsh_pairs(),
+        "dedup_ngram_jaccard": sql_dedup_jaccard(),
+        "dedup_simhash": sql_dedup_simhash(),
+        "neardup_cosine": sql_neardup_cosine(),
+        "ann_cosine_topk": sql_ann_topk(),
+        "lang_id": sql_lang_id(),
+        "quality_scores": sql_quality(),
+        "token_counts": sql_token_counts(),
+        "doc_fingerprints": sql_fingerprints(),
+        "multimodal_meta": sql_multimodal_meta(),
+        "wand_bm25_topk": sql_wand_bm25_topk(),
+    }

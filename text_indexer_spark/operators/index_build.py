@@ -4,40 +4,53 @@ Replaces the reference's in-memory bulk build (``DocumentsIndexer.kt:
 100-130``: per-file coroutines + one index actor) with a three-stage
 pipeline whose resume unit is the **doc-range shard**:
 
-    stage A  tokenize + per-doc tf        → postings/shard=K (+ marker)
+    stage A  dedup + doc-ids + sha verify + tokenize
+             → catalog/shard=K + postings/shard=K (+ markers)
     stage B  global stats (df, N, avgdl)  → stats/ (+ marker)
     stage C  encode compressed lists      → posting_lists/shard=K (+ marker)
     commit   _MANIFEST.json               → index becomes visible
 
 Scale design:
 
-* **Sharding by doc-id range** (not by term) means every document's
-  postings are co-located, so (a) per-doc stats are computable locally,
-  (b) the query path can intersect lists doc-at-a-time per shard, and
-  (c) a stop-word term's 10^9-entry posting list is structurally split
-  across all shards — the explicit skew handling the north rule asks
-  for: no single reducer ever sees a whole hot term. Skew ratio per
-  shard (hottest term's in-shard df vs mean) is logged to metrics.
-* **Per-shard executor-side writes** (pyarrow parquet + tmp-rename) give
-  checkpoint granularity = shard; a killed build reuses every completed
-  shard because doc-id assignment is deterministic (rank of
-  (repo, path, commit) — see ``postings.assign_doc_ids``).
-* **sha256 verification**: every row's content hash is recomputed and
-  checked against the source table's expected hash during stage A
-  (per-row invariant from the baseline input hint); mismatches fail the
-  build.
-* Tokenization is an Arrow-vectorized pandas operation inside
-  applyInPandas (north star: "vectorized Arrow/pandas UDFs tokenize");
-  no per-row Python UDFs anywhere.
+* **One wide shuffle for the whole of stage A.** The corpus is
+  range-partitioned on (repo, path) and locally sorted once; everything
+  else in stage A — duplicate-key dedup (reference ``FilesAndDirs.kt:
+  12-16``), deterministic doc-id assignment (global rank = per-partition
+  offset + local position; never a single-reducer window), sha256
+  verification, tokenization, per-doc tf — happens streaming inside one
+  mapInPandas pass over the sorted partitions. Content bytes cross the
+  network exactly once.
+* **Shard = range partition.** Every document's postings are co-located,
+  so (a) per-doc stats are computable locally, (b) the query path
+  intersects lists doc-at-a-time per shard without a shuffle, and (c) a
+  stop-word term's 10^9-entry posting list is structurally split across
+  all shards — the explicit skew handling the north rule asks for: no
+  single reducer ever sees a whole hot term. Skew ratio per shard
+  (hottest term's in-shard df vs mean) is logged to metrics.
+* **Streaming within a partition**: Arrow batches are tokenized and
+  reduced one at a time; content is dropped batch-by-batch, so executor
+  memory holds one batch of content plus the shard's postings — that,
+  not the shard's raw bytes, bounds shard sizing.
+* **Per-shard executor-side writes** (pyarrow parquet + tmp-rename, one
+  row group per file) give checkpoint granularity = shard; a killed
+  build reuses every completed shard because doc-id assignment is
+  deterministic.
+* **sha256**: when the source carries a ``content_sha256`` column, every
+  row's content hash is recomputed and compared (per-row invariant);
+  mismatches fail the build. Without the column the hash is computed and
+  stored (it then guards every later sync).
+* Tokenization is an Arrow-vectorized pandas operation (north star:
+  "vectorized Arrow/pandas UDFs tokenize"); no per-row Python UDFs.
 """
 
 from __future__ import annotations
 
+import hashlib
 import math
 import os
 import time
 import uuid
-from typing import Iterable
+from typing import Iterator
 
 import numpy as np
 import pandas as pd
@@ -47,7 +60,6 @@ from pyspark.sql import functions as F
 from text_indexer_spark import checkpoint as ckpt
 from text_indexer_spark.functions.bm25 import B, K1
 from text_indexer_spark.operators.codec import BLOCK_SIZE, encode_posting_list
-from text_indexer_spark.operators.postings import build_catalog
 from text_indexer_spark.tokenizer import tokenize_series
 
 POSTINGS_DIR = "postings"
@@ -56,20 +68,16 @@ CATALOG_DIR = "catalog"
 STATS_DIR = "stats"
 METRICS_DIR = "metrics"
 
-_POSTINGS_OUT_SCHEMA = (
+SORT_KEYS = ["repo", "path", "commit", "lang", "content"]
+
+_STAGE_A_SCHEMA = (
     "shard_id int, n_docs long, n_postings long, n_tokens long, "
     "sha_mismatches long, tokenize_sec double, postings_per_sec double"
 )
 
-_LISTS_OUT_SCHEMA = (
+_STAGE_C_SCHEMA = (
     "shard_id int, n_terms long, n_postings long, bytes_ids long, bytes_tfs long, "
     "bytes_weights long, skew_ratio double, encode_sec double, postings_per_sec double"
-)
-
-LIST_COLS_SQL = (
-    "term string, df long, doc_ids_delta_varbyte binary, tfs_varbyte binary, "
-    "weights_f64 binary, block_last_id array<long>, block_max_tf array<long>, "
-    "block_max_w array<double>, block_id_off array<long>, block_tf_off array<long>"
 )
 
 
@@ -80,19 +88,42 @@ def _write_shard_parquet(df: pd.DataFrame, directory: str, shard_id: int) -> Non
     os.makedirs(directory, exist_ok=True)
     final = os.path.join(directory, f"shard_{shard_id:05d}.parquet")
     tmp = f"{final}.tmp.{uuid.uuid4().hex}"
-    pq.write_table(pa.Table.from_pandas(df, preserve_index=False), tmp)
+    # one row group per shard file: the scan never splits a shard across
+    # input partitions, which the shuffle-free query kernel relies on
+    pq.write_table(
+        pa.Table.from_pandas(df, preserve_index=False), tmp,
+        row_group_size=max(len(df), 1),
+    )
     os.rename(tmp, final)
 
 
-def shard_of(doc_id_col, shard_size: int):
-    return (doc_id_col / F.lit(shard_size)).cast("int")
+def _sorted_with_pid(corpus: DataFrame, num_shards: int) -> DataFrame:
+    s = (
+        corpus.repartitionByRange(num_shards, "repo", "path")
+        .sortWithinPartitions(*[c for c in SORT_KEYS if c in corpus.columns])
+    )
+    return s.withColumn("_pid", F.spark_partition_id())
+
+
+def _dedup_batch(batch: pd.DataFrame, carry_key: tuple | None):
+    """Within sorted data, keep the LAST row of each (repo, path) run —
+    deterministic 'greatest commit wins' (≙ dedup_corpus). Returns the
+    kept rows of this batch that are SAFE to emit (all but the final run,
+    which may continue into the next batch) plus the pending last row."""
+    if not len(batch):
+        return batch, carry_key
+    repo = batch["repo"].to_numpy()
+    path = batch["path"].to_numpy()
+    keep = np.ones(len(batch), dtype=bool)
+    keep[:-1] = ~((repo[:-1] == repo[1:]) & (path[:-1] == path[1:]))
+    return batch[keep], (repo[-1], path[-1])
 
 
 def build_index(
     corpus: DataFrame,
     index_dir: str,
     num_shards: int | None = None,
-    verify_sha: bool = True,
+    verify_sha: bool | None = None,
     resume: bool = True,
     block_size: int = BLOCK_SIZE,
 ) -> dict:
@@ -100,144 +131,226 @@ def build_index(
     spark = corpus.sparkSession
     os.makedirs(index_dir, exist_ok=True)
     t_start = time.time()
+    if verify_sha is None:
+        verify_sha = "content_sha256" in corpus.columns
+    has_expected = "content_sha256" in corpus.columns
 
-    # ---- catalog (doc-id authority; deterministic, cheap) -----------
-    catalog = build_catalog(corpus).cache()
-    n_docs = catalog.count()
     if num_shards is None:
         num_shards = max(1, min(spark.sparkContext.defaultParallelism * 2, 256))
-    shard_size = max(1, math.ceil(n_docs / num_shards))
-    num_shards = math.ceil(n_docs / shard_size) if n_docs else 1
 
-    cat_marker = ckpt.read_marker(index_dir, "catalog") if resume else None
-    if cat_marker is None or cat_marker.get("n_docs") != n_docs:
-        catalog.drop("content").write.mode("overwrite").parquet(
-            os.path.join(index_dir, CATALOG_DIR)
-        )
-        ckpt.write_marker(index_dir, "catalog", n_docs=n_docs, shard_size=shard_size)
+    sorted_df = _sorted_with_pid(corpus, num_shards)
 
-    # ---- stage A: tokenize → postings per shard ---------------------
+    # ---- sizing pass: deduped doc count per shard (tiny result) ------
+    # shares the shuffle files with stage A — upstream is not recomputed
+    def count_unique(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pid, n, carry = None, 0, None
+        for b in batches:
+            if b.empty:
+                continue
+            pid = int(b["_pid"].iloc[0])
+            kept, last = _dedup_batch(b[["repo", "path", "_pid"]], carry)
+            n += len(kept)
+            if carry is not None and len(b) and (b["repo"].iloc[0], b["path"].iloc[0]) == carry:
+                n -= 1  # run continued: pending row superseded
+            carry = last
+        if pid is not None:
+            yield pd.DataFrame([{"pid": pid, "n": n}])
+
+    t_sz = time.time()
+    sizes_rows = (
+        sorted_df.select("repo", "path", "_pid")
+        .mapInPandas(count_unique, "pid int, n long")
+        .collect()
+    )
+    t_sizing = time.time() - t_sz
+    sizes = {r["pid"]: r["n"] for r in sizes_rows}
+    n_docs = int(sum(sizes.values()))
+    offsets, acc = {}, 0
+    for pid in sorted(sizes):
+        offsets[pid] = acc
+        acc += sizes[pid]
+    boff = spark.sparkContext.broadcast(offsets)
+    shard_size = max(1, math.ceil(n_docs / num_shards)) if n_docs else 1
+
+    # ---- stage A ------------------------------------------------------
     done_a = ckpt.done_shards(index_dir, "postings") if resume else set()
     postings_dir = os.path.join(index_dir, POSTINGS_DIR)
-    todo = catalog.withColumn("shard_id", shard_of(F.col("doc_id"), shard_size))
-    if done_a:
-        todo = todo.filter(~F.col("shard_id").isin(sorted(done_a)))
+    catalog_dir = os.path.join(index_dir, CATALOG_DIR)
 
-    def tokenize_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+    def stage_a(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         t0 = time.time()
-        shard_id = int(pdf["shard_id"].iloc[0])
-        content = pdf["content"].fillna("")
+        pid = None
+        pending: pd.DataFrame | None = None  # last run's candidate row
+        cat_parts: list[pd.DataFrame] = []
+        post_parts: list[pd.DataFrame] = []
+        counter = 0
         mismatches = 0
-        if verify_sha:
-            import hashlib
+        n_tokens = 0
 
-            actual = content.map(lambda s: hashlib.sha256(s.encode("utf-8")).hexdigest())
-            mismatches = int((actual != pdf["content_sha256"]).sum())
-        toks = tokenize_series(content)
-        lens = toks.str.len()
-        exploded = pd.DataFrame(
-            {
-                "doc_id": pdf["doc_id"].repeat(lens).values,
-                "term": [t for doc in toks for t in doc],
-            }
+        def process(rows: pd.DataFrame) -> None:
+            nonlocal counter, mismatches, n_tokens
+            if rows.empty:
+                return
+            content = rows["content"].fillna("")
+            sha = content.map(lambda s: hashlib.sha256(s.encode("utf-8")).hexdigest())
+            if verify_sha and has_expected:
+                mismatches += int((sha != rows["content_sha256"]).sum())
+            toks = tokenize_series(content)
+            lens = toks.str.len()
+            doc_ids = np.arange(counter, counter + len(rows), dtype=np.int64) + boff.value[pid]
+            counter += len(rows)
+            n_tokens += int(lens.sum())
+            cat_parts.append(
+                pd.DataFrame(
+                    {
+                        "doc_id": doc_ids,
+                        "repo": rows["repo"].values,
+                        "path": rows["path"].values,
+                        "commit": rows["commit"].values,
+                        "lang": rows["lang"].values,
+                        "content_sha256": sha.values,
+                        "doc_len": lens.astype("int64").values,
+                        "is_nested": rows["path"].str.contains("/").values,
+                        "source_root": rows["repo"].values,
+                    }
+                )
+            )
+            import itertools
+
+            exploded = pd.DataFrame(
+                {
+                    "doc_id": np.repeat(doc_ids, lens.to_numpy()),
+                    "term": list(itertools.chain.from_iterable(toks)),
+                }
+            )
+            if not exploded.empty:
+                tf = (
+                    exploded.groupby(["term", "doc_id"], sort=False)
+                    .size()
+                    .rename("tf")
+                    .reset_index()
+                )
+                post_parts.append(tf[["term", "doc_id", "tf"]])
+
+        carry_key = None
+        for b in batches:
+            if b.empty:
+                continue
+            pid = int(b["_pid"].iloc[0])
+            b = b.drop(columns=["_pid"])
+            if pending is not None:
+                first_key = (b["repo"].iloc[0], b["path"].iloc[0])
+                if first_key != carry_key:
+                    process(pending)  # run ended at batch boundary
+                pending = None
+            kept, carry_key = _dedup_batch(b, carry_key)
+            if len(kept):
+                last_key = (kept["repo"].iloc[-1], kept["path"].iloc[-1])
+                if last_key == carry_key:
+                    pending = kept.iloc[[-1]]
+                    kept = kept.iloc[:-1]
+            process(kept)
+        if pending is not None:
+            process(pending)
+        if pid is None:
+            return
+        cat = (
+            pd.concat(cat_parts, ignore_index=True)
+            if cat_parts
+            else pd.DataFrame(
+                columns=["doc_id", "repo", "path", "commit", "lang",
+                         "content_sha256", "doc_len", "is_nested", "source_root"]
+            )
         )
-        if exploded.empty:
-            tf = pd.DataFrame({"term": [], "doc_id": [], "tf": []}).astype(
-                {"term": "object", "doc_id": "int64", "tf": "int64"}
-            )
-        else:
-            tf = (
-                exploded.groupby(["term", "doc_id"], sort=False)
-                .size()
-                .rename("tf")
-                .reset_index()
-            )
-        _write_shard_parquet(tf[["term", "doc_id", "tf"]], postings_dir, shard_id)
+        post = (
+            pd.concat(post_parts, ignore_index=True)
+            if post_parts
+            else pd.DataFrame({"term": pd.Series(dtype="object"),
+                               "doc_id": pd.Series(dtype="int64"),
+                               "tf": pd.Series(dtype="int64")})
+        )
+        _write_shard_parquet(cat, catalog_dir, pid)
+        _write_shard_parquet(post, postings_dir, pid)
         secs = time.time() - t0
         ckpt.write_marker(
-            index_dir,
-            "postings",
-            shard_id,
-            n_docs=int(len(pdf)),
-            n_postings=int(len(tf)),
-            n_tokens=int(lens.sum()),
-            sha_mismatches=mismatches,
+            index_dir, "postings", pid,
+            n_docs=int(len(cat)), n_postings=int(len(post)),
+            n_tokens=n_tokens, sha_mismatches=mismatches,
         )
-        return pd.DataFrame(
-            [
-                {
-                    "shard_id": shard_id,
-                    "n_docs": len(pdf),
-                    "n_postings": len(tf),
-                    "n_tokens": int(lens.sum()),
-                    "sha_mismatches": mismatches,
-                    "tokenize_sec": secs,
-                    "postings_per_sec": (len(tf) / secs) if secs > 0 else 0.0,
-                }
-            ]
+        yield pd.DataFrame(
+            [{
+                "shard_id": pid, "n_docs": len(cat), "n_postings": len(post),
+                "n_tokens": n_tokens, "sha_mismatches": mismatches,
+                "tokenize_sec": secs,
+                "postings_per_sec": (len(post) / secs) if secs > 0 else 0.0,
+            }]
         )
 
+    a_input = sorted_df
+    if not has_expected:
+        a_input = a_input.withColumn("content_sha256", F.lit(None).cast("string"))
+    if done_a:
+        a_input = a_input.filter(~F.col("_pid").isin(sorted(done_a)))
     a_metrics = []
+    t_a0 = time.time()
     if n_docs:
-        a_metrics = (
-            todo.select("shard_id", "doc_id", "content", "content_sha256")
-            .groupBy("shard_id")
-            .applyInPandas(tokenize_shard, _POSTINGS_OUT_SCHEMA)
-            .collect()
-        )
+        a_metrics = a_input.mapInPandas(stage_a, _STAGE_A_SCHEMA).collect()
+    t_stage_a = time.time() - t_a0
     total_mismatch = sum(r["sha_mismatches"] for r in a_metrics)
     if verify_sha and total_mismatch:
         raise ValueError(f"sha256 verification failed for {total_mismatch} rows")
 
-    # ---- stage B: global stats --------------------------------------
+    # ---- stage B: global stats ---------------------------------------
     # N and avgdl use CATALOG semantics (empty docs count, length 0) so
     # the compressed path scores identically to the DataFrame scorer.
-    stats_marker = ckpt.read_marker(index_dir, "stats") if resume else None
     stats_dir = os.path.join(index_dir, STATS_DIR)
-    shard_lineage = [
-        ckpt.read_marker(index_dir, "postings", s) for s in range(num_shards)
-    ]
-    total_tokens = sum(m["n_tokens"] for m in shard_lineage if m)
-    avgdl = (total_tokens / n_docs) if n_docs else 0.0
-    if stats_marker is None or stats_marker.get("n_docs") != n_docs:
-        postings_all = spark.read.parquet(postings_dir)
-        postings_all.groupBy("term").agg(
+    lineage = [ckpt.read_marker(index_dir, "postings", s) for s in range(num_shards)]
+    total_tokens = sum(m["n_tokens"] for m in lineage if m)
+    n_docs_committed = sum(m["n_docs"] for m in lineage if m)
+    avgdl = (total_tokens / n_docs_committed) if n_docs_committed else 0.0
+    t_b0 = time.time()
+    stats_marker = ckpt.read_marker(index_dir, "stats") if resume else None
+    if n_docs and (stats_marker is None or stats_marker.get("n_docs") != n_docs_committed):
+        spark.read.parquet(postings_dir).groupBy("term").agg(
             F.count("*").cast("long").alias("df")
         ).write.mode("overwrite").parquet(stats_dir)
         ckpt.write_marker(
-            index_dir, "stats", n_docs=n_docs, total_tokens=total_tokens, avgdl=avgdl
+            index_dir, "stats",
+            n_docs=n_docs_committed, total_tokens=total_tokens, avgdl=avgdl,
         )
 
-    # ---- stage C: encode compressed posting lists per shard ---------
+    t_stage_b = time.time() - t_b0
+
+    # ---- stage C: encode compressed posting lists per shard -----------
+    t_c0 = time.time()
     done_c = ckpt.done_shards(index_dir, "lists") if resume else set()
     lists_dir = os.path.join(index_dir, LISTS_DIR)
-    postings_all = spark.read.parquet(postings_dir).withColumn(
-        "shard_id", shard_of(F.col("doc_id"), shard_size)
-    )
-    if done_c:
-        postings_all = postings_all.filter(~F.col("shard_id").isin(sorted(done_c)))
-    term_df = spark.read.parquet(stats_dir)
-    joined = postings_all.join(term_df, "term")  # AQE broadcasts small stats
-    n_docs_b, avgdl_b = float(n_docs), float(avgdl)
+    n_docs_b, avgdl_b = float(n_docs_committed), float(avgdl)
 
-    def encode_shard(pdf: pd.DataFrame) -> pd.DataFrame:
-        t0 = time.time()
-        shard_id = int(pdf["shard_id"].iloc[0])
+    def encode_arrays(
+        shard_id: int,
+        terms: np.ndarray,
+        doc_ids: np.ndarray,
+        tfs: np.ndarray,
+        dfs: np.ndarray,
+        t0: float,
+    ) -> pd.DataFrame:
+        """Shared encode kernel: sorted-by-(term, doc_id) numpy arrays →
+        encoded shard file + metrics row. Fully vectorized up to the
+        per-term slice loop (term count per shard is vocabulary-bounded)."""
+        tf_f = tfs.astype(np.float64)
+        idf = np.log(1.0 + (n_docs_b - dfs + 0.5) / (dfs + 0.5))
         # per-doc length from in-shard postings (complete by sharding)
-        dl = pdf.groupby("doc_id")["tf"].sum()
-        dl_of = pdf["doc_id"].map(dl).astype("float64")
-        tf = pdf["tf"].astype("float64")
-        idf = np.log(1.0 + (n_docs_b - pdf["df"] + 0.5) / (pdf["df"] + 0.5))
-        w = idf * tf * (K1 + 1.0) / (tf + K1 * (1.0 - B + B * dl_of / avgdl_b))
-        pdf = pdf.assign(w=w)
+        dl_sums = pd.Series(tfs).groupby(pd.Series(doc_ids)).transform("sum").to_numpy()
+        w = idf * tf_f * (K1 + 1.0) / (tf_f + K1 * (1.0 - B + B * dl_sums / avgdl_b))
+        # term run boundaries on the sorted array
+        uniq, starts = np.unique(terms, return_index=True)
+        order = np.argsort(starts)
+        uniq, starts = uniq[order], starts[order]
+        ends = np.append(starts[1:], terms.size)
         rows = []
-        for term, g in pdf.groupby("term", sort=True):
-            enc = encode_posting_list(
-                g["doc_id"].to_numpy(),
-                g["tf"].to_numpy(),
-                g["w"].to_numpy(),
-                block_size,
-            )
+        for term, s, e in zip(uniq, starts, ends):
+            enc = encode_posting_list(doc_ids[s:e], tfs[s:e], w[s:e], block_size)
             enc["term"] = term
             rows.append(enc)
         out = pd.DataFrame(
@@ -254,32 +367,93 @@ def build_index(
         n_post = int(out["df"].sum()) if len(out) else 0
         dfs = out["df"].to_numpy() if len(out) else np.array([0])
         skew = float(dfs.max() / max(dfs.mean(), 1e-9)) if len(out) else 0.0
-        bytes_ids = int(out["doc_ids_delta_varbyte"].str.len().sum()) if len(out) else 0
-        bytes_tfs = int(out["tfs_varbyte"].str.len().sum()) if len(out) else 0
-        bytes_w = int(out["weights_f64"].str.len().sum()) if len(out) else 0
+        b_ids = int(out["doc_ids_delta_varbyte"].str.len().sum()) if len(out) else 0
+        b_tfs = int(out["tfs_varbyte"].str.len().sum()) if len(out) else 0
+        b_w = int(out["weights_f64"].str.len().sum()) if len(out) else 0
         ckpt.write_marker(
             index_dir, "lists", shard_id,
             n_terms=int(len(out)), n_postings=n_post,
-            bytes_ids=bytes_ids, bytes_tfs=bytes_tfs, skew_ratio=skew,
+            bytes_ids=b_ids, bytes_tfs=b_tfs, skew_ratio=skew,
         )
         return pd.DataFrame(
-            [
-                {
-                    "shard_id": shard_id, "n_terms": len(out), "n_postings": n_post,
-                    "bytes_ids": bytes_ids, "bytes_tfs": bytes_tfs,
-                    "bytes_weights": bytes_w, "skew_ratio": skew, "encode_sec": secs,
-                    "postings_per_sec": (n_post / secs) if secs > 0 else 0.0,
-                }
-            ]
+            [{
+                "shard_id": shard_id, "n_terms": len(out), "n_postings": n_post,
+                "bytes_ids": b_ids, "bytes_tfs": b_tfs, "bytes_weights": b_w,
+                "skew_ratio": skew, "encode_sec": secs,
+                "postings_per_sec": (n_post / secs) if secs > 0 else 0.0,
+            }]
         )
 
     c_metrics = []
-    if n_docs:
-        c_metrics = (
-            joined.groupBy("shard_id").applyInPandas(encode_shard, _LISTS_OUT_SCHEMA).collect()
-        )
+    todo_c = sorted(set(range(num_shards)) - done_c) if n_docs else []
+    if todo_c:
+        # Zero-shuffle stage C: the postings layout IS the partitioning.
+        # One task per shard reads its own postings file with pyarrow
+        # (no JVM round-trip of 10^x posting rows), looks up term df in
+        # the broadcast stats dict, encodes, writes. This is the
+        # distributed-compaction pattern: work ships to data, nothing
+        # reshuffles. Falls back to a join + groupBy when the vocabulary
+        # is too large to broadcast (stats_rows > 5M).
+        stats_count = spark.read.parquet(stats_dir).count()
+        if stats_count <= 5_000_000:
+            df_rows = spark.read.parquet(stats_dir).collect()
+            bdf = spark.sparkContext.broadcast({r["term"]: r["df"] for r in df_rows})
 
-    # ---- metrics + manifest commit ----------------------------------
+            def encode_from_file(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+                import pyarrow.parquet as pq
+
+                for b in batches:
+                    for _, row in b.iterrows():
+                        t0 = time.time()
+                        shard_id = int(row["shard_id"])
+                        tbl = pq.read_table(row["path"])
+                        terms = tbl.column("term").to_numpy(zero_copy_only=False)
+                        doc_ids = tbl.column("doc_id").to_numpy()
+                        tfs = tbl.column("tf").to_numpy()
+                        idx = np.lexsort((doc_ids, terms))
+                        terms, doc_ids, tfs = terms[idx], doc_ids[idx], tfs[idx]
+                        dmap = bdf.value
+                        dfs = pd.Series(terms).map(dmap).to_numpy(dtype=np.float64)
+                        yield encode_arrays(shard_id, terms, doc_ids, tfs, dfs, t0)
+
+            shard_rows = [
+                (s, os.path.join(postings_dir, f"shard_{s:05d}.parquet"))
+                for s in todo_c
+                if os.path.exists(os.path.join(postings_dir, f"shard_{s:05d}.parquet"))
+            ]
+            shards_df = spark.createDataFrame(
+                shard_rows, "shard_id int, path string"
+            ).repartition(len(shard_rows))
+            c_metrics = shards_df.mapInPandas(encode_from_file, _STAGE_C_SCHEMA).collect()
+        else:
+            postings_all = spark.read.parquet(postings_dir).withColumn(
+                "shard_id",
+                F.regexp_extract(F.input_file_name(), r"shard_(\d+)\.parquet", 1).cast("int"),
+            )
+            if done_c:
+                postings_all = postings_all.filter(~F.col("shard_id").isin(sorted(done_c)))
+            term_df = spark.read.parquet(stats_dir)
+            joined = postings_all.join(term_df, "term")
+
+            def encode_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+                t0 = time.time()
+                shard_id = int(pdf["shard_id"].iloc[0])
+                terms = pdf["term"].to_numpy()
+                doc_ids = pdf["doc_id"].to_numpy()
+                tfs = pdf["tf"].to_numpy()
+                dfs = pdf["df"].to_numpy(dtype=np.float64)
+                idx = np.lexsort((doc_ids, terms))
+                return encode_arrays(
+                    shard_id, terms[idx], doc_ids[idx], tfs[idx], dfs[idx], t0
+                )
+
+            c_metrics = (
+                joined.groupBy("shard_id").applyInPandas(encode_shard, _STAGE_C_SCHEMA).collect()
+            )
+
+    t_stage_c = time.time() - t_c0
+
+    # ---- metrics + manifest commit ------------------------------------
     metrics_rows = [r.asDict() for r in a_metrics] + [r.asDict() for r in c_metrics]
     if metrics_rows:
         spark.createDataFrame(metrics_rows).write.mode("append").parquet(
@@ -287,29 +461,32 @@ def build_index(
         )
     manifest = {
         "version": 1,
-        "n_docs": n_docs,
+        "n_docs": n_docs_committed,
         "num_shards": num_shards,
         "shard_size": shard_size,
         "avgdl": avgdl,
         "total_tokens": total_tokens,
         "block_size": block_size,
         "built_sec": time.time() - t_start,
+        "stage_sec": {
+            "sizing": round(t_sizing, 3),
+            "tokenize_postings": round(t_stage_a, 3),
+            "stats": round(t_stage_b, 3),
+            "encode_lists": round(t_stage_c, 3),
+        },
         "stages": {
             "postings_shards": sorted(ckpt.done_shards(index_dir, "postings")),
             "lists_shards": sorted(ckpt.done_shards(index_dir, "lists")),
         },
     }
     ckpt.commit_manifest(index_dir, manifest)
-    catalog.unpersist()
     return manifest
 
 
 def load_posting_lists(spark: SparkSession, index_dir: str) -> DataFrame:
-    manifest = ckpt.read_manifest(index_dir)
-    if manifest is None:
+    if ckpt.read_manifest(index_dir) is None:
         raise FileNotFoundError(f"no committed index at {index_dir}")
-    df = spark.read.parquet(os.path.join(index_dir, LISTS_DIR))
-    return df
+    return spark.read.parquet(os.path.join(index_dir, LISTS_DIR))
 
 
 def load_catalog(spark: SparkSession, index_dir: str) -> DataFrame:

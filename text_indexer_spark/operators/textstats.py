@@ -1,0 +1,142 @@
+"""Text analysis for training-data pipelines: language-ID, quality
+scoring, token counting, document fingerprinting.
+
+All pure JVM expressions (codegen'd, no Python). Each operator has a
+DuckDB-expressible twin in ``driver_queries`` so the driver's
+correctness gate covers it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from text_indexer_spark.tokenizer import tokenize_column
+
+# n-gram-heuristic language ID: tiny per-language marker lexicons
+# (deterministic stand-in for a real char-n-gram model; the Spark-side
+# plumbing — tokenize → score per language → argmax — is the real shape)
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is", "in", "that", "it"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "zu"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "que"],
+    "es": ["el", "la", "los", "las", "es", "y", "un", "una"],
+    "zh": ["de", "shi", "le", "bu", "zai", "you", "wo", "ta"],
+}
+
+STOPWORDS = LANG_MARKERS["en"]
+
+
+def lang_id(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, pred_lang): argmax over marker-lexicon hit counts; ties
+    break alphabetically (deterministic). Docs with zero hits → 'und'."""
+    toks = df.select(F.col(id_col), tokenize_column(text_col).alias("t"))
+    scores = toks.select(
+        id_col,
+        *[
+            F.size(F.filter(F.col("t"), lambda x: x.isin(LANG_MARKERS[lang]))).alias(
+                f"n_{lang}"
+            )
+            for lang in sorted(LANG_MARKERS)
+        ],
+    )
+    # argmax via greatest + chained when (alphabetical tie-break)
+    best = F.greatest(*[F.col(f"n_{lang}") for lang in sorted(LANG_MARKERS)])
+    pred = F.lit("und")
+    for lang in sorted(LANG_MARKERS, reverse=True):
+        pred = F.when((best > 0) & (F.col(f"n_{lang}") == best), F.lit(lang)).otherwise(pred)
+    return scores.select(id_col, pred.alias("pred_lang"))
+
+
+def quality_scores(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", round_to: int = 4
+) -> DataFrame:
+    """Heuristic quality features per doc:
+
+    * n_chars, n_tokens, mean token length
+    * alpha_ratio  — fraction of alphanumeric chars
+    * punct_ratio  — fraction of delimiter-class punctuation
+    * stopword_ratio — fraction of tokens in the stopword lexicon
+    * quality — composite in [0, 1] (length-saturating × alpha × non-junk)
+    """
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    toks = tokenize_column(text_col)
+    n_chars = F.length(t)
+    n_alpha = F.length(F.regexp_replace(t, "[^a-zA-Z0-9]", ""))
+    n_punct = F.length(F.regexp_replace(t, "[^.,;:!?]", ""))
+    n_tokens = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda x: x.isin(STOPWORDS)))
+    alpha_ratio = F.when(n_chars > 0, n_alpha / n_chars).otherwise(F.lit(0.0))
+    punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_tokens > 0, n_stop / n_tokens).otherwise(F.lit(0.0))
+    mean_len = F.when(
+        n_tokens > 0,
+        F.aggregate(toks, F.lit(0), lambda a, x: a + F.length(x)) / n_tokens,
+    ).otherwise(F.lit(0.0))
+    length_sat = F.least(F.lit(1.0), n_tokens / F.lit(100.0))
+    quality = length_sat * alpha_ratio * (F.lit(1.0) - punct_ratio)
+    return df.select(
+        F.col(id_col),
+        n_chars.cast("long").alias("n_chars"),
+        n_tokens.cast("long").alias("n_tokens"),
+        F.round(mean_len, round_to).alias("mean_token_len"),
+        F.round(alpha_ratio, round_to).alias("alpha_ratio"),
+        F.round(punct_ratio, round_to).alias("punct_ratio"),
+        F.round(stop_ratio, round_to).alias("stopword_ratio"),
+        F.round(quality, round_to).alias("quality"),
+    )
+
+
+def token_counts(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Three token-count views per doc:
+
+    * ws_tokens  — whitespace-split count
+    * word_tokens — delimiter-class tokenizer count (the index tokenizer)
+    * bpe_ish_pieces — BPE-flavored upper bound: alnum runs split every 4
+      chars + each punctuation char its own piece (a deterministic,
+      vocabulary-free stand-in for a real BPE; counts, not pieces)
+    """
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    ws = F.size(F.filter(F.split(t, "\\s+"), lambda x: F.length(x) > 0))
+    words = F.size(tokenize_column(text_col))
+    alnum_chars = F.length(F.regexp_replace(t, "[^a-zA-Z0-9]", ""))
+    punct_chars = F.length(F.regexp_replace(t, "[a-zA-Z0-9\\s]", ""))
+    # ceil(run/4) summed over runs ≈ ceil(alnum/4) + nruns correction;
+    # keep the simple, exactly-specified form: ceil(alnum/4) + punct
+    bpe_ish = (F.ceil(alnum_chars / F.lit(4.0)) + punct_chars).cast("long")
+    return df.select(
+        F.col(id_col),
+        ws.cast("long").alias("ws_tokens"),
+        words.cast("long").alias("word_tokens"),
+        bpe_ish.alias("bpe_ish_pieces"),
+    )
+
+
+def fingerprints(
+    df: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, fingerprint): min-shingle fingerprint — the minimum md5
+    over token n-gram shingles (winnowing with window = whole doc).
+    Identical-fingerprint docs share at least one n-gram run; exact dups
+    always collide. Engine-portable (md5)."""
+    toks = df.select(F.col(id_col), tokenize_column(text_col).alias("t"))
+    sh = toks.select(
+        id_col,
+        F.when(
+            F.size("t") >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size("t") - n),
+                lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("t"), i + 1, n))),
+            ),
+        )
+        .otherwise(F.array(F.md5(F.concat_ws(" ", F.col("t")))))
+        .alias("hashes"),
+    )
+    return sh.select(id_col, F.array_min("hashes").alias("fingerprint"))

@@ -30,7 +30,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _shard_topk_kernel(terms: list[str], k: int):
+def _shard_topk_kernel(terms: list[str], k: int, round_to: int | None = None):
+    """Per-shard kernel. Local selection is TIE-INCLUSIVE at the k-th
+    score (exact duplicates score bit-identically; dropping one of a tie
+    group locally could flip the global tie-break), and applies
+    ``round_to`` BEFORE selection when set so the global cut sees the
+    same ordering the caller will use."""
     nq = len(set(terms))
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -74,13 +79,68 @@ def _shard_topk_kernel(terms: list[str], k: int):
             w = np.frombuffer(r["weights_f64"], dtype=np.float64)
             scores = scores + w[pos_sub[idx[found]]]
 
+        if round_to is not None:
+            scores = np.round(scores, round_to)
         if cand.size > k:
-            part = np.argpartition(-scores, k - 1)[:k]
-            cand, scores = cand[part], scores[part]
+            kth = np.partition(-scores, k - 1)[k - 1]
+            keep = -scores <= kth  # tie-inclusive at the k-th score
+            cand, scores = cand[keep], scores[keep]
         order = np.lexsort((cand, -scores))
         return pd.DataFrame({"doc_id": cand[order], "score": scores[order]})
 
     return kernel
+
+
+def wand_topk_batch(
+    posting_lists: DataFrame,
+    queries: dict[str, list[str]],
+    k: int = 10,
+    round_to: int | None = None,
+) -> DataFrame:
+    """Many queries in ONE Spark job → (query_id, doc_id, score).
+
+    Per-job fixed overhead (scheduling, Python worker dispatch, plan
+    analysis) dominates single-query latency on a warm index; a serving
+    tier amortizes it by batching. One scan with ``term IN (union of all
+    query terms)``, per-shard kernels loop the (tiny) query list over the
+    shard's decoded lists, global per-query top-k via window rank."""
+    from pyspark.sql import Window
+
+    spark = posting_lists.sparkSession
+    qmap = {qid: list(dict.fromkeys(t)) for qid, t in queries.items() if t}
+    if not qmap:
+        return spark.createDataFrame([], "query_id string, doc_id long, score double")
+    all_terms = sorted({t for terms in qmap.values() for t in terms})
+    matched = posting_lists.filter(F.col("term").isin(all_terms))
+    kernels = {qid: _shard_topk_kernel(terms, k) for qid, terms in qmap.items()}
+    term_sets = {qid: set(terms) for qid, terms in qmap.items()}
+
+    def per_partition(batches):
+        parts = [b for b in batches if not b.empty]
+        if not parts:
+            return
+        pdf = pd.concat(parts, ignore_index=True)
+        for _, g in pdf.groupby("shard_id", sort=False):
+            for qid, kern in kernels.items():
+                sub = g[g["term"].isin(term_sets[qid])]
+                if sub.empty:
+                    continue
+                out = kern(sub)
+                if len(out):
+                    out.insert(0, "query_id", qid)
+                    yield out
+
+    local = matched.mapInPandas(
+        per_partition, "query_id string, doc_id long, score double"
+    )
+    if round_to is not None:
+        local = local.withColumn("score", F.round(F.col("score"), round_to))
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        local.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
 
 
 def wand_topk(
@@ -88,19 +148,35 @@ def wand_topk(
     terms: list[str],
     k: int = 10,
     round_to: int | None = None,
+    global_topk: bool = True,
 ) -> DataFrame:
     """Top-k (doc_id, score) for a conjunctive query over the compressed
-    index; rank-identical to ``search.bm25_topk`` (differential-tested)."""
+    index; rank-identical to ``search.bm25_topk`` (differential-tested).
+
+    ``global_topk=False`` returns all per-shard candidates (tie-inclusive
+    local top-k) so the caller can apply its own global cut — e.g. after
+    re-mapping doc ids to an external keying with a different tie-break."""
     spark = posting_lists.sparkSession
     terms = list(dict.fromkeys(terms))
     if not terms:
         return spark.createDataFrame([], "doc_id long, score double")
     matched = posting_lists.filter(F.col("term").isin(terms))
-    local = matched.groupBy("shard_id").applyInPandas(
-        lambda pdf: _shard_topk_kernel(terms, k)(pdf),
-        "doc_id long, score double",
-    )
-    out = local
-    if round_to is not None:
-        out = out.withColumn("score", F.round(F.col("score"), round_to))
-    return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    kernel = _shard_topk_kernel(terms, k, round_to)
+
+    def per_partition(batches):
+        # Shuffle-free shard grouping: the index layout guarantees one
+        # row group per shard file, so a scan partition holds whole
+        # shards (possibly several). Group locally instead of groupBy.
+        parts = [b for b in batches if not b.empty]
+        if not parts:
+            return
+        pdf = pd.concat(parts, ignore_index=True)
+        for _, g in pdf.groupby("shard_id", sort=False):
+            out = kernel(g)
+            if len(out):
+                yield out
+
+    local = matched.mapInPandas(per_partition, "doc_id long, score double")
+    if not global_topk:
+        return local
+    return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

@@ -1,0 +1,58 @@
+"""Physical-plan assertions — guard rails that the scale-critical plan
+properties survive refactors.
+
+These inspect ``df._jdf...executedPlan`` / ``explain`` text rather than
+timing, so they're cheap enough for the test suite:
+
+* filters/projections reach the parquet scan (PushedFilters, ReadSchema);
+* small-side joins actually broadcast;
+* no exchange appears where a plan is expected to be shuffle-free;
+* whole-stage codegen covers the expression pipeline.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+
+def formatted_plan(df: DataFrame) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def count_exchanges(df: DataFrame) -> int:
+    """Number of shuffle exchanges in the physical plan (broadcast
+    exchanges excluded — they're the cheap kind)."""
+    plan = formatted_plan(df)
+    return len(re.findall(r"Exchange (hash|range|SinglePartition|rebalance)", plan))
+
+
+def has_pushed_filter(df: DataFrame, fragment: str) -> bool:
+    """True if the parquet scan shows a pushed-down filter containing
+    ``fragment`` (e.g. a column name)."""
+    plan = formatted_plan(df)
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    return bool(m and fragment in m.group(1))
+
+
+def read_schema_columns(df: DataFrame) -> set[str]:
+    """Columns actually read from the parquet scan (column pruning)."""
+    plan = formatted_plan(df)
+    cols: set[str] = set()
+    for m in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
+        for part in m.group(1).split(","):
+            name = part.split(":")[0].strip()
+            if name:
+                cols.add(name)
+    return cols
+
+
+def broadcast_join_count(df: DataFrame) -> int:
+    return len(re.findall(r"BroadcastHashJoin|BroadcastNestedLoopJoin", formatted_plan(df)))
+
+
+def wholestage_codegen_spans(df: DataFrame) -> int:
+    return len(set(re.findall(r"WholeStageCodegen \((\d+)\)", formatted_plan(df))))

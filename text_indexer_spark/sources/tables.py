@@ -41,15 +41,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
-def documents_as_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+def documents_as_corpus(
+    spark: SparkSession, sf_dir: str, num_partitions: int | None = None
+) -> DataFrame:
     """Map the ``documents`` testdata table onto the corpus input shape
     ``(repo, path, commit, lang, content)`` (BASELINE input_hint).
 
     Deterministic: repo = source, path derived from doc_id, commit =
     sha256 of content (a content-version identity, exactly the role the
     reference's mtime plays — ``Document.kt:7``, ``IndexedItem.kt:45-51``).
+
+    ``num_partitions``: the testdata is ONE small parquet file = one
+    input split; without an explicit repartition every downstream
+    exchange computes the whole projection (sha2 per row) in a single
+    task. A real corpus has thousands of files and never needs this.
     """
     docs = load_table(spark, sf_dir, "documents")
+    if num_partitions:
+        docs = docs.repartition(num_partitions)
     return docs.select(
         F.col("source").alias("repo"),
         F.concat(F.lit("docs/doc_"), F.col("doc_id").cast("string"), F.lit(".txt")).alias(
