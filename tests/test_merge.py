@@ -1,0 +1,68 @@
+"""Term-major salted merge: splice of pre-encoded shard chunks must
+decode to exactly the union of shard postings, in global doc-id order."""
+
+from __future__ import annotations
+
+import pytest
+
+from text_indexer_spark.corpus import synthetic_corpus
+from text_indexer_spark.operators.codec import decode_posting_list
+from text_indexer_spark.operators.index_build import build_index, load_posting_lists
+from text_indexer_spark.operators.merge import decode_merged, merge_term_major, term_major_stats
+
+
+@pytest.fixture(scope="module")
+def merged(spark, tmp_path_factory):
+    idx = str(tmp_path_factory.mktemp("merge_idx"))
+    corpus = synthetic_corpus(spark, 250, avg_tokens=60)
+    build_index(corpus, idx, num_shards=5)
+    lists = load_posting_lists(spark, idx).cache()
+    return lists, merge_term_major(lists).cache()
+
+
+def test_merged_equals_union_of_shards(merged):
+    lists, m = merged
+    # expected: per term, union of decoded shard lists
+    exp: dict[str, list] = {}
+    for row in lists.collect():
+        d = row.asDict()
+        ids, tfs, ws = decode_posting_list(
+            {
+                "df": d["df"],
+                "doc_ids_delta_varbyte": bytes(d["doc_ids_delta_varbyte"]),
+                "tfs_varbyte": bytes(d["tfs_varbyte"]),
+                "weights_f64": bytes(d["weights_f64"]),
+                "block_id_off": list(d["block_id_off"]),
+            }
+        )
+        exp.setdefault(d["term"], []).extend(zip(ids, tfs, ws))
+    for t in exp:
+        exp[t].sort()
+
+    got_rows = m.collect()
+    assert {r["term"] for r in got_rows} == set(exp)
+    for row in got_rows:
+        d = row.asDict()
+        d["doc_ids_delta_varbyte"] = bytes(d["doc_ids_delta_varbyte"])
+        d["tfs_varbyte"] = bytes(d["tfs_varbyte"])
+        d["weights_f64"] = bytes(d["weights_f64"])
+        ids, tfs, ws = decode_merged(d)
+        got = list(zip(ids, tfs, ws))
+        assert got == exp[d["term"]], d["term"]
+        # globally sorted, no duplicates
+        assert list(ids) == sorted(set(ids))
+        assert d["df"] == len(ids)
+
+
+def test_merge_shuffle_rows_capped_by_shards(merged):
+    """The skew cap: the hottest term contributes num_shards chunk rows
+    to the merge shuffle, never df rows."""
+    lists, m = merged
+    assert m.agg({"n_chunks": "max"}).first()[0] <= 5
+
+
+def test_term_major_stats(merged):
+    _, m = merged
+    rows = term_major_stats(m).collect()
+    assert all(r["bytes_per_posting"] < 4.0 for r in rows)  # well under raw 16B
+    assert all(r["df"] > 0 for r in rows)

@@ -1,0 +1,89 @@
+"""Physical-plan guard rails: pushdown, pruning, broadcast, shuffle
+counts — the properties that keep the engine viable at 100 TB must
+survive refactors, so they are asserted, not assumed."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from text_indexer_spark.plans.checks import (
+    broadcast_join_count,
+    count_exchanges,
+    formatted_plan,
+    has_pushed_filter,
+    read_schema_columns,
+)
+from text_indexer_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_term_filter_pushed_to_scan(spark, tmp_path):
+    """A term-IN filter over persisted posting lists must reach the
+    parquet scan (PushedFilters), and the scan must NOT read the heavy
+    binary columns when only df is selected (column pruning)."""
+    from text_indexer_spark.corpus import synthetic_corpus
+    from text_indexer_spark.operators.index_build import build_index, load_posting_lists
+
+    idx = str(tmp_path / "idx")
+    build_index(synthetic_corpus(spark, 50, avg_tokens=20), idx, num_shards=2)
+    lists = load_posting_lists(spark, idx)
+    q = lists.filter(F.col("term").isin(["the", "data"])).select("term", "df")
+    assert has_pushed_filter(q, "term")
+    cols = read_schema_columns(q)
+    assert "weights_f64" not in cols and "doc_ids_delta_varbyte" not in cols
+
+
+def test_doc_stats_prunes_columns(spark):
+    """doc_len derivation must read only (doc_id, lang, text) — not the
+    whole documents table."""
+    from text_indexer_spark.driver_queries import q_doc_stats
+
+    cols = read_schema_columns(q_doc_stats(spark, SF))
+    assert "source" not in cols and "n_chars" not in cols
+
+
+def test_search_paths_broadcasts_matches(spark):
+    """The id→path join (IndexedDocuments.kt:68-70 analogue) broadcasts
+    the tiny match side, never shuffling the catalog."""
+    from text_indexer_spark.driver_queries import q_search_paths
+
+    assert broadcast_join_count(q_search_paths(spark, SF)) >= 1
+
+
+def test_postings_build_single_wide_shuffle(spark):
+    """Postings build = explode + ONE hash aggregation (partial agg is
+    map-side): exactly one exchange in the plan."""
+    from text_indexer_spark.driver_queries import doc_postings
+
+    # another test may have cached an identical postings plan; cache
+    # substitution (InMemoryTableScan) would hide the exchange
+    spark.catalog.clearCache()
+    assert count_exchanges(doc_postings(spark, SF)) == 1
+
+
+def test_wand_query_is_shuffle_free_before_topk(spark, tmp_path):
+    """The compressed query path: scan → mapInPandas → TakeOrdered.
+    No exchange at all (the doc-range layout makes shard grouping a
+    partition-local operation)."""
+    from text_indexer_spark.corpus import synthetic_corpus
+    from text_indexer_spark.operators.index_build import build_index, load_posting_lists
+    from text_indexer_spark.operators.wand import wand_topk
+
+    idx = str(tmp_path / "idx2")
+    build_index(synthetic_corpus(spark, 50, avg_tokens=20), idx, num_shards=2)
+    q = wand_topk(load_posting_lists(spark, idx), ["the", "data"], k=5)
+    assert count_exchanges(q) == 0
+    assert "TakeOrderedAndProject" in formatted_plan(q)
+
+
+def test_bm25_never_reads_content(spark):
+    """Query-time plans must not scan the raw text column once postings
+    exist — BM25 over postings reads text only to BUILD the postings
+    (the documents table IS the corpus here), never the content of
+    non-matching columns like source/n_chars."""
+    from text_indexer_spark.driver_queries import q_bm25_topk
+
+    cols = read_schema_columns(q_bm25_topk(spark, SF))
+    assert "source" not in cols and "n_chars" not in cols

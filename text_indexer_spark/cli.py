@@ -1,0 +1,131 @@
+"""spark-submit entry point.
+
+    spark-submit --py-files text_indexer_spark.zip -m ... cli.py build \
+        --corpus /path/to/corpus_parquet --index /path/to/index --shards 256
+    ... cli.py query  --index /path/to/index --query "merge vector stream" -k 10
+    ... cli.py sync   --index-catalog ... --postings ... --source ...
+    ... cli.py merge  --index /path/to/index --out /path/to/term_major
+
+(also runnable as ``python -m text_indexer_spark.cli`` locally — the
+session factory picks local[$SPARK_GRAFT_CPUS]).
+
+Each subcommand is a thin wrapper over the operator modules; all heavy
+lifting stays declarative so the SAME code runs on a 1000-executor
+cluster: only ``--master``/deploy mode change.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _spark(args):
+    from text_indexer_spark.session import get_spark
+
+    return get_spark("text-indexer-cli", master=args.master)
+
+
+def cmd_build(args) -> int:
+    from text_indexer_spark.operators.index_build import build_index
+
+    spark = _spark(args)
+    corpus = spark.read.parquet(args.corpus)
+    manifest = build_index(
+        corpus,
+        args.index,
+        num_shards=args.shards,
+        verify_sha=None if not args.no_verify_sha else False,
+        resume=not args.no_resume,
+    )
+    print(json.dumps(manifest))
+    return 0
+
+
+def cmd_query(args) -> int:
+    from text_indexer_spark.operators.index_build import load_catalog, load_posting_lists
+    from text_indexer_spark.operators.wand import wand_topk
+    from text_indexer_spark.tokenizer import tokenize_text
+
+    spark = _spark(args)
+    terms = tokenize_text(args.query)
+    lists = load_posting_lists(spark, args.index)
+    top = wand_topk(lists, terms, k=args.k, round_to=4)
+    cat = load_catalog(spark, args.index).select("doc_id", "repo", "path")
+    rows = (
+        top.join(cat, "doc_id", "left")
+        .select("doc_id", "repo", "path", "score")
+        .orderBy("score", ascending=False)
+        .collect()
+    )
+    for r in rows:
+        print(json.dumps({c: r[c] for c in ("doc_id", "repo", "path", "score")}))
+    return 0
+
+
+def cmd_sync(args) -> int:
+    from text_indexer_spark.operators.sync import sync_index
+
+    spark = _spark(args)
+    catalog = spark.read.parquet(args.catalog)
+    postings = spark.read.parquet(args.postings)
+    source = spark.read.parquet(args.source)
+    cat2, post2, diff = sync_index(catalog, postings, source)
+    counts = {r["change"]: r["n"] for r in
+              diff.groupBy("change").count().withColumnRenamed("count", "n").collect()}
+    cat2.write.mode("overwrite").parquet(args.out_catalog)
+    post2.write.mode("overwrite").parquet(args.out_postings)
+    print(json.dumps({"diff": counts}))
+    return 0
+
+
+def cmd_merge(args) -> int:
+    from text_indexer_spark.operators.index_build import load_posting_lists
+    from text_indexer_spark.operators.merge import merge_term_major
+
+    spark = _spark(args)
+    merged = merge_term_major(load_posting_lists(spark, args.index))
+    merged.write.mode("overwrite").parquet(args.out)
+    print(json.dumps({"terms": merged.count()}))
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="text-indexer-spark")
+    p.add_argument("--master", default=None, help="Spark master (default: env/local)")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build", help="corpus parquet -> persisted index")
+    b.add_argument("--corpus", required=True)
+    b.add_argument("--index", required=True)
+    b.add_argument("--shards", type=int, default=None)
+    b.add_argument("--no-verify-sha", action="store_true")
+    b.add_argument("--no-resume", action="store_true")
+    b.set_defaults(fn=cmd_build)
+
+    q = sub.add_parser("query", help="BM25 top-k over a persisted index")
+    q.add_argument("--index", required=True)
+    q.add_argument("--query", required=True)
+    q.add_argument("-k", type=int, default=10)
+    q.set_defaults(fn=cmd_query)
+
+    s = sub.add_parser("sync", help="incremental sync against a new source snapshot")
+    s.add_argument("--catalog", required=True)
+    s.add_argument("--postings", required=True)
+    s.add_argument("--source", required=True)
+    s.add_argument("--out-catalog", required=True)
+    s.add_argument("--out-postings", required=True)
+    s.set_defaults(fn=cmd_sync)
+
+    m = sub.add_parser("merge", help="sharded lists -> global term-major lists")
+    m.add_argument("--index", required=True)
+    m.add_argument("--out", required=True)
+    m.set_defaults(fn=cmd_merge)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -27,7 +27,9 @@ def count_exchanges(df: DataFrame) -> int:
     """Number of shuffle exchanges in the physical plan (broadcast
     exchanges excluded — they're the cheap kind)."""
     plan = formatted_plan(df)
-    return len(re.findall(r"Exchange (hash|range|SinglePartition|rebalance)", plan))
+    # formatted mode: "(4) Exchange" with partitioning on an Arguments
+    # line; broadcast exchanges render as "(n) BroadcastExchange"
+    return len(re.findall(r"^\(\d+\) Exchange\b", plan, re.M))
 
 
 def has_pushed_filter(df: DataFrame, fragment: str) -> bool:
