@@ -1,0 +1,65 @@
+"""spark-submit CLI drive: build → query → merge → sync through the real
+argv interface (subprocess-free: main() is called in-process against the
+shared test session via --master)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from text_indexer_spark import cli
+from text_indexer_spark.corpus import golden_corpus
+
+
+@pytest.fixture(scope="module")
+def corpus_dir(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("cli") / "corpus")
+    golden_corpus(spark, snapshot=1).write.parquet(d)
+    return d
+
+
+def test_cli_build_query_merge(spark, corpus_dir, tmp_path, capsys):
+    idx = str(tmp_path / "idx")
+    rc = cli.main(["--master", "local[4]", "build", "--corpus", corpus_dir,
+                   "--index", idx, "--shards", "2"])
+    assert rc == 0
+    manifest = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert manifest["n_docs"] == 5
+
+    rc = cli.main(["--master", "local[4]", "query", "--index", idx,
+                   "--query", "me, i, tyler", "-k", "5"])
+    assert rc == 0
+    lines = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert [l["path"] for l in lines] == ["fight-club.txt"]
+    assert lines[0]["score"] > 0
+
+    out = str(tmp_path / "tm")
+    rc = cli.main(["--master", "local[4]", "merge", "--index", idx, "--out", out])
+    assert rc == 0
+    assert json.loads(capsys.readouterr().out.strip().splitlines()[-1])["terms"] > 0
+    assert os.path.isdir(out)
+
+
+def test_cli_sync(spark, corpus_dir, tmp_path, capsys):
+    idx = str(tmp_path / "idx2")
+    cli.main(["--master", "local[4]", "build", "--corpus", corpus_dir, "--index", idx])
+    capsys.readouterr()
+
+    src2 = str(tmp_path / "src2")
+    golden_corpus(spark, snapshot=2).write.parquet(src2)
+    out_cat, out_post = str(tmp_path / "cat2"), str(tmp_path / "post2")
+    # postings parquet from the built index is the sharded postings dir
+    rc = cli.main([
+        "--master", "local[4]", "sync",
+        "--catalog", os.path.join(idx, "catalog"),
+        "--postings", os.path.join(idx, "postings"),
+        "--source", src2,
+        "--out-catalog", out_cat, "--out-postings", out_post,
+    ])
+    assert rc == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["diff"] == {"reindex": 1}
+    post2 = spark.read.parquet(out_post)
+    assert post2.filter("term = 'whitman'").count() == 1

@@ -136,3 +136,27 @@ def test_wand_batch_matches_single(spark, built):
     for i, terms in enumerate(QUERIES):
         single = [(r["doc_id"], r["score"]) for r in wand_topk(lists, terms, k=10).collect()]
         assert by_q.get(f"q{i}", []) == single, terms
+
+
+def test_wand_or_mode_matches_oracle(spark, built):
+    """Disjunctive WAND (any-term match) vs DataFrame scorer and oracle."""
+    from text_indexer_spark.operators.search import bm25_topk as df_topk
+
+    corpus, index_dir, _ = built
+    lists = load_posting_lists(spark, index_dir)
+    catalog = build_catalog(corpus).cache()
+    postings = build_postings(catalog)
+    stats = term_stats(postings)
+    oracle = OracleIndex()
+    for r in catalog.select("doc_id", "content").collect():
+        oracle.add(r["doc_id"], r["content"])
+    for terms in (["the", "zzz_missing"], ["alpha", "beta", "gamma"], ["theta"]):
+        wand = wand_topk(lists, terms, k=10, conjunctive=False).collect()
+        plain = df_topk(postings, catalog, stats, terms, k=10,
+                        conjunctive=False, round_to=None).collect()
+        exp = oracle.bm25_topk(terms, k=10, conjunctive=False)
+        assert [r["doc_id"] for r in wand] == [r["doc_id"] for r in plain] == [
+            d for d, _ in exp
+        ], terms
+        for w_row, (_, s) in zip(wand, exp):
+            assert w_row["score"] == pytest.approx(s, abs=1e-9)

@@ -296,8 +296,9 @@ def sql_search_paths() -> str:
     )
 
 
-def sql_bm25_topk() -> str:
+def sql_bm25_topk(conjunctive: bool = True) -> str:
     k1, b = K1, B
+    guard = f"WHERE nt = {len(BM25_TERMS)}" if conjunctive else ""
     return f"""
 WITH {_toks_cte()},
 dl AS (SELECT doc_id, sum(tf)::DOUBLE AS dl FROM tf GROUP BY doc_id),
@@ -314,7 +315,7 @@ scored AS (
   WHERE tf.term IN ({_sql_list(BM25_TERMS)})
   GROUP BY tf.doc_id
 )
-SELECT doc_id, round(s, 4) AS score FROM scored WHERE nt = {len(BM25_TERMS)}
+SELECT doc_id, round(s, 4) AS score FROM scored {guard}
 ORDER BY round(s, 4) DESC, doc_id ASC LIMIT 10
 """
 

@@ -350,6 +350,33 @@ def q_wand_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_wand_bm25_topk_or(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Disjunctive (classic WAND) variant of the compressed query path:
+    any-term match, summed BM25 — gated against the same SQL scorer with
+    the conjunctive guard dropped."""
+    from text_indexer_spark.driver_queries import BM25_TERMS
+    from text_indexer_spark.operators.index_build import load_catalog, load_posting_lists
+    from text_indexer_spark.operators.wand import wand_topk
+
+    if sf_dir not in _WAND_INDEX_CACHE:
+        q_wand_bm25_topk(spark, sf_dir).collect()
+    lists = load_posting_lists(spark, _WAND_INDEX_CACHE[sf_dir])
+    cands = wand_topk(
+        lists, BM25_TERMS, k=10, round_to=ROUND, global_topk=False, conjunctive=False
+    )
+    cat = load_catalog(spark, _WAND_INDEX_CACHE[sf_dir]).select(
+        F.col("doc_id").alias("engine_id"),
+        F.regexp_extract("path", r"doc_(\d+)\.txt", 1).cast("long").alias("doc_id"),
+    )
+    return (
+        cands.withColumnRenamed("doc_id", "engine_id")
+        .join(F.broadcast(cat), "engine_id")
+        .select("doc_id", "score")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
 def sql_wand_bm25_topk() -> str:
     from text_indexer_spark.driver_queries import sql_bm25_topk
 
@@ -372,6 +399,7 @@ def queries():
         "doc_fingerprints": q_fingerprints,
         "multimodal_meta": q_multimodal_meta,
         "wand_bm25_topk": q_wand_bm25_topk,
+        "wand_bm25_topk_or": q_wand_bm25_topk_or,
     }
 
 
@@ -390,4 +418,5 @@ def oracle_sql():
         "doc_fingerprints": sql_fingerprints(),
         "multimodal_meta": sql_multimodal_meta(),
         "wand_bm25_topk": sql_wand_bm25_topk(),
+        "wand_bm25_topk_or": __import__("text_indexer_spark.driver_queries", fromlist=["sql_bm25_topk"]).sql_bm25_topk(conjunctive=False),
     }

@@ -30,12 +30,53 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _local_topk(cand: np.ndarray, scores: np.ndarray, k: int,
+                round_to: int | None) -> pd.DataFrame:
+    """Tie-INCLUSIVE local top-k: exact duplicates score bit-identically,
+    and dropping one of a tie group locally could flip the global
+    tie-break. ``round_to`` applies BEFORE selection so the global cut
+    sees the same ordering the caller will use."""
+    if round_to is not None:
+        scores = np.round(scores, round_to)
+    if cand.size > k:
+        kth = np.partition(-scores, k - 1)[k - 1]
+        keep = -scores <= kth
+        cand, scores = cand[keep], scores[keep]
+    order = np.lexsort((cand, -scores))
+    return pd.DataFrame({"doc_id": cand[order], "score": scores[order]})
+
+
+def _shard_or_kernel(terms: list[str], k: int, round_to: int | None = None):
+    """Disjunctive (true WAND semantics) per-shard kernel: score every
+    doc appearing in ANY query-term list — union of the decoded lists,
+    summed by doc id. Fully vectorized (concat + sort + reduceat)."""
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        from text_indexer_spark.operators.codec import decode_posting_list
+
+        ids_all, w_all = [], []
+        for r in pdf.to_dict("records"):
+            ids, _, w = decode_posting_list(r)
+            ids_all.append(ids)
+            w_all.append(w)
+        ids = np.concatenate(ids_all)
+        w = np.concatenate(w_all)
+        order = np.argsort(ids, kind="stable")
+        ids, w = ids[order], w[order]
+        uniq_mask = np.empty(ids.size, dtype=bool)
+        uniq_mask[0] = True
+        np.not_equal(ids[1:], ids[:-1], out=uniq_mask[1:])
+        starts = np.flatnonzero(uniq_mask)
+        scores = np.add.reduceat(w, starts)
+        return _local_topk(ids[starts], scores, k, round_to)
+
+    return kernel
+
+
 def _shard_topk_kernel(terms: list[str], k: int, round_to: int | None = None):
-    """Per-shard kernel. Local selection is TIE-INCLUSIVE at the k-th
-    score (exact duplicates score bit-identically; dropping one of a tie
-    group locally could flip the global tie-break), and applies
-    ``round_to`` BEFORE selection when set so the global cut sees the
-    same ordering the caller will use."""
+    """Conjunctive per-shard kernel (reference AND semantics,
+    DocumentsIndexer.kt:58-67): rarest list drives, other lists probed
+    via block-max skip pointers so only candidate blocks are decoded."""
     nq = len(set(terms))
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -79,14 +120,7 @@ def _shard_topk_kernel(terms: list[str], k: int, round_to: int | None = None):
             w = np.frombuffer(r["weights_f64"], dtype=np.float64)
             scores = scores + w[pos_sub[idx[found]]]
 
-        if round_to is not None:
-            scores = np.round(scores, round_to)
-        if cand.size > k:
-            kth = np.partition(-scores, k - 1)[k - 1]
-            keep = -scores <= kth  # tie-inclusive at the k-th score
-            cand, scores = cand[keep], scores[keep]
-        order = np.lexsort((cand, -scores))
-        return pd.DataFrame({"doc_id": cand[order], "score": scores[order]})
+        return _local_topk(cand, scores, k, round_to)
 
     return kernel
 
@@ -149,9 +183,12 @@ def wand_topk(
     k: int = 10,
     round_to: int | None = None,
     global_topk: bool = True,
+    conjunctive: bool = True,
 ) -> DataFrame:
-    """Top-k (doc_id, score) for a conjunctive query over the compressed
-    index; rank-identical to ``search.bm25_topk`` (differential-tested).
+    """Top-k (doc_id, score) over the compressed index; rank-identical
+    to ``search.bm25_topk`` (differential-tested). ``conjunctive=True``
+    is the reference's AND semantics; ``False`` is classic disjunctive
+    WAND (any-term match, summed BM25).
 
     ``global_topk=False`` returns all per-shard candidates (tie-inclusive
     local top-k) so the caller can apply its own global cut — e.g. after
@@ -161,7 +198,11 @@ def wand_topk(
     if not terms:
         return spark.createDataFrame([], "doc_id long, score double")
     matched = posting_lists.filter(F.col("term").isin(terms))
-    kernel = _shard_topk_kernel(terms, k, round_to)
+    kernel = (
+        _shard_topk_kernel(terms, k, round_to)
+        if conjunctive
+        else _shard_or_kernel(terms, k, round_to)
+    )
 
     def per_partition(batches):
         # Shuffle-free shard grouping: the index layout guarantees one
