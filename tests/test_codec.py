@@ -88,3 +88,51 @@ def test_compression_ratio():
     # every gap fits 7 bits except block restarts (absolute values)
     nblocks = (ids.size + BLOCK_SIZE - 1) // BLOCK_SIZE
     assert len(enc["doc_ids_delta_varbyte"]) <= ids.size + nblocks * 3
+
+
+def test_bulk_encode_matches_per_term():
+    """encode_posting_lists_bulk must be byte-identical to per-term
+    encode_posting_list for every field (the shard encoder relies on it)."""
+    from text_indexer_spark.operators.codec import encode_posting_lists_bulk
+
+    rng = np.random.default_rng(7)
+    terms_list, ids_list, tfs_list, ws_list = [], [], [], []
+    for t in ["alpha", "beta", "gamma", "delta", "epsilon_longterm"]:
+        n = int(rng.integers(1, 400))
+        ids = np.sort(rng.choice(10**7, size=n, replace=False)).astype(np.int64)
+        terms_list.append(np.repeat(t, n))
+        ids_list.append(ids)
+        tfs_list.append(rng.integers(1, 50, size=n).astype(np.int64))
+        ws_list.append(rng.random(n) * 8)
+    terms = np.concatenate(terms_list).astype(object)
+    ids = np.concatenate(ids_list)
+    tfs = np.concatenate(tfs_list)
+    ws = np.concatenate(ws_list)
+
+    out = encode_posting_lists_bulk(terms, ids, tfs, ws)
+    assert list(out["term"]) == ["alpha", "beta", "gamma", "delta", "epsilon_longterm"]
+    for i, (t, tids, ttfs, tws) in enumerate(
+        zip(["alpha", "beta", "gamma", "delta", "epsilon_longterm"],
+            ids_list, tfs_list, ws_list)
+    ):
+        exp = encode_posting_list(tids, ttfs, tws)
+        row = out.iloc[i]
+        assert row["df"] == exp["df"]
+        assert bytes(row["doc_ids_delta_varbyte"]) == bytes(exp["doc_ids_delta_varbyte"])
+        assert bytes(row["tfs_varbyte"]) == bytes(exp["tfs_varbyte"])
+        assert bytes(row["weights_f64"]) == bytes(exp["weights_f64"])
+        assert list(row["block_last_id"]) == list(exp["block_last_id"])
+        assert list(row["block_max_tf"]) == list(exp["block_max_tf"])
+        assert list(row["block_max_w"]) == list(exp["block_max_w"])
+        assert list(row["block_id_off"]) == list(exp["block_id_off"])
+        assert list(row["block_tf_off"]) == list(exp["block_tf_off"])
+
+
+def test_bulk_encode_empty():
+    from text_indexer_spark.operators.codec import encode_posting_lists_bulk
+
+    out = encode_posting_lists_bulk(
+        np.array([], dtype=object), np.array([], dtype=np.int64),
+        np.array([], dtype=np.int64), np.array([], dtype=np.float64),
+    )
+    assert len(out) == 0 and "doc_ids_delta_varbyte" in out.columns

@@ -72,6 +72,29 @@ def done_shards(index_dir: str, stage: str) -> set[int]:
     return out
 
 
+BOUNDARIES = "_BOUNDARIES.json"
+
+
+def write_boundaries(index_dir: str, num_shards: int, bounds: list[str]) -> None:
+    """Persist the shard range boundaries before stage A starts: a
+    resumed build must shard identically or completed-shard markers
+    would describe the wrong doc ranges."""
+    os.makedirs(index_dir, exist_ok=True)
+    atomic_write_json(
+        os.path.join(index_dir, BOUNDARIES),
+        {"num_shards": num_shards, "bounds": bounds},
+    )
+
+
+def read_boundaries(index_dir: str) -> tuple[int, list[str]] | None:
+    p = os.path.join(index_dir, BOUNDARIES)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        d = json.load(f)
+    return int(d["num_shards"]), list(d["bounds"])
+
+
 def commit_manifest(index_dir: str, manifest: dict) -> None:
     atomic_write_json(os.path.join(index_dir, MANIFEST), manifest)
 

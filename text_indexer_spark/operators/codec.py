@@ -128,6 +128,90 @@ def encode_posting_list(
     }
 
 
+def encode_posting_lists_bulk(
+    terms: np.ndarray,
+    doc_ids: np.ndarray,
+    tfs: np.ndarray,
+    weights: np.ndarray,
+    block_size: int = BLOCK_SIZE,
+) -> "pd.DataFrame":
+    """Encode EVERY term of a shard in one vectorized pass.
+
+    Input arrays must be sorted by (term, doc_id). Produces rows
+    byte-identical to per-term :func:`encode_posting_list` (asserted in
+    tests), but the delta-gap/varbyte/block-max work is done over the
+    whole shard at once — the per-term Python work shrinks to slicing
+    the shared buffers, which is what makes stage C throughput-bound
+    instead of interpreter-bound at 10^12 postings.
+    """
+    import pandas as pd
+
+    cols = [
+        "term", "df", "doc_ids_delta_varbyte", "tfs_varbyte", "weights_f64",
+        "block_last_id", "block_max_tf", "block_max_w", "block_id_off",
+        "block_tf_off",
+    ]
+    n = len(terms)
+    if n == 0:
+        return pd.DataFrame(columns=cols)
+    ids = np.asarray(doc_ids, dtype=np.uint64)
+    tf = np.asarray(tfs, dtype=np.uint64)
+    w = np.asarray(weights, dtype=np.float64)
+
+    # term run boundaries on the sorted array (first-occurrence order)
+    uniq, starts = np.unique(terms, return_index=True)
+    order = np.argsort(starts, kind="stable")
+    uniq, starts = uniq[order], starts[order]
+    ends = np.append(starts[1:], n)
+
+    # global gaps with absolute restarts at every per-term block boundary
+    term_start_of = np.repeat(starts, ends - starts)
+    rel = np.arange(n, dtype=np.int64) - term_start_of
+    restart = (rel % block_size) == 0
+    gaps = np.empty_like(ids)
+    gaps[0] = ids[0]
+    np.subtract(ids[1:], ids[:-1], out=gaps[1:])
+    gaps[restart] = ids[restart]
+
+    id_buf, id_sizes = varbyte_encode(gaps)
+    tf_buf, tf_sizes = varbyte_encode(tf)
+    id_csum = np.concatenate([[0], np.cumsum(id_sizes)])
+    tf_csum = np.concatenate([[0], np.cumsum(tf_sizes)])
+
+    # per-block metadata over the whole shard (blocks never cross terms
+    # because every term start is a restart)
+    bstart = np.flatnonzero(restart)
+    bend = np.append(bstart[1:], n)
+    blk_last = ids[bend - 1].astype(np.int64)
+    blk_max_tf = np.maximum.reduceat(tf, bstart).astype(np.int64)
+    blk_max_w = np.maximum.reduceat(w, bstart)
+    blk_term_start = term_start_of[bstart]
+    blk_id_off = (id_csum[bstart] - id_csum[blk_term_start]).astype(np.int64)
+    blk_tf_off = (tf_csum[bstart] - tf_csum[blk_term_start]).astype(np.int64)
+    first_blk = np.searchsorted(bstart, starts)
+    last_blk = np.append(first_blk[1:], len(bstart))
+
+    id_mv, tf_mv = memoryview(id_buf), memoryview(tf_buf)
+    w_bytes_all = w.tobytes()
+    rows = {
+        "term": uniq,
+        "df": (ends - starts).astype(np.int64),
+        "doc_ids_delta_varbyte": [
+            bytes(id_mv[id_csum[s]:id_csum[e]]) for s, e in zip(starts, ends)
+        ],
+        "tfs_varbyte": [
+            bytes(tf_mv[tf_csum[s]:tf_csum[e]]) for s, e in zip(starts, ends)
+        ],
+        "weights_f64": [w_bytes_all[8 * s:8 * e] for s, e in zip(starts, ends)],
+        "block_last_id": [blk_last[a:b].tolist() for a, b in zip(first_blk, last_blk)],
+        "block_max_tf": [blk_max_tf[a:b].tolist() for a, b in zip(first_blk, last_blk)],
+        "block_max_w": [blk_max_w[a:b].tolist() for a, b in zip(first_blk, last_blk)],
+        "block_id_off": [blk_id_off[a:b].tolist() for a, b in zip(first_blk, last_blk)],
+        "block_tf_off": [blk_tf_off[a:b].tolist() for a, b in zip(first_blk, last_blk)],
+    }
+    return pd.DataFrame(rows, columns=cols)
+
+
 def decode_block_ids(
     row: dict, block_idx: np.ndarray, block_size: int = BLOCK_SIZE
 ) -> tuple[np.ndarray, np.ndarray]:

@@ -12,14 +12,19 @@ pipeline whose resume unit is the **doc-range shard**:
 
 Scale design:
 
-* **One wide shuffle for the whole of stage A.** The corpus is
-  range-partitioned on (repo, path) and locally sorted once; everything
+* **One wide shuffle for the whole of stage A, content read ONCE.** The
+  corpus is range-partitioned on (repo, path) via EXPLICIT sampled
+  boundaries + collision-free hash routing (`_compute_boundaries` /
+  `_route_tokens`), not ``repartitionByRange`` — Spark's range exchange
+  re-executes the child plan for boundary sampling, which would scan
+  `content` twice (2× I/O at 100 TB). Boundary sampling and doc-id
+  sizing here touch only the pruned (repo, path) columns. Everything
   else in stage A — duplicate-key dedup (reference ``FilesAndDirs.kt:
   12-16``), deterministic doc-id assignment (global rank = per-partition
   offset + local position; never a single-reducer window), sha256
   verification, tokenization, per-doc tf — happens streaming inside one
   mapInPandas pass over the sorted partitions. Content bytes cross the
-  network exactly once.
+  network exactly once and are scanned exactly once.
 * **Shard = range partition.** Every document's postings are co-located,
   so (a) per-doc stats are computable locally, (b) the query path
   intersects lists doc-at-a-time per shard without a shuffle, and (c) a
@@ -46,7 +51,6 @@ Scale design:
 from __future__ import annotations
 
 import hashlib
-import math
 import os
 import time
 import uuid
@@ -59,7 +63,7 @@ from pyspark.sql import functions as F
 
 from text_indexer_spark import checkpoint as ckpt
 from text_indexer_spark.functions.bm25 import B, K1
-from text_indexer_spark.operators.codec import BLOCK_SIZE, encode_posting_list
+from text_indexer_spark.operators.codec import BLOCK_SIZE, encode_posting_lists_bulk
 from text_indexer_spark.tokenizer import tokenize_series
 
 POSTINGS_DIR = "postings"
@@ -97,12 +101,129 @@ def _write_shard_parquet(df: pd.DataFrame, directory: str, shard_id: int) -> Non
     os.rename(tmp, final)
 
 
-def _sorted_with_pid(corpus: DataFrame, num_shards: int) -> DataFrame:
-    s = (
-        corpus.repartitionByRange(num_shards, "repo", "path")
+# \x01, not \x00: numpy's str arithmetic truncates at NUL, so a NUL
+# separator silently vanishes inside the vectorized UDF. \x01 sorts
+# below every printable character, so combined-string order equals
+# (repo, path) tuple order for any input free of \x00/\x01 control
+# bytes — and shard ids stay monotone in the catalog sort order.
+_KEY_SEP = "\x01"
+
+
+def _shard_of_udf(bounds: list[str]):
+    """Vectorized (repo, path) → shard id: binary search over the
+    broadcast boundary keys."""
+    from pyspark.sql.functions import pandas_udf
+
+    barr = np.array(bounds, dtype=object)
+
+    @pandas_udf("int")
+    def shard_of(repo: pd.Series, path: pd.Series) -> pd.Series:
+        if barr.size == 0:
+            return pd.Series(np.zeros(len(repo), dtype=np.int32))
+        keys = (repo.fillna("") + _KEY_SEP + path.fillna("")).to_numpy(dtype=object)
+        pid = np.searchsorted(barr, keys, side="right")
+        return pd.Series(pid.astype(np.int32))
+
+    return shard_of
+
+
+def _compute_boundaries(corpus: DataFrame, num_shards: int) -> list[str]:
+    """num_shards-1 range-boundary keys over (repo, path), from a
+    DETERMINISTIC bottom-k-by-hash sample of the PRUNED key columns.
+
+    This replaces ``repartitionByRange``'s sampling job, which
+    re-executes the full child plan (reading `content` a second time —
+    2× the scan I/O at 100 TB). Here the sample scan reads only two
+    string columns (column pruning reaches the parquet reader), runs as
+    ONE job (per-partition top-k + driver merge — no row count needed),
+    and the boundaries are a pure function of the data, so reruns at any
+    parallelism shard identically. Bottom-k over the key hash is a
+    uniform sample of DISTINCT keys (duplicates share a hash)."""
+    target = num_shards * 256
+    sampled = (
+        corpus.select(
+            F.concat(F.col("repo"), F.lit(_KEY_SEP), F.col("path")).alias("k"),
+            F.xxhash64("repo", "path").alias("h"),
+        )
+        .orderBy("h")
+        .limit(target)
+        .collect()
+    )
+    uniq = sorted({r["k"] for r in sampled})
+    if len(uniq) < 2:
+        return []
+    bounds = []
+    for i in range(1, num_shards):
+        b = uniq[min(int(round(i * len(uniq) / num_shards)), len(uniq) - 1)]
+        bounds.append(b)
+    # strictly increasing boundaries (duplicates would create dead shards
+    # in the middle of the range — collapse instead)
+    out: list[str] = []
+    for b in bounds:
+        if not out or b > out[-1]:
+            out.append(b)
+    return out
+
+
+def _route_tokens(spark: SparkSession, num_shards: int) -> list[int]:
+    """For each shard id k, an int token whose Murmur3 hash lands in
+    partition slot k of a ``repartition(num_shards, ...)`` exchange —
+    collision-free shard→partition routing without a range exchange
+    (hash routing alone would map ~1/e of the slots empty and stack
+    multiple shards on one task: a straggler at any scale)."""
+    route: dict[int, int] = {}
+    span = max(64 * num_shards, 1024)
+    probe = (
+        spark.range(span)
+        .select(
+            F.col("id").cast("int").alias("id"),
+            F.pmod(F.hash(F.col("id").cast("int")), F.lit(num_shards)).alias("slot"),
+        )
+        .collect()
+    )
+    for r in probe:
+        route.setdefault(r["slot"], r["id"])
+    missing = set(range(num_shards)) - set(route)
+    if missing:  # astronomically unlikely with 64× probes; widen once
+        probe = (
+            spark.range(span, 64 * span)
+            .select(
+                F.col("id").cast("int").alias("id"),
+                F.pmod(F.hash(F.col("id").cast("int")), F.lit(num_shards)).alias("slot"),
+            )
+            .collect()
+        )
+        for r in probe:
+            route.setdefault(r["slot"], r["id"])
+    return [route[k] for k in range(num_shards)]
+
+
+def _sharded_sorted(
+    corpus: DataFrame,
+    bounds: list[str],
+    route: list[int],
+    skip_pids: list[int] | None = None,
+) -> DataFrame:
+    """Corpus → one physical partition per shard, sorted by SORT_KEYS.
+
+    ``_pid`` is a binary search over the broadcast boundary keys
+    (vectorized, Arrow-batched); ``_route`` translates it to a value the
+    hash exchange sends to exactly partition ``_pid``. ONE wide shuffle,
+    one materialization of `content`."""
+    shard_of = _shard_of_udf(bounds)
+    n = len(route)
+    route_col = F.element_at(
+        F.array(*[F.lit(int(t)) for t in route]), F.col("_pid") + 1
+    )
+    with_pid = corpus.withColumn("_pid", shard_of("repo", "path"))
+    if skip_pids:
+        with_pid = with_pid.filter(~F.col("_pid").isin(skip_pids))
+    return (
+        with_pid.withColumn("_route", route_col)
+        .repartition(n, "_route")
+        .drop("_route")
         .sortWithinPartitions(*[c for c in SORT_KEYS if c in corpus.columns])
     )
-    return s.withColumn("_pid", F.spark_partition_id())
 
 
 def _dedup_batch(batch: pd.DataFrame, carry_key: tuple | None):
@@ -138,39 +259,37 @@ def build_index(
     if num_shards is None:
         num_shards = max(1, min(spark.sparkContext.defaultParallelism * 2, 256))
 
-    sorted_df = _sorted_with_pid(corpus, num_shards)
-
-    # ---- sizing pass: deduped doc count per shard (tiny result) ------
-    # shares the shuffle files with stage A — upstream is not recomputed
-    def count_unique(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        pid, n, carry = None, 0, None
-        for b in batches:
-            if b.empty:
-                continue
-            pid = int(b["_pid"].iloc[0])
-            kept, last = _dedup_batch(b[["repo", "path", "_pid"]], carry)
-            n += len(kept)
-            if carry is not None and len(b) and (b["repo"].iloc[0], b["path"].iloc[0]) == carry:
-                n -= 1  # run continued: pending row superseded
-            carry = last
-        if pid is not None:
-            yield pd.DataFrame([{"pid": pid, "n": n}])
-
+    # ---- shard boundaries: cheap pruned sample, persisted for resume --
+    # (a resumed build MUST shard identically or completed-shard markers
+    # would describe the wrong doc ranges)
     t_sz = time.time()
+    persisted = ckpt.read_boundaries(index_dir) if resume else None
+    if persisted is not None:
+        num_shards, bounds = persisted
+    else:
+        bounds = _compute_boundaries(corpus, num_shards)
+        ckpt.write_boundaries(index_dir, num_shards, bounds)
+    route = _route_tokens(spark, num_shards)
+    # dense deterministic doc-id offsets from a PRUNED key aggregation:
+    # two string columns cross this shuffle, never `content`. Runs over
+    # the full corpus even on resume so offsets reproduce exactly.
+    shard_of = _shard_of_udf(bounds)
     sizes_rows = (
-        sorted_df.select("repo", "path", "_pid")
-        .mapInPandas(count_unique, "pid int, n long")
+        corpus.select("repo", "path")
+        .withColumn("_pid", shard_of("repo", "path"))
+        .groupBy("_pid")
+        .agg(F.countDistinct("repo", "path").alias("n"))
         .collect()
     )
-    t_sizing = time.time() - t_sz
-    sizes = {r["pid"]: r["n"] for r in sizes_rows}
+    sizes = {r["_pid"]: r["n"] for r in sizes_rows}
     n_docs = int(sum(sizes.values()))
     offsets, acc = {}, 0
     for pid in sorted(sizes):
         offsets[pid] = acc
         acc += sizes[pid]
     boff = spark.sparkContext.broadcast(offsets)
-    shard_size = max(1, math.ceil(n_docs / num_shards)) if n_docs else 1
+    shard_size = max(1, -(-n_docs // num_shards)) if n_docs else 1
+    t_sizing = time.time() - t_sz
 
     # ---- stage A ------------------------------------------------------
     done_a = ckpt.done_shards(index_dir, "postings") if resume else set()
@@ -286,11 +405,12 @@ def build_index(
             }]
         )
 
-    a_input = sorted_df
+    pre = corpus
     if not has_expected:
-        a_input = a_input.withColumn("content_sha256", F.lit(None).cast("string"))
-    if done_a:
-        a_input = a_input.filter(~F.col("_pid").isin(sorted(done_a)))
+        pre = pre.withColumn("content_sha256", F.lit(None).cast("string"))
+    # completed shards are dropped BEFORE the exchange: a resumed build
+    # neither reads nor shuffles their bytes (map-side skip)
+    a_input = _sharded_sorted(pre, bounds, route, skip_pids=sorted(done_a))
     a_metrics = []
     t_a0 = time.time()
     if n_docs:
@@ -341,26 +461,10 @@ def build_index(
         tf_f = tfs.astype(np.float64)
         idf = np.log(1.0 + (n_docs_b - dfs + 0.5) / (dfs + 0.5))
         # per-doc length from in-shard postings (complete by sharding)
-        dl_sums = pd.Series(tfs).groupby(pd.Series(doc_ids)).transform("sum").to_numpy()
+        _, inv = np.unique(doc_ids, return_inverse=True)
+        dl_sums = np.bincount(inv, weights=tf_f)[inv]
         w = idf * tf_f * (K1 + 1.0) / (tf_f + K1 * (1.0 - B + B * dl_sums / avgdl_b))
-        # term run boundaries on the sorted array
-        uniq, starts = np.unique(terms, return_index=True)
-        order = np.argsort(starts)
-        uniq, starts = uniq[order], starts[order]
-        ends = np.append(starts[1:], terms.size)
-        rows = []
-        for term, s, e in zip(uniq, starts, ends):
-            enc = encode_posting_list(doc_ids[s:e], tfs[s:e], w[s:e], block_size)
-            enc["term"] = term
-            rows.append(enc)
-        out = pd.DataFrame(
-            rows,
-            columns=[
-                "term", "df", "doc_ids_delta_varbyte", "tfs_varbyte", "weights_f64",
-                "block_last_id", "block_max_tf", "block_max_w", "block_id_off",
-                "block_tf_off",
-            ],
-        )
+        out = encode_posting_lists_bulk(terms, doc_ids, tfs, w, block_size)
         out.insert(0, "shard_id", np.int32(shard_id))
         _write_shard_parquet(out, lists_dir, shard_id)
         secs = time.time() - t0
@@ -412,8 +516,18 @@ def build_index(
                         tfs = tbl.column("tf").to_numpy()
                         idx = np.lexsort((doc_ids, terms))
                         terms, doc_ids, tfs = terms[idx], doc_ids[idx], tfs[idx]
+                        # df lookup once per unique term, broadcast back
+                        # by run (vocab-bounded dict hits, not per-posting)
                         dmap = bdf.value
-                        dfs = pd.Series(terms).map(dmap).to_numpy(dtype=np.float64)
+                        uniq_t, t_starts = np.unique(terms, return_index=True)
+                        run_lens = np.diff(np.append(np.sort(t_starts), terms.size))
+                        order = np.argsort(t_starts, kind="stable")
+                        uniq_in_order = uniq_t[order]
+                        df_per_term = np.fromiter(
+                            (dmap[t] for t in uniq_in_order),
+                            dtype=np.float64, count=len(uniq_in_order),
+                        )
+                        dfs = np.repeat(df_per_term, run_lens)
                         yield encode_arrays(shard_id, terms, doc_ids, tfs, dfs, t0)
 
             shard_rows = [
