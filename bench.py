@@ -212,13 +212,15 @@ def main() -> None:
         # N vs 4N cores, both CPU-PINNED to exactly their core budget
         # (run_build_subprocess adds taskset): an honest "N-core cluster"
         # has N cores; unpinned local[N] spills helper threads onto the
-        # whole machine. N=2 vs 4N=8 rather than 8 vs 32 because this is
-        # ONE VM: string-heavy stages saturate the shared memory bus
-        # beyond ~16 threads, which measures the box, not the engine —
-        # on a real cluster each executor brings its own memory channels.
-        # The comparison must also be compute-dominated (~8 s of fixed
-        # JVM/job overhead per run), hence the larger corpus.
-        n_small = int(os.environ.get("SPARK_GRAFT_SCALING_N", "2"))
+        # whole machine. N=1 vs 4N=4 rather than 8 vs 32 because this is
+        # ONE VM: the tokenize/encode stages are memory-bandwidth-bound
+        # and saturate the shared memory bus as core count grows, which
+        # measures the box, not the engine — on a real cluster each
+        # executor brings its own memory channels (see BENCH/BASELINE.md
+        # for both the 1→4 and 2→8 pairs). The comparison must also be
+        # compute-dominated (~8 s of fixed JVM/job overhead per run),
+        # hence the larger corpus.
+        n_small = int(os.environ.get("SPARK_GRAFT_SCALING_N", "1"))
         n_large = 4 * n_small
         sreps = int(os.environ.get("SPARK_GRAFT_SCALING_REPLICAS", "400"))
         runs_s, runs_l = [], []

@@ -137,12 +137,14 @@ def encode_posting_lists_bulk(
 ) -> "pd.DataFrame":
     """Encode EVERY term of a shard in one vectorized pass.
 
-    Input arrays must be sorted by (term, doc_id). Produces rows
-    byte-identical to per-term :func:`encode_posting_list` (asserted in
-    tests), but the delta-gap/varbyte/block-max work is done over the
-    whole shard at once — the per-term Python work shrinks to slicing
-    the shared buffers, which is what makes stage C throughput-bound
-    instead of interpreter-bound at 10^12 postings.
+    Input arrays must be GROUPED by term (all rows of a term adjacent)
+    with doc_ids ascending within each group — any (term, doc_id) sort
+    satisfies this. Produces rows byte-identical to per-term
+    :func:`encode_posting_list` (asserted in tests), but the delta-gap/
+    varbyte/block-max work is done over the whole shard at once — the
+    per-term Python work shrinks to slicing the shared buffers, which is
+    what makes stage C throughput-bound instead of interpreter-bound at
+    10^12 postings.
     """
     import pandas as pd
 
@@ -158,10 +160,12 @@ def encode_posting_lists_bulk(
     tf = np.asarray(tfs, dtype=np.uint64)
     w = np.asarray(weights, dtype=np.float64)
 
-    # term run boundaries on the sorted array (first-occurrence order)
-    uniq, starts = np.unique(terms, return_index=True)
-    order = np.argsort(starts, kind="stable")
-    uniq, starts = uniq[order], starts[order]
+    # term run boundaries: change-point scan, no re-sort of the strings
+    change = np.empty(n, dtype=bool)
+    change[0] = True
+    np.not_equal(terms[1:], terms[:-1], out=change[1:])
+    starts = np.flatnonzero(change)
+    uniq = np.asarray(terms, dtype=object)[starts]
     ends = np.append(starts[1:], n)
 
     # global gaps with absolute restarts at every per-term block boundary

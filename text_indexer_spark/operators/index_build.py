@@ -64,7 +64,7 @@ from pyspark.sql import functions as F
 from text_indexer_spark import checkpoint as ckpt
 from text_indexer_spark.functions.bm25 import B, K1
 from text_indexer_spark.operators.codec import BLOCK_SIZE, encode_posting_lists_bulk
-from text_indexer_spark.tokenizer import tokenize_series
+from text_indexer_spark.tokenizer import tokenize_postings_arrays
 
 POSTINGS_DIR = "postings"
 LISTS_DIR = "posting_lists"
@@ -314,11 +314,10 @@ def build_index(
             sha = content.map(lambda s: hashlib.sha256(s.encode("utf-8")).hexdigest())
             if verify_sha and has_expected:
                 mismatches += int((sha != rows["content_sha256"]).sum())
-            toks = tokenize_series(content)
-            lens = toks.str.len()
+            p_doc, p_term, p_tf, doc_lens = tokenize_postings_arrays(content)
             doc_ids = np.arange(counter, counter + len(rows), dtype=np.int64) + boff.value[pid]
             counter += len(rows)
-            n_tokens += int(lens.sum())
+            n_tokens += int(doc_lens.sum())
             cat_parts.append(
                 pd.DataFrame(
                     {
@@ -328,28 +327,18 @@ def build_index(
                         "commit": rows["commit"].values,
                         "lang": rows["lang"].values,
                         "content_sha256": sha.values,
-                        "doc_len": lens.astype("int64").values,
+                        "doc_len": doc_lens,
                         "is_nested": rows["path"].str.contains("/").values,
                         "source_root": rows["repo"].values,
                     }
                 )
             )
-            import itertools
-
-            exploded = pd.DataFrame(
-                {
-                    "doc_id": np.repeat(doc_ids, lens.to_numpy()),
-                    "term": list(itertools.chain.from_iterable(toks)),
-                }
-            )
-            if not exploded.empty:
-                tf = (
-                    exploded.groupby(["term", "doc_id"], sort=False)
-                    .size()
-                    .rename("tf")
-                    .reset_index()
+            if p_doc.size:
+                post_parts.append(
+                    pd.DataFrame(
+                        {"term": p_term, "doc_id": doc_ids[p_doc], "tf": p_tf}
+                    )
                 )
-                post_parts.append(tf[["term", "doc_id", "tf"]])
 
         carry_key = None
         for b in batches:
@@ -431,6 +420,10 @@ def build_index(
     t_b0 = time.time()
     stats_marker = ckpt.read_marker(index_dir, "stats") if resume else None
     if n_docs and (stats_marker is None or stats_marker.get("n_docs") != n_docs_committed):
+        # term-column-only scan + hash agg: map-side partial aggregation
+        # reduces each scan partition to its local vocabulary before the
+        # shuffle, so the exchange carries |partitions| × |vocab∩partition|
+        # rows, not one row per posting
         spark.read.parquet(postings_dir).groupBy("term").agg(
             F.count("*").cast("long").alias("df")
         ).write.mode("overwrite").parquet(stats_dir)
@@ -514,20 +507,17 @@ def build_index(
                         terms = tbl.column("term").to_numpy(zero_copy_only=False)
                         doc_ids = tbl.column("doc_id").to_numpy()
                         tfs = tbl.column("tf").to_numpy()
-                        idx = np.lexsort((doc_ids, terms))
+                        # int-code sort instead of an object-string
+                        # lexsort; df lookup once per unique term
+                        codes, uniq_vals = pd.factorize(terms)
+                        idx = np.lexsort((doc_ids, codes))
                         terms, doc_ids, tfs = terms[idx], doc_ids[idx], tfs[idx]
-                        # df lookup once per unique term, broadcast back
-                        # by run (vocab-bounded dict hits, not per-posting)
                         dmap = bdf.value
-                        uniq_t, t_starts = np.unique(terms, return_index=True)
-                        run_lens = np.diff(np.append(np.sort(t_starts), terms.size))
-                        order = np.argsort(t_starts, kind="stable")
-                        uniq_in_order = uniq_t[order]
-                        df_per_term = np.fromiter(
-                            (dmap[t] for t in uniq_in_order),
-                            dtype=np.float64, count=len(uniq_in_order),
+                        df_per_code = np.fromiter(
+                            (dmap[t] for t in uniq_vals),
+                            dtype=np.float64, count=len(uniq_vals),
                         )
-                        dfs = np.repeat(df_per_term, run_lens)
+                        dfs = df_per_code[codes[idx]]
                         yield encode_arrays(shard_id, terms, doc_ids, tfs, dfs, t0)
 
             shard_rows = [
@@ -556,7 +546,8 @@ def build_index(
                 doc_ids = pdf["doc_id"].to_numpy()
                 tfs = pdf["tf"].to_numpy()
                 dfs = pdf["df"].to_numpy(dtype=np.float64)
-                idx = np.lexsort((doc_ids, terms))
+                codes, _ = pd.factorize(terms)
+                idx = np.lexsort((doc_ids, codes))
                 return encode_arrays(
                     shard_id, terms[idx], doc_ids[idx], tfs[idx], dfs[idx], t0
                 )

@@ -80,6 +80,60 @@ def tokenize_series(texts: "pd.Series") -> "pd.Series":
     return parts.map(lambda toks: [t for t in toks if t])
 
 
+def tokenize_postings_arrays(texts: "pd.Series"):
+    """Arrow-native batch tokenizer for the build hot path.
+
+    Series[str] -> (doc_idx, terms, tfs, doc_lens):
+
+    * ``doc_idx``  int64[n_postings] — position of the doc in ``texts``
+    * ``terms``    object[n_postings] — term strings
+    * ``tfs``      int64[n_postings] — per-(doc, term) frequency
+    * ``doc_lens`` int64[len(texts)] — token count per doc (post-filter)
+
+    Same semantics as :func:`tokenize_series` + explode + groupby (tested
+    equivalent), but lower/split/flatten run in Arrow C++ and the
+    tf-grouping runs on dictionary codes (int64 sort) instead of Python
+    string objects — the difference between interpreter-bound and
+    memory-bandwidth-bound tokenization at 10^12 docs.
+    """
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    n_docs = len(texts)
+    arr = pa.Array.from_pandas(texts.fillna(""))
+    lists = pc.split_pattern_regex(pc.utf8_lower(arr), TOKEN_DELIM_REGEX)
+    flat = pc.list_flatten(lists)
+    counts = pc.list_value_length(lists).to_numpy(zero_copy_only=False).astype(np.int64)
+    doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), counts)
+    dictarr = flat.dictionary_encode()
+    if isinstance(dictarr, pa.ChunkedArray):
+        dictarr = dictarr.combine_chunks()
+    codes = dictarr.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    vocab = np.asarray(dictarr.dictionary.to_pandas(), dtype=object)
+    # StringTokenizer semantics: boundary splits yield empty tokens — drop
+    keep = np.ones(codes.size, dtype=bool)
+    empty_code = None
+    for i, v in enumerate(vocab):
+        if v == "":
+            empty_code = i
+            break
+    if empty_code is not None:
+        keep = codes != empty_code
+    codes, doc_idx = codes[keep], doc_idx[keep]
+    doc_lens = np.bincount(doc_idx, minlength=n_docs).astype(np.int64)
+    if codes.size == 0:
+        return (
+            np.empty(0, dtype=np.int64), np.empty(0, dtype=object),
+            np.empty(0, dtype=np.int64), doc_lens,
+        )
+    key = doc_idx * np.int64(len(vocab)) + codes
+    uniq_keys, tf = np.unique(key, return_counts=True)
+    out_doc = uniq_keys // len(vocab)
+    out_code = uniq_keys % len(vocab)
+    return out_doc, vocab[out_code], tf.astype(np.int64), doc_lens
+
+
 def tokenize_pandas_iter(
     batches: Iterator["pd.DataFrame"],
     text_col: str = "content",
