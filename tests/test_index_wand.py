@@ -160,3 +160,61 @@ def test_wand_or_mode_matches_oracle(spark, built):
         ], terms
         for w_row, (_, s) in zip(wand, exp):
             assert w_row["score"] == pytest.approx(s, abs=1e-9)
+
+
+def test_route_tokens_cover_all_slots(spark):
+    """Collision-free shard->partition routing: every shard id gets a
+    token hashing to its own exchange slot."""
+    from pyspark.sql import functions as F
+
+    from text_indexer_spark.operators.index_build import _route_tokens
+
+    for n in (1, 7, 64, 256):
+        route = _route_tokens(spark, n)
+        assert len(route) == n
+        slots = (
+            spark.createDataFrame([(t,) for t in route], "tok int")
+            .select(F.pmod(F.hash("tok"), F.lit(n)).alias("slot"))
+            .collect()
+        )
+        assert sorted(r["slot"] for r in slots) == list(range(n))
+
+
+def test_boundaries_monotone_and_sharding_deterministic(spark):
+    from text_indexer_spark.corpus import synthetic_corpus
+    from text_indexer_spark.operators.index_build import (
+        _compute_boundaries,
+        _shard_of_udf,
+    )
+
+    corpus = synthetic_corpus(spark, n_docs=200, avg_tokens=5)
+    b1 = _compute_boundaries(corpus, 16)
+    b2 = _compute_boundaries(corpus, 16)
+    assert b1 == b2  # deterministic: pure function of the data
+    assert b1 == sorted(b1) and len(b1) == len(set(b1))
+    shard_of = _shard_of_udf(b1)
+    pids = (
+        corpus.select("repo", "path")
+        .withColumn("pid", shard_of("repo", "path"))
+        .orderBy("repo", "path")
+        .collect()
+    )
+    seq = [r["pid"] for r in pids]
+    assert seq == sorted(seq)  # monotone in (repo, path) order
+    assert 0 <= min(seq) and max(seq) <= len(b1)
+
+
+def test_build_more_shards_than_docs(spark, tmp_path):
+    """Degenerate sharding: num_shards >> docs must still build a
+    correct, committed index (empty shards simply produce no files)."""
+    from text_indexer_spark.corpus import synthetic_corpus
+    from text_indexer_spark.operators.index_build import build_index, load_catalog
+
+    corpus = synthetic_corpus(spark, n_docs=5, avg_tokens=6)
+    idx = str(tmp_path / "tiny_idx")
+    m = build_index(corpus, idx, num_shards=32, resume=False)
+    assert m["n_docs"] == 5
+    cat = load_catalog(spark, idx)
+    assert cat.count() == 5
+    ids = sorted(r["doc_id"] for r in cat.select("doc_id").collect())
+    assert ids == list(range(5))

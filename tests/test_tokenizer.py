@@ -51,3 +51,35 @@ def test_empty_and_delim_only(spark):
     df = spark.createDataFrame([("",), (" .,;: \t\n",)], ["text"])
     rows = df.select(tokenize_column("text").alias("toks")).collect()
     assert [r["toks"] for r in rows] == [[], []]
+
+
+def test_arrow_postings_equivalent_to_pandas():
+    """The Arrow-native build tokenizer (tokenize_postings_arrays) must
+    produce the same (doc, term) -> tf map and per-doc lengths as
+    tokenize_series + explode + group, including Unicode and edge rows."""
+    from text_indexer_spark.tokenizer import tokenize_postings_arrays
+
+    texts = pd.Series([
+        GOLDEN_IN,
+        "", None, "a b a b a C c? (c)  ",
+        "under_score digit9 mix-9_x",
+        "  \t\n", "tab\tsep\nnew\r\nline\x0cff",
+        "ümlaut Ärger STRASSE ß café café",
+        "x-y/z.w,v;u:t(s)r`q<p>o'n!m?l\"k",
+    ])
+    toks = tokenize_series(texts)
+    exp = {}
+    for i, lst in enumerate(toks):
+        for t in lst:
+            exp[(i, t)] = exp.get((i, t), 0) + 1
+    doc_idx, terms, tfs, lens = tokenize_postings_arrays(texts)
+    got = {(int(d), t): int(f) for d, t, f in zip(doc_idx, terms, tfs)}
+    assert got == exp
+    assert [len(l) for l in toks] == list(lens)
+
+
+def test_arrow_postings_empty_batch():
+    from text_indexer_spark.tokenizer import tokenize_postings_arrays
+
+    doc_idx, terms, tfs, lens = tokenize_postings_arrays(pd.Series([], dtype="object"))
+    assert len(doc_idx) == len(terms) == len(tfs) == len(lens) == 0

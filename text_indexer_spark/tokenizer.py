@@ -101,7 +101,10 @@ def tokenize_postings_arrays(texts: "pd.Series"):
     import pyarrow.compute as pc
 
     n_docs = len(texts)
-    arr = pa.Array.from_pandas(texts.fillna(""))
+    if n_docs == 0:
+        z = np.empty(0, dtype=np.int64)
+        return z, np.empty(0, dtype=object), z.copy(), z.copy()
+    arr = pa.Array.from_pandas(texts.fillna(""), type=pa.string())
     lists = pc.split_pattern_regex(pc.utf8_lower(arr), TOKEN_DELIM_REGEX)
     flat = pc.list_flatten(lists)
     counts = pc.list_value_length(lists).to_numpy(zero_copy_only=False).astype(np.int64)
