@@ -218,3 +218,25 @@ def test_build_more_shards_than_docs(spark, tmp_path):
     assert cat.count() == 5
     ids = sorted(r["doc_id"] for r in cat.select("doc_id").collect())
     assert ids == list(range(5))
+
+
+def test_driver_block_pruning_rank_identical(spark, built):
+    """Force multi-chunk driver processing (1-block chunks) so the
+    θ-based block pruning actually fires, and assert results stay
+    identical to the unpruned path for every query incl.
+    stop-word-heavy ones. The chunk size rides the pickled closure so it
+    reaches executor processes."""
+    corpus, index_dir, _ = built
+    lists = load_posting_lists(spark, index_dir).cache()
+    baseline = {}
+    for terms in QUERIES:
+        baseline[tuple(terms)] = [
+            (r["doc_id"], r["score"])
+            for r in wand_topk(lists, terms, k=10).collect()
+        ]
+    for terms in QUERIES:
+        pruned = [
+            (r["doc_id"], r["score"])
+            for r in wand_topk(lists, terms, k=10, driver_chunk_blocks=1).collect()
+        ]
+        assert pruned == baseline[tuple(terms)], terms

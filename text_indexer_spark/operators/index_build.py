@@ -344,7 +344,15 @@ def build_index(
         for b in batches:
             if b.empty:
                 continue
-            pid = int(b["_pid"].iloc[0])
+            # one shard per physical partition is a hard invariant (doc
+            # ids, markers and shard files all key on it) — fail loud if
+            # the routing exchange ever delivers a mixed partition
+            bpids = b["_pid"].to_numpy()
+            if pid is not None and bpids[0] != pid or (bpids != bpids[0]).any():
+                raise RuntimeError(
+                    f"mixed shard ids in one partition: {pid} vs {set(bpids.tolist())}"
+                )
+            pid = int(bpids[0])
             b = b.drop(columns=["_pid"])
             if pending is not None:
                 first_key = (b["repo"].iloc[0], b["path"].iloc[0])

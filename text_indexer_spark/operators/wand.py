@@ -30,6 +30,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+# driver-list blocks decoded per pruning round; small enough that the
+# second round onward benefits from a warm threshold, large enough that
+# the per-round Python overhead amortizes over vectorized decode
+DRIVER_CHUNK_BLOCKS = 64
+
+
 def _local_topk(cand: np.ndarray, scores: np.ndarray, k: int,
                 round_to: int | None) -> pd.DataFrame:
     """Tie-INCLUSIVE local top-k: exact duplicates score bit-identically,
@@ -73,7 +79,8 @@ def _shard_or_kernel(terms: list[str], k: int, round_to: int | None = None):
     return kernel
 
 
-def _shard_topk_kernel(terms: list[str], k: int, round_to: int | None = None):
+def _shard_topk_kernel(terms: list[str], k: int, round_to: int | None = None,
+                       chunk_blocks: int | None = None):
     """Conjunctive per-shard kernel (reference AND semantics,
     DocumentsIndexer.kt:58-67): rarest list drives, other lists probed
     via block-max skip pointers so only candidate blocks are decoded."""
@@ -92,35 +99,75 @@ def _shard_topk_kernel(terms: list[str], k: int, round_to: int | None = None):
         if ub <= 0.0:
             return empty
 
-        # driver list = rarest term: decode fully
-        r0 = rows[0]
-        nblocks0 = len(r0["block_last_id"])
-        cand, pos0 = decode_block_ids(r0, np.arange(nblocks0))
+        # driver list = rarest term. Its blocks are processed in chunks
+        # with BLOCK-MAX PRUNING: once k candidates are scored, a driver
+        # block whose (own block-max + sum of the other lists' global
+        # maxima) rounds below the running k-th score cannot contribute
+        # to the tie-inclusive top-k and is never decoded. Rounding is
+        # monotone, so pruning on the rounded bound is exact.
+        r0, rest = rows[0], rows[1:]
+        rest_ub = sum(max(r["block_max_w"]) for r in rest)
         weights0 = np.frombuffer(r0["weights_f64"], dtype=np.float64)
-        scores = weights0[pos0]
+        blk_ub0 = np.asarray(r0["block_max_w"], dtype=np.float64) + rest_ub
+        if round_to is not None:
+            blk_ub0 = np.round(blk_ub0, round_to)
+        nblocks0 = blk_ub0.size
+        rest_w = [np.frombuffer(r["weights_f64"], dtype=np.float64) for r in rest]
+        rest_last = [np.asarray(r["block_last_id"], dtype=np.int64) for r in rest]
 
-        for r in rows[1:]:
-            if cand.size == 0:
-                return empty
-            lastids = np.asarray(r["block_last_id"], dtype=np.int64)
-            # which block could contain each candidate
-            blk = np.searchsorted(lastids, cand, side="left")
-            valid = blk < lastids.size
-            cand, scores, blk = cand[valid], scores[valid], blk[valid]
-            if cand.size == 0:
-                return empty
-            need = np.unique(blk)
-            ids_sub, pos_sub = decode_block_ids(r, need)
-            idx = np.searchsorted(ids_sub, cand)
-            idx = np.minimum(idx, ids_sub.size - 1)
-            found = ids_sub[idx] == cand
-            cand, scores = cand[found], scores[found]
-            if cand.size == 0:
-                return empty
-            w = np.frombuffer(r["weights_f64"], dtype=np.float64)
-            scores = scores + w[pos_sub[idx[found]]]
+        kept_ids: list[np.ndarray] = []
+        kept_scores: list[np.ndarray] = []
+        n_kept = 0
+        theta = None  # k-th best (rounded) score so far
 
-        return _local_topk(cand, scores, k, round_to)
+        chunk = chunk_blocks or DRIVER_CHUNK_BLOCKS
+        for start in range(0, nblocks0, chunk):
+            blocks = np.arange(start, min(start + chunk, nblocks0))
+            if theta is not None:
+                blocks = blocks[blk_ub0[blocks] >= theta]
+                if blocks.size == 0:
+                    continue
+            cand, pos0 = decode_block_ids(r0, blocks)
+            scores = weights0[pos0]
+            for r, w, lastids in zip(rest, rest_w, rest_last):
+                if cand.size == 0:
+                    break
+                # which block could contain each candidate
+                blk = np.searchsorted(lastids, cand, side="left")
+                valid = blk < lastids.size
+                cand, scores, blk = cand[valid], scores[valid], blk[valid]
+                if cand.size == 0:
+                    break
+                need = np.unique(blk)
+                ids_sub, pos_sub = decode_block_ids(r, need)
+                idx = np.searchsorted(ids_sub, cand)
+                idx = np.minimum(idx, ids_sub.size - 1)
+                found = ids_sub[idx] == cand
+                cand, scores = cand[found], scores[found]
+                if cand.size == 0:
+                    break
+                scores = scores + w[pos_sub[idx[found]]]
+            if cand.size == 0:
+                continue
+            kept_ids.append(cand)
+            kept_scores.append(scores)
+            n_kept += cand.size
+            if n_kept >= k:
+                alls = np.concatenate(kept_scores)
+                allr = np.round(alls, round_to) if round_to is not None else alls
+                theta = -np.partition(-allr, k - 1)[k - 1]
+                # trim survivors to the tie-inclusive top-k: bounds kept
+                # memory to ~k and keeps the θ recompute O(k)
+                keep = allr >= theta
+                kept_ids = [np.concatenate(kept_ids)[keep]]
+                kept_scores = [alls[keep]]
+                n_kept = int(kept_ids[0].size)
+
+        if not kept_ids:
+            return empty
+        return _local_topk(
+            np.concatenate(kept_ids), np.concatenate(kept_scores), k, round_to
+        )
 
     return kernel
 
@@ -184,6 +231,7 @@ def wand_topk(
     round_to: int | None = None,
     global_topk: bool = True,
     conjunctive: bool = True,
+    driver_chunk_blocks: int | None = None,
 ) -> DataFrame:
     """Top-k (doc_id, score) over the compressed index; rank-identical
     to ``search.bm25_topk`` (differential-tested). ``conjunctive=True``
@@ -199,7 +247,7 @@ def wand_topk(
         return spark.createDataFrame([], "doc_id long, score double")
     matched = posting_lists.filter(F.col("term").isin(terms))
     kernel = (
-        _shard_topk_kernel(terms, k, round_to)
+        _shard_topk_kernel(terms, k, round_to, chunk_blocks=driver_chunk_blocks)
         if conjunctive
         else _shard_or_kernel(terms, k, round_to)
     )
