@@ -63,3 +63,29 @@ def test_cli_sync(spark, corpus_dir, tmp_path, capsys):
     assert res["diff"] == {"reindex": 1}
     post2 = spark.read.parquet(out_post)
     assert post2.filter("term = 'whitman'").count() == 1
+
+
+def test_cli_sync_index(spark, corpus_dir, tmp_path, capsys):
+    idx = str(tmp_path / "idx3")
+    cli.main(["--master", "local[4]", "build", "--corpus", corpus_dir, "--index", idx])
+    capsys.readouterr()
+    src2 = str(tmp_path / "src3")
+    golden_corpus(spark, snapshot=2).write.parquet(src2)
+    out = str(tmp_path / "idx3_v2")
+    rc = cli.main([
+        "--master", "local[4]", "sync-index",
+        "--index", idx, "--source", src2, "--out", out,
+    ])
+    assert rc == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["version"] == 2
+    assert res["synced"]["reindex"] == 1
+    # new index serves the modified content
+    capsys.readouterr()
+    rc = cli.main([
+        "--master", "local[4]", "query", "--index", out,
+        "--query", "whitman", "-k", "5",
+    ])
+    assert rc == 0
+    lines = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert any(h.get("score") for h in lines)

@@ -1,0 +1,194 @@
+"""Incremental index-directory sync: only changed shards touched, and
+the synced index is EXACTLY equivalent to a from-scratch rebuild of the
+new snapshot (scores, stats, catalog) — the persisted-storage analogue
+of the reference's sync (``DocumentsIndexer.kt:263-324``)."""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from text_indexer_spark.corpus import synthetic_corpus
+from text_indexer_spark.operators.index_build import (
+    build_index,
+    load_catalog,
+    load_posting_lists,
+)
+from text_indexer_spark.operators.index_sync import sync_index_dir
+from text_indexer_spark.operators.wand import wand_topk
+
+QUERIES = [["the"], ["the", "data"], ["spark", "join"], ["dup"]]
+
+
+def _file_sha(path: str) -> str:
+    with open(path, "rb") as f:
+        return hashlib.sha256(f.read()).hexdigest()
+
+
+def _results_by_path(spark, index_dir, terms, k=10):
+    """Global top-k keyed by (repo, path): doc ids differ between a
+    synced index and a fresh rebuild, so the cross-index-comparable
+    identity is the path + the score."""
+    lists = load_posting_lists(spark, index_dir)
+    cat = load_catalog(spark, index_dir).select("doc_id", "repo", "path")
+    hits = wand_topk(lists, terms, k=k, global_topk=False)
+    rows = (
+        hits.join(cat, "doc_id")
+        .select("repo", "path", F.round("score", 6).alias("score"))
+        .collect()
+    )
+    ranked = sorted(
+        ((r["repo"], r["path"], r["score"]) for r in rows),
+        key=lambda t: (-t[2], t[0], t[1]),
+    )
+    return ranked[:k]
+
+
+@pytest.fixture(scope="module")
+def v1(spark, tmp_path_factory):
+    corpus = synthetic_corpus(spark, n_docs=120, avg_tokens=40, n_repos=12).cache()
+    idx = str(tmp_path_factory.mktemp("sync_idx") / "v1")
+    m = build_index(corpus, idx, num_shards=8, resume=False)
+    return corpus, idx, m
+
+
+def _snapshot2(spark, corpus):
+    """Concentrated change set (range sharding → few shards touched):
+    inside ONE repo, delete some docs and modify the rest; add one new
+    doc in a new repo at the top of the key range."""
+    target = corpus.select("repo").orderBy("repo").limit(1).collect()[0]["repo"]
+    kept = corpus.filter(
+        (F.col("repo") != target) | (F.pmod(F.xxhash64("path"), F.lit(3)) != 0)
+    )
+    modified = kept.withColumn(
+        "content",
+        F.when(
+            F.col("repo") == target,
+            F.concat(F.col("content"), F.lit(" zmarker zmarker")),
+        ).otherwise(F.col("content")),
+    ).withColumn(
+        "commit",
+        F.when(
+            F.col("repo") == target,
+            F.sha2(F.coalesce(F.col("content"), F.lit("")), 256),
+        ).otherwise(F.col("commit")),
+    )
+    added = spark.createDataFrame(
+        [("zz/new-repo", "docs/new_1.txt", "c-new", "txt",
+          "zmarker fresh added doc the data")],
+        "repo string, path string, commit string, lang string, content string",
+    )
+    return modified.unionByName(added)
+
+
+def test_synced_index_equals_full_rebuild(spark, v1, tmp_path):
+    corpus, idx1, m1 = v1
+    src2 = _snapshot2(spark, corpus).cache()
+    out = str(tmp_path / "v2")
+    m2 = sync_index_dir(spark, idx1, src2, out)
+    assert m2["version"] == m1.get("version", 1) + 1
+    assert m2["synced"]["remove"] > 0 and m2["synced"]["reindex"] > 0
+    assert m2["synced"]["add"] >= 1
+
+    ref_dir = str(tmp_path / "ref")
+    build_index(src2, ref_dir, num_shards=8, resume=False)
+
+    # catalog equivalence on content identity (ids may differ for adds)
+    def cat_set(d):
+        return {
+            (r["repo"], r["path"], r["content_sha256"], r["doc_len"])
+            for r in load_catalog(spark, d).collect()
+        }
+
+    assert cat_set(out) == cat_set(ref_dir)
+
+    # stats equivalence: same term -> df map
+    def stats_map(d):
+        return {
+            r["term"]: r["df"]
+            for r in spark.read.parquet(os.path.join(d, "stats")).collect()
+        }
+
+    assert stats_map(out) == stats_map(ref_dir)
+
+    # score equivalence: BM25 results identical by (repo, path, score)
+    for terms in QUERIES:
+        assert _results_by_path(spark, out, terms) == _results_by_path(
+            spark, ref_dir, terms
+        ), terms
+    # the modified marker token is searchable in the synced index
+    hits = _results_by_path(spark, out, ["zmarker"], k=50)
+    assert any(p == "docs/new_1.txt" for _, p, _ in hits)
+
+
+def test_unaffected_shards_are_untouched(spark, v1, tmp_path):
+    corpus, idx1, m1 = v1
+    src2 = _snapshot2(spark, corpus)
+    out = str(tmp_path / "v2b")
+    m2 = sync_index_dir(spark, idx1, src2, out)
+    affected = set(m2["synced"]["affected_shards"])
+    untouched = [s for s in range(m2["num_shards"]) if s not in affected]
+    assert untouched, "test corpus should leave some shards unaffected"
+    for s in untouched:
+        for sub in ("postings", "catalog"):
+            a = os.path.join(idx1, sub, f"shard_{s:05d}.parquet")
+            b = os.path.join(out, sub, f"shard_{s:05d}.parquet")
+            if os.path.exists(a):
+                assert _file_sha(a) == _file_sha(b), (sub, s)
+
+
+def test_noop_sync_is_pure_link(spark, v1, tmp_path):
+    corpus, idx1, _ = v1
+    out = str(tmp_path / "v_noop")
+    m2 = sync_index_dir(spark, idx1, corpus, out)
+    assert m2["synced"] == {"add": 0, "remove": 0, "reindex": 0}
+    for s in range(m2["num_shards"]):
+        for sub in ("postings", "catalog", "posting_lists"):
+            a = os.path.join(idx1, sub, f"shard_{s:05d}.parquet")
+            b = os.path.join(out, sub, f"shard_{s:05d}.parquet")
+            if os.path.exists(a):
+                assert _file_sha(a) == _file_sha(b)
+    # still a queryable committed index
+    assert _results_by_path(spark, out, ["the"]) == _results_by_path(
+        spark, idx1, ["the"]
+    )
+
+
+def test_stats_preserving_change_reencodes_only_affected(spark, v1, tmp_path):
+    """A content change that keeps the token multiset (extra delimiter)
+    leaves N/avgdl/df untouched: only the affected shards re-encode and
+    every other compressed list file is carried over byte-identical."""
+    corpus, idx1, _ = v1
+    one = corpus.orderBy("repo", "path").limit(1).collect()[0]
+    hit = (F.col("repo") == one["repo"]) & (F.col("path") == one["path"])
+    src2 = corpus.withColumn(
+        "content",
+        F.when(hit, F.regexp_replace(F.col("content"), " ", "  ")).otherwise(
+            F.col("content")
+        ),
+    ).withColumn(
+        "commit",
+        F.when(hit, F.sha2(F.coalesce(F.col("content"), F.lit("")), 256)).otherwise(
+            F.col("commit")
+        ),
+    )
+    out = str(tmp_path / "v_same_stats")
+    m2 = sync_index_dir(spark, idx1, src2, out)
+    assert m2["synced"]["reindex"] == 1
+    assert m2["synced"]["stats_changed"] is False
+    assert m2["synced"]["reencoded_shards"] == m2["synced"]["affected_shards"]
+    affected = set(m2["synced"]["affected_shards"])
+    for s in range(m2["num_shards"]):
+        if s in affected:
+            continue
+        a = os.path.join(idx1, "posting_lists", f"shard_{s:05d}.parquet")
+        b = os.path.join(out, "posting_lists", f"shard_{s:05d}.parquet")
+        if os.path.exists(a):
+            assert _file_sha(a) == _file_sha(b)
+    for terms in QUERIES:
+        assert _results_by_path(spark, out, terms) == _results_by_path(
+            spark, idx1, terms
+        ), terms

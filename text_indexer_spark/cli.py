@@ -80,6 +80,20 @@ def cmd_sync(args) -> int:
     return 0
 
 
+def cmd_sync_index(args) -> int:
+    from text_indexer_spark.operators.index_sync import sync_index_dir
+
+    spark = _spark(args)
+    source = spark.read.parquet(args.source)
+    manifest = sync_index_dir(spark, args.index, source, args.out)
+    print(json.dumps({
+        "version": manifest["version"],
+        "n_docs": manifest["n_docs"],
+        "synced": manifest["synced"],
+    }))
+    return 0
+
+
 def cmd_merge(args) -> int:
     from text_indexer_spark.operators.index_build import load_posting_lists
     from text_indexer_spark.operators.merge import merge_term_major
@@ -117,6 +131,16 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--out-catalog", required=True)
     s.add_argument("--out-postings", required=True)
     s.set_defaults(fn=cmd_sync)
+
+    si = sub.add_parser(
+        "sync-index",
+        help="incremental sync of a COMMITTED index dir -> new index version "
+        "(only changed shards rebuilt; unchanged files hard-linked)",
+    )
+    si.add_argument("--index", required=True)
+    si.add_argument("--source", required=True)
+    si.add_argument("--out", required=True)
+    si.set_defaults(fn=cmd_sync_index)
 
     m = sub.add_parser("merge", help="sharded lists -> global term-major lists")
     m.add_argument("--index", required=True)

@@ -240,6 +240,140 @@ def _dedup_batch(batch: pd.DataFrame, carry_key: tuple | None):
     return batch[keep], (repo[-1], path[-1])
 
 
+def encode_shards(
+    spark: SparkSession,
+    index_dir: str,
+    shard_ids: list[int],
+    n_docs: int,
+    avgdl: float,
+    block_size: int = BLOCK_SIZE,
+) -> list:
+    """Stage C: encode compressed posting lists for the given shards.
+
+    Zero-shuffle: the postings layout IS the partitioning. One task per
+    shard reads its own postings file with pyarrow (no JVM round-trip of
+    10^x posting rows), looks up term df in the broadcast stats dict,
+    encodes (delta-gap + varbyte + block-max, BM25 weights baked from
+    the supplied global stats), writes. This is the distributed-
+    compaction pattern: work ships to data, nothing reshuffles. Falls
+    back to a join + groupBy when the vocabulary is too large to
+    broadcast (stats rows > 5M). Also reused by the incremental
+    index-directory sync, which re-encodes only what changed.
+    """
+    postings_dir = os.path.join(index_dir, POSTINGS_DIR)
+    stats_dir = os.path.join(index_dir, STATS_DIR)
+    lists_dir = os.path.join(index_dir, LISTS_DIR)
+    n_docs_b, avgdl_b = float(n_docs), float(avgdl)
+
+    def encode_arrays(
+        shard_id: int,
+        terms: np.ndarray,
+        doc_ids: np.ndarray,
+        tfs: np.ndarray,
+        dfs: np.ndarray,
+        t0: float,
+    ) -> pd.DataFrame:
+        """Shared encode kernel: sorted-by-(term, doc_id) numpy arrays →
+        encoded shard file + metrics row. Fully vectorized up to the
+        per-term slice loop (term count per shard is vocabulary-bounded)."""
+        tf_f = tfs.astype(np.float64)
+        idf = np.log(1.0 + (n_docs_b - dfs + 0.5) / (dfs + 0.5))
+        # per-doc length from in-shard postings (complete by sharding)
+        _, inv = np.unique(doc_ids, return_inverse=True)
+        dl_sums = np.bincount(inv, weights=tf_f)[inv]
+        w = idf * tf_f * (K1 + 1.0) / (tf_f + K1 * (1.0 - B + B * dl_sums / avgdl_b))
+        out = encode_posting_lists_bulk(terms, doc_ids, tfs, w, block_size)
+        out.insert(0, "shard_id", np.int32(shard_id))
+        _write_shard_parquet(out, lists_dir, shard_id)
+        secs = time.time() - t0
+        n_post = int(out["df"].sum()) if len(out) else 0
+        dfs_arr = out["df"].to_numpy() if len(out) else np.array([0])
+        skew = float(dfs_arr.max() / max(dfs_arr.mean(), 1e-9)) if len(out) else 0.0
+        b_ids = int(out["doc_ids_delta_varbyte"].str.len().sum()) if len(out) else 0
+        b_tfs = int(out["tfs_varbyte"].str.len().sum()) if len(out) else 0
+        b_w = int(out["weights_f64"].str.len().sum()) if len(out) else 0
+        ckpt.write_marker(
+            index_dir, "lists", shard_id,
+            n_terms=int(len(out)), n_postings=n_post,
+            bytes_ids=b_ids, bytes_tfs=b_tfs, skew_ratio=skew,
+        )
+        return pd.DataFrame(
+            [{
+                "shard_id": shard_id, "n_terms": len(out), "n_postings": n_post,
+                "bytes_ids": b_ids, "bytes_tfs": b_tfs, "bytes_weights": b_w,
+                "skew_ratio": skew, "encode_sec": secs,
+                "postings_per_sec": (n_post / secs) if secs > 0 else 0.0,
+            }]
+        )
+
+    if not shard_ids:
+        return []
+    stats_count = spark.read.parquet(stats_dir).count()
+    if stats_count <= 5_000_000:
+        df_rows = spark.read.parquet(stats_dir).collect()
+        bdf = spark.sparkContext.broadcast({r["term"]: r["df"] for r in df_rows})
+
+        def encode_from_file(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            import pyarrow.parquet as pq
+
+            for b in batches:
+                for _, row in b.iterrows():
+                    t0 = time.time()
+                    shard_id = int(row["shard_id"])
+                    tbl = pq.read_table(row["path"])
+                    terms = tbl.column("term").to_numpy(zero_copy_only=False)
+                    doc_ids = tbl.column("doc_id").to_numpy()
+                    tfs = tbl.column("tf").to_numpy()
+                    # int-code sort instead of an object-string lexsort;
+                    # df lookup once per unique term
+                    codes, uniq_vals = pd.factorize(terms)
+                    idx = np.lexsort((doc_ids, codes))
+                    terms, doc_ids, tfs = terms[idx], doc_ids[idx], tfs[idx]
+                    dmap = bdf.value
+                    df_per_code = np.fromiter(
+                        (dmap[t] for t in uniq_vals),
+                        dtype=np.float64, count=len(uniq_vals),
+                    )
+                    dfs = df_per_code[codes[idx]]
+                    yield encode_arrays(shard_id, terms, doc_ids, tfs, dfs, t0)
+
+        shard_rows = [
+            (s, os.path.join(postings_dir, f"shard_{s:05d}.parquet"))
+            for s in shard_ids
+            if os.path.exists(os.path.join(postings_dir, f"shard_{s:05d}.parquet"))
+        ]
+        if not shard_rows:
+            return []
+        shards_df = spark.createDataFrame(
+            shard_rows, "shard_id int, path string"
+        ).repartition(len(shard_rows))
+        return shards_df.mapInPandas(encode_from_file, _STAGE_C_SCHEMA).collect()
+
+    postings_all = spark.read.parquet(postings_dir).withColumn(
+        "shard_id",
+        F.regexp_extract(F.input_file_name(), r"shard_(\d+)\.parquet", 1).cast("int"),
+    ).filter(F.col("shard_id").isin([int(s) for s in shard_ids]))
+    term_df = spark.read.parquet(stats_dir)
+    joined = postings_all.join(term_df, "term")
+
+    def encode_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        t0 = time.time()
+        shard_id = int(pdf["shard_id"].iloc[0])
+        terms = pdf["term"].to_numpy()
+        doc_ids = pdf["doc_id"].to_numpy()
+        tfs = pdf["tf"].to_numpy()
+        dfs = pdf["df"].to_numpy(dtype=np.float64)
+        codes, _ = pd.factorize(terms)
+        idx = np.lexsort((doc_ids, codes))
+        return encode_arrays(
+            shard_id, terms[idx], doc_ids[idx], tfs[idx], dfs[idx], t0
+        )
+
+    return (
+        joined.groupBy("shard_id").applyInPandas(encode_shard, _STAGE_C_SCHEMA).collect()
+    )
+
+
 def build_index(
     corpus: DataFrame,
     index_dir: str,
@@ -445,125 +579,11 @@ def build_index(
     # ---- stage C: encode compressed posting lists per shard -----------
     t_c0 = time.time()
     done_c = ckpt.done_shards(index_dir, "lists") if resume else set()
-    lists_dir = os.path.join(index_dir, LISTS_DIR)
-    n_docs_b, avgdl_b = float(n_docs_committed), float(avgdl)
-
-    def encode_arrays(
-        shard_id: int,
-        terms: np.ndarray,
-        doc_ids: np.ndarray,
-        tfs: np.ndarray,
-        dfs: np.ndarray,
-        t0: float,
-    ) -> pd.DataFrame:
-        """Shared encode kernel: sorted-by-(term, doc_id) numpy arrays →
-        encoded shard file + metrics row. Fully vectorized up to the
-        per-term slice loop (term count per shard is vocabulary-bounded)."""
-        tf_f = tfs.astype(np.float64)
-        idf = np.log(1.0 + (n_docs_b - dfs + 0.5) / (dfs + 0.5))
-        # per-doc length from in-shard postings (complete by sharding)
-        _, inv = np.unique(doc_ids, return_inverse=True)
-        dl_sums = np.bincount(inv, weights=tf_f)[inv]
-        w = idf * tf_f * (K1 + 1.0) / (tf_f + K1 * (1.0 - B + B * dl_sums / avgdl_b))
-        out = encode_posting_lists_bulk(terms, doc_ids, tfs, w, block_size)
-        out.insert(0, "shard_id", np.int32(shard_id))
-        _write_shard_parquet(out, lists_dir, shard_id)
-        secs = time.time() - t0
-        n_post = int(out["df"].sum()) if len(out) else 0
-        dfs = out["df"].to_numpy() if len(out) else np.array([0])
-        skew = float(dfs.max() / max(dfs.mean(), 1e-9)) if len(out) else 0.0
-        b_ids = int(out["doc_ids_delta_varbyte"].str.len().sum()) if len(out) else 0
-        b_tfs = int(out["tfs_varbyte"].str.len().sum()) if len(out) else 0
-        b_w = int(out["weights_f64"].str.len().sum()) if len(out) else 0
-        ckpt.write_marker(
-            index_dir, "lists", shard_id,
-            n_terms=int(len(out)), n_postings=n_post,
-            bytes_ids=b_ids, bytes_tfs=b_tfs, skew_ratio=skew,
-        )
-        return pd.DataFrame(
-            [{
-                "shard_id": shard_id, "n_terms": len(out), "n_postings": n_post,
-                "bytes_ids": b_ids, "bytes_tfs": b_tfs, "bytes_weights": b_w,
-                "skew_ratio": skew, "encode_sec": secs,
-                "postings_per_sec": (n_post / secs) if secs > 0 else 0.0,
-            }]
-        )
-
-    c_metrics = []
     todo_c = sorted(set(range(num_shards)) - done_c) if n_docs else []
-    if todo_c:
-        # Zero-shuffle stage C: the postings layout IS the partitioning.
-        # One task per shard reads its own postings file with pyarrow
-        # (no JVM round-trip of 10^x posting rows), looks up term df in
-        # the broadcast stats dict, encodes, writes. This is the
-        # distributed-compaction pattern: work ships to data, nothing
-        # reshuffles. Falls back to a join + groupBy when the vocabulary
-        # is too large to broadcast (stats_rows > 5M).
-        stats_count = spark.read.parquet(stats_dir).count()
-        if stats_count <= 5_000_000:
-            df_rows = spark.read.parquet(stats_dir).collect()
-            bdf = spark.sparkContext.broadcast({r["term"]: r["df"] for r in df_rows})
-
-            def encode_from_file(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-                import pyarrow.parquet as pq
-
-                for b in batches:
-                    for _, row in b.iterrows():
-                        t0 = time.time()
-                        shard_id = int(row["shard_id"])
-                        tbl = pq.read_table(row["path"])
-                        terms = tbl.column("term").to_numpy(zero_copy_only=False)
-                        doc_ids = tbl.column("doc_id").to_numpy()
-                        tfs = tbl.column("tf").to_numpy()
-                        # int-code sort instead of an object-string
-                        # lexsort; df lookup once per unique term
-                        codes, uniq_vals = pd.factorize(terms)
-                        idx = np.lexsort((doc_ids, codes))
-                        terms, doc_ids, tfs = terms[idx], doc_ids[idx], tfs[idx]
-                        dmap = bdf.value
-                        df_per_code = np.fromiter(
-                            (dmap[t] for t in uniq_vals),
-                            dtype=np.float64, count=len(uniq_vals),
-                        )
-                        dfs = df_per_code[codes[idx]]
-                        yield encode_arrays(shard_id, terms, doc_ids, tfs, dfs, t0)
-
-            shard_rows = [
-                (s, os.path.join(postings_dir, f"shard_{s:05d}.parquet"))
-                for s in todo_c
-                if os.path.exists(os.path.join(postings_dir, f"shard_{s:05d}.parquet"))
-            ]
-            shards_df = spark.createDataFrame(
-                shard_rows, "shard_id int, path string"
-            ).repartition(len(shard_rows))
-            c_metrics = shards_df.mapInPandas(encode_from_file, _STAGE_C_SCHEMA).collect()
-        else:
-            postings_all = spark.read.parquet(postings_dir).withColumn(
-                "shard_id",
-                F.regexp_extract(F.input_file_name(), r"shard_(\d+)\.parquet", 1).cast("int"),
-            )
-            if done_c:
-                postings_all = postings_all.filter(~F.col("shard_id").isin(sorted(done_c)))
-            term_df = spark.read.parquet(stats_dir)
-            joined = postings_all.join(term_df, "term")
-
-            def encode_shard(pdf: pd.DataFrame) -> pd.DataFrame:
-                t0 = time.time()
-                shard_id = int(pdf["shard_id"].iloc[0])
-                terms = pdf["term"].to_numpy()
-                doc_ids = pdf["doc_id"].to_numpy()
-                tfs = pdf["tf"].to_numpy()
-                dfs = pdf["df"].to_numpy(dtype=np.float64)
-                codes, _ = pd.factorize(terms)
-                idx = np.lexsort((doc_ids, codes))
-                return encode_arrays(
-                    shard_id, terms[idx], doc_ids[idx], tfs[idx], dfs[idx], t0
-                )
-
-            c_metrics = (
-                joined.groupBy("shard_id").applyInPandas(encode_shard, _STAGE_C_SCHEMA).collect()
-            )
-
+    c_metrics = encode_shards(
+        spark, index_dir, todo_c,
+        n_docs=n_docs_committed, avgdl=avgdl, block_size=block_size,
+    )
     t_stage_c = time.time() - t_c0
 
     # ---- metrics + manifest commit ------------------------------------
