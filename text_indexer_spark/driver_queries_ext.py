@@ -325,12 +325,8 @@ def q_wand_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from text_indexer_spark.operators.wand import wand_topk
     from text_indexer_spark.sources.tables import documents_as_corpus
 
-    if sf_dir not in _WAND_INDEX_CACHE:
-        idx = tempfile.mkdtemp(prefix="driver_wand_idx_")
-        corpus = documents_as_corpus(spark, sf_dir)
-        build_index(corpus, idx, num_shards=8, verify_sha=False, resume=False)
-        _WAND_INDEX_CACHE[sf_dir] = idx
-    lists = load_posting_lists(spark, _WAND_INDEX_CACHE[sf_dir])
+    idx = _ensure_wand_index(spark, sf_dir)
+    lists = load_posting_lists(spark, idx)
     # tie-inclusive per-shard candidates; the GLOBAL cut happens after
     # re-mapping engine ids to the table's doc_id so the tie-break
     # (score desc, table doc_id asc) matches the oracle exactly
@@ -377,10 +373,90 @@ def q_wand_bm25_topk_or(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _engine_id_map(spark: SparkSession, index_dir: str) -> DataFrame:
+    from text_indexer_spark.operators.index_build import load_catalog
+
+    return load_catalog(spark, index_dir).select(
+        F.col("doc_id").alias("engine_id"),
+        F.regexp_extract("path", r"doc_(\d+)\.txt", 1).cast("long").alias("doc_id"),
+    )
+
+
+def _decode_lists(lists: DataFrame, merged: bool = False) -> DataFrame:
+    """Compressed lists → exploded (engine_id, term, tf) via the codec's
+    full-decode path (delta-gap + varbyte round trip). Merged term-major
+    rows need the chunk-aware decoder (spliced lists have short blocks
+    at chunk boundaries)."""
+    import pandas as pd
+
+    def dec(batches):
+        from text_indexer_spark.operators.codec import decode_posting_list
+        from text_indexer_spark.operators.merge import decode_merged
+
+        decode = decode_merged if merged else decode_posting_list
+        for b in batches:
+            for r in b.to_dict("records"):
+                ids, tfs, _ = decode(r)
+                yield pd.DataFrame(
+                    {"engine_id": ids, "term": r["term"], "tf": tfs}
+                )
+
+    return lists.mapInPandas(dec, "engine_id long, term string, tf long")
+
+
+def _ensure_wand_index(spark: SparkSession, sf_dir: str) -> str:
+    from text_indexer_spark.operators.index_build import build_index
+    from text_indexer_spark.sources.tables import documents_as_corpus
+
+    if sf_dir not in _WAND_INDEX_CACHE:
+        idx = tempfile.mkdtemp(prefix="driver_wand_idx_")
+        corpus = documents_as_corpus(spark, sf_dir)
+        build_index(corpus, idx, num_shards=8, verify_sha=False, resume=False)
+        _WAND_INDEX_CACHE[sf_dir] = idx
+    return _WAND_INDEX_CACHE[sf_dir]
+
+
+def q_decoded_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip gate for the WHOLE storage pipeline: build → encode
+    (delta-gap + varbyte + block-max) → decode must reproduce the exact
+    (doc, term, tf) relation the tokenizer defines — checked against the
+    same SQL oracle as the uncompressed ``tokenize_postings``."""
+    from text_indexer_spark.operators.index_build import load_posting_lists
+
+    idx = _ensure_wand_index(spark, sf_dir)
+    decoded = _decode_lists(load_posting_lists(spark, idx))
+    return (
+        decoded.join(F.broadcast(_engine_id_map(spark, idx)), "engine_id")
+        .select("term", "doc_id", "tf")
+    )
+
+
+def q_merged_decoded_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate for the salted term-major merge: splicing the per-shard
+    compressed chunks (no re-encode) must yield globally sorted lists
+    that decode to the identical (doc, term, tf) relation."""
+    from text_indexer_spark.operators.index_build import load_posting_lists
+    from text_indexer_spark.operators.merge import merge_term_major
+
+    idx = _ensure_wand_index(spark, sf_dir)
+    merged = merge_term_major(load_posting_lists(spark, idx))
+    decoded = _decode_lists(merged, merged=True)
+    return (
+        decoded.join(F.broadcast(_engine_id_map(spark, idx)), "engine_id")
+        .select("term", "doc_id", "tf")
+    )
+
+
 def sql_wand_bm25_topk() -> str:
     from text_indexer_spark.driver_queries import sql_bm25_topk
 
     return sql_bm25_topk()
+
+
+def _sql_postings_oracle() -> str:
+    from text_indexer_spark.driver_queries import sql_postings
+
+    return sql_postings()
 
 
 # ---------------------------------------------------------------- registry
@@ -400,6 +476,8 @@ def queries():
         "multimodal_meta": q_multimodal_meta,
         "wand_bm25_topk": q_wand_bm25_topk,
         "wand_bm25_topk_or": q_wand_bm25_topk_or,
+        "decoded_postings": q_decoded_postings,
+        "merged_decoded_postings": q_merged_decoded_postings,
     }
 
 
@@ -418,5 +496,7 @@ def oracle_sql():
         "doc_fingerprints": sql_fingerprints(),
         "multimodal_meta": sql_multimodal_meta(),
         "wand_bm25_topk": sql_wand_bm25_topk(),
+        "decoded_postings": _sql_postings_oracle(),
+        "merged_decoded_postings": _sql_postings_oracle(),
         "wand_bm25_topk_or": __import__("text_indexer_spark.driver_queries", fromlist=["sql_bm25_topk"]).sql_bm25_topk(conjunctive=False),
     }
