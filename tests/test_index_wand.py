@@ -240,3 +240,40 @@ def test_driver_block_pruning_rank_identical(spark, built):
             for r in wand_topk(lists, terms, k=10, driver_chunk_blocks=1).collect()
         ]
         assert pruned == baseline[tuple(terms)], terms
+
+
+def test_build_duplicate_heavy_corpus(spark, tmp_path):
+    """Hot-key stress: many duplicate (repo, path) rows (which MUST
+    co-locate) mixed with unique docs. Dedup keeps the greatest
+    (commit, content) row per key; doc ids stay dense."""
+    from pyspark.sql import functions as F
+
+    from text_indexer_spark.corpus import synthetic_corpus
+    from text_indexer_spark.operators.index_build import build_index, load_catalog
+
+    base = synthetic_corpus(spark, n_docs=40, avg_tokens=8)
+    # 15 stale versions of ONE key + 1 winning version (greatest commit)
+    dup = (
+        base.limit(1)
+        .crossJoin(spark.range(16).withColumnRenamed("id", "v"))
+        .select(
+            "repo", "path",
+            F.concat(F.lit("commit-"), F.lpad(F.col("v").cast("string"), 3, "0")).alias("commit"),
+            "lang",
+            F.concat(F.lit("version "), F.col("v").cast("string"), F.lit(" body")).alias("content"),
+        )
+    )
+    corpus = base.filter(F.xxhash64("path") % 2 == 0).unionByName(
+        dup.select("repo", "path", "commit", "lang", "content")
+    )
+    idx = str(tmp_path / "dup_idx")
+    m = build_index(corpus, idx, num_shards=4, resume=False)
+    cat = load_catalog(spark, idx)
+    n_keys = corpus.select("repo", "path").distinct().count()
+    assert m["n_docs"] == n_keys
+    assert cat.count() == n_keys
+    ids = sorted(r["doc_id"] for r in cat.select("doc_id").collect())
+    assert ids == list(range(n_keys))
+    # the surviving duplicate is the greatest (commit, ...) version
+    win = cat.filter(F.col("commit").startswith("commit-")).collect()
+    assert len(win) == 1 and win[0]["commit"] == "commit-015"

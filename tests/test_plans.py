@@ -87,3 +87,56 @@ def test_bm25_never_reads_content(spark):
 
     cols = read_schema_columns(q_bm25_topk(spark, SF))
     assert "source" not in cols and "n_chars" not in cols
+
+
+def test_build_sizing_scans_only_key_columns(spark, tmp_path):
+    """The doc-id sizing aggregation must never read `content`: its scan
+    prunes to the two key columns (at 100 TB the content column is ~the
+    whole table)."""
+    from pyspark.sql import functions as F
+
+    from text_indexer_spark.corpus import synthetic_corpus
+    from text_indexer_spark.operators.index_build import (
+        _compute_boundaries,
+        _shard_of_udf,
+    )
+    from text_indexer_spark.plans.checks import read_schema_columns
+
+    d = str(tmp_path / "corpus_pq")
+    synthetic_corpus(spark, n_docs=50, avg_tokens=5).write.parquet(d)
+    corpus = spark.read.parquet(d)
+    bounds = _compute_boundaries(corpus, 4)
+    shard_of = _shard_of_udf(bounds)
+    sizes = (
+        corpus.select("repo", "path")
+        .withColumn("_pid", shard_of("repo", "path"))
+        .groupBy("_pid")
+        .agg(F.countDistinct("repo", "path").alias("n"))
+    )
+    assert read_schema_columns(sizes) == {"repo", "path"}
+    # the boundary sample is equally pruned
+    sample = corpus.select(
+        F.concat(F.col("repo"), F.lit("\x01"), F.col("path")).alias("k"),
+        F.xxhash64("repo", "path").alias("h"),
+    ).orderBy("h").limit(64)
+    assert read_schema_columns(sample) == {"repo", "path"}
+
+
+def test_build_stage_a_single_exchange(spark, tmp_path):
+    """The sharding+sort pipeline of stage A contains exactly ONE
+    shuffle exchange — content crosses the network once."""
+    from text_indexer_spark.corpus import synthetic_corpus
+    from text_indexer_spark.operators.index_build import (
+        _compute_boundaries,
+        _route_tokens,
+        _sharded_sorted,
+    )
+    from text_indexer_spark.plans.checks import count_exchanges
+
+    d = str(tmp_path / "corpus_pq2")
+    synthetic_corpus(spark, n_docs=50, avg_tokens=5).write.parquet(d)
+    corpus = spark.read.parquet(d)
+    bounds = _compute_boundaries(corpus, 4)
+    route = _route_tokens(spark, 4)
+    sorted_df = _sharded_sorted(corpus, bounds, route)
+    assert count_exchanges(sorted_df) == 1
