@@ -107,3 +107,112 @@ def test_windowed_rates(spark, drop_dir, tmp_path):
     assert sum(r["n_docs"] for r in rows) == 5
     for r in rows:
         assert r["window_start"].second == 0
+
+
+def test_stream_index_maintenance_end_to_end(spark, tmp_path):
+    """Micro-batched upserts + a tombstone drive sync_index_dir through
+    foreachBatch; the final streamed index version must equal a full
+    batch rebuild of the final corpus state (catalog + BM25 results)."""
+    from text_indexer_spark.corpus import synthetic_corpus
+    from text_indexer_spark.operators.index_build import (
+        build_index,
+        load_catalog,
+        load_posting_lists,
+    )
+    from text_indexer_spark.operators.wand import wand_topk
+    from text_indexer_spark.streaming.sync_stream import (
+        run_stream_index_maintenance,
+    )
+
+    corpus = synthetic_corpus(spark, n_docs=60, avg_tokens=20, n_repos=6).cache()
+    idx0 = str(tmp_path / "v0")
+    build_index(corpus, idx0, num_shards=4, resume=False)
+
+    one, two = corpus.orderBy("repo", "path").limit(2).collect()
+    drop = str(tmp_path / "drops")
+    os.makedirs(drop)
+    # batch file 1: modify doc `one` + add a brand-new doc
+    b1 = spark.createDataFrame(
+        [
+            (one["repo"], one["path"], "c-mod", one["lang"],
+             one["content"] + " streamed marker", None, False),
+            ("zz/stream-repo", "docs/streamed.txt", "c-add", "txt",
+             "streamed marker fresh doc", None, False),
+        ],
+        "repo string, path string, commit string, lang string, "
+        "content string, event_time timestamp, deleted boolean",
+    )
+    b1.coalesce(1).write.mode("append").parquet(drop)
+    q, latest = run_stream_index_maintenance(
+        spark, drop, str(tmp_path / "ckpt1"), idx0, str(tmp_path / "versions1")
+    )
+    q.awaitTermination(120)
+    v_after_b1 = latest()
+
+    # batch file 2 (second stream run, resumes from the new version):
+    # tombstone doc `two`
+    drop2 = str(tmp_path / "drops2")
+    os.makedirs(drop2)
+    b2 = spark.createDataFrame(
+        [(two["repo"], two["path"], two["commit"], two["lang"], None, None, True)],
+        "repo string, path string, commit string, lang string, "
+        "content string, event_time timestamp, deleted boolean",
+    )
+    b2.coalesce(1).write.mode("append").parquet(drop2)
+    q2, latest2 = run_stream_index_maintenance(
+        spark, drop2, str(tmp_path / "ckpt2"), v_after_b1, str(tmp_path / "versions2")
+    )
+    q2.awaitTermination(120)
+    final = latest2()
+
+    # expected final corpus: one modified, `two` deleted, one added
+    expected = (
+        corpus.filter(~((F.col("repo") == two["repo"]) & (F.col("path") == two["path"])))
+        .withColumn(
+            "content",
+            F.when(
+                (F.col("repo") == one["repo"]) & (F.col("path") == one["path"]),
+                F.lit(one["content"] + " streamed marker"),
+            ).otherwise(F.col("content")),
+        )
+        .withColumn(
+            "commit",
+            F.when(
+                (F.col("repo") == one["repo"]) & (F.col("path") == one["path"]),
+                F.lit("c-mod"),
+            ).otherwise(F.col("commit")),
+        )
+        .unionByName(
+            spark.createDataFrame(
+                [("zz/stream-repo", "docs/streamed.txt", "c-add", "txt",
+                  "streamed marker fresh doc")],
+                "repo string, path string, commit string, lang string, content string",
+            )
+        )
+    )
+    ref = str(tmp_path / "ref")
+    build_index(expected, ref, num_shards=4, resume=False)
+
+    def cat_set(d):
+        return {
+            (r["repo"], r["path"], r["content_sha256"], r["doc_len"])
+            for r in load_catalog(spark, d).collect()
+        }
+
+    assert cat_set(final) == cat_set(ref)
+
+    def topk(d, terms):
+        lists = load_posting_lists(spark, d)
+        cat = load_catalog(spark, d).select("doc_id", "repo", "path")
+        rows = (
+            wand_topk(lists, terms, k=10, global_topk=False)
+            .join(cat, "doc_id")
+            .select("repo", "path", F.round("score", 6).alias("s"))
+            .collect()
+        )
+        ranked = sorted(((r["repo"], r["path"], r["s"]) for r in rows),
+                        key=lambda t: (-t[2], t[0], t[1]))
+        return ranked[:10]
+
+    for terms in (["streamed"], ["marker"], ["the", "data"]):
+        assert topk(final, terms) == topk(ref, terms), terms

@@ -81,6 +81,40 @@ def _shard_file(base: str, sub: str, shard: int) -> str:
     return os.path.join(base, sub, f"shard_{shard:05d}.parquet")
 
 
+def upserts_as_snapshot(
+    spark: SparkSession, index_dir: str, batch: DataFrame
+) -> DataFrame:
+    """Turn an UPSERT FEED micro-batch into the full source snapshot
+    ``sync_index_dir`` diffs against — without retaining any corpus
+    content for unchanged documents.
+
+    The diff reads only ``commit`` for rows it classifies unchanged, so
+    the synthesized snapshot is: catalog keys (commit carried, content
+    NULL) for every doc NOT in the batch, plus the batch's own rows.
+    A batch row with ``deleted = true`` (optional column) is a tombstone:
+    its key is simply absent from the snapshot → classified 'remove'.
+    This is how a CDC/Kafka feed drives the same exact-sync machinery as
+    snapshot diffs (stream ≡ batch, tested)."""
+    cat = load_catalog(spark, index_dir).select(
+        "repo", "path", "commit", "lang",
+        F.lit(None).cast("string").alias("content"),
+    )
+    if "deleted" in batch.columns:
+        tombstones = batch.filter(F.col("deleted") == True)  # noqa: E712
+        ups = batch.filter(
+            (F.col("deleted").isNull()) | (F.col("deleted") == False)  # noqa: E712
+        )
+    else:
+        tombstones = batch.limit(0)
+        ups = batch
+    ups = dedup_corpus(ups.select("repo", "path", "commit", "lang", "content"))
+    touched = ups.select("repo", "path").unionByName(
+        tombstones.select("repo", "path")
+    )
+    untouched = cat.join(touched, ["repo", "path"], "left_anti")
+    return untouched.unionByName(ups)
+
+
 def sync_index_dir(
     spark: SparkSession,
     index_dir: str,

@@ -37,9 +37,15 @@ def corpus_change_stream(
     an ``event_time`` column (file arrival proxy)."""
     from pyspark.sql import types as T
 
-    # copy the fields: StructType.add MUTATES the shared schema object
+    # copy the fields: StructType.add MUTATES the shared schema object.
+    # `deleted` is the optional tombstone flag of an upsert feed — files
+    # written without it read as NULL (= not deleted).
     schema = T.StructType(
-        list(CORPUS_SCHEMA.fields) + [T.StructField("event_time", T.TimestampType())]
+        list(CORPUS_SCHEMA.fields)
+        + [
+            T.StructField("event_time", T.TimestampType()),
+            T.StructField("deleted", T.BooleanType()),
+        ]
     )
     return (
         spark.readStream.schema(schema)
@@ -75,6 +81,55 @@ def windowed_doc_rates(changes: DataFrame, window: str = "1 minute",
             "n_docs",
         )
     )
+
+
+def run_stream_index_maintenance(
+    spark: SparkSession,
+    drop_dir: str,
+    checkpoint_dir: str,
+    index_dir: str,
+    versions_dir: str,
+    max_files_per_trigger: int = 16,
+):
+    """End-to-end streaming maintenance of the COMPRESSED index: each
+    micro-batch of upserts/tombstones is applied with
+    ``index_sync.sync_index_dir`` — only affected shards rebuilt, new
+    immutable version per batch under ``versions_dir/v<N>``, old version
+    readable throughout. Returns (query, get_latest) where
+    ``get_latest()`` yields the newest committed index path.
+
+    Version commits are serialized by the single writer foreachBatch
+    guarantees (one micro-batch at a time per query) — the streaming
+    analogue of the reference's indexer mutex (``DocumentsIndexer.kt:
+    29``)."""
+    import os
+
+    from text_indexer_spark.operators.index_sync import (
+        sync_index_dir,
+        upserts_as_snapshot,
+    )
+
+    state = {"latest": index_dir, "n": 0}
+
+    def apply_batch(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        cols = [c for c in ("repo", "path", "commit", "lang", "content", "deleted")
+                if c in batch_df.columns]
+        snap = upserts_as_snapshot(spark, state["latest"], batch_df.select(*cols))
+        state["n"] += 1
+        out = os.path.join(versions_dir, f"v{state['n']:04d}")
+        sync_index_dir(spark, state["latest"], snap, out)
+        state["latest"] = out
+
+    stream = corpus_change_stream(spark, drop_dir, max_files_per_trigger)
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    return q, (lambda: state["latest"])
 
 
 def run_stream_sync(
