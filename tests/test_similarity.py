@@ -88,3 +88,47 @@ def test_cosine_near_pairs(spark, vecs):
                 assert got[(a, b)] == pytest.approx(cos, abs=2e-4)
             elif cos <= 0.8995:
                 assert (a, b) not in got, (a, b, cos)
+
+
+def test_ivf_full_probe_equals_brute_force(spark, vecs):
+    """Probing every inverted list is exhaustive: ivf_topk with
+    n_probe == n_centroids must equal cosine_topk exactly."""
+    from text_indexer_spark.operators.similarity import ivf_topk
+
+    df, _ = vecs
+    queries = df.filter(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    brute = sorted(
+        (r["query_id"], r["vec_id"], r["cos"])
+        for r in cosine_topk(df, queries, k=5).collect()
+    )
+    ivf = sorted(
+        (r["query_id"], r["vec_id"], r["cos"])
+        for r in ivf_topk(
+            df, queries, dim=DIM, k=5, n_centroids=4, n_probe=4
+        ).collect()
+    )
+    assert ivf == brute
+
+
+def test_ivf_partial_probe_recall_and_determinism(spark, vecs):
+    from text_indexer_spark.operators.similarity import ivf_centroids, ivf_topk
+
+    df, _ = vecs
+    queries = df.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    c1 = ivf_centroids(df, 8, DIM)
+    c2 = ivf_centroids(df, 8, DIM)
+    assert c1 == c2  # deterministic quantizer (hash-seeded, no RNG)
+    brute = {}
+    for r in cosine_topk(df, queries, k=5).collect():
+        brute.setdefault(r["query_id"], set()).add(r["vec_id"])
+    got = {}
+    for r in ivf_topk(
+        df, queries, dim=DIM, k=5, n_centroids=8, n_probe=3, centroids=c1
+    ).collect():
+        got.setdefault(r["query_id"], set()).add(r["vec_id"])
+    recalls = [len(brute[q] & got.get(q, set())) / len(brute[q]) for q in brute]
+    assert sum(recalls) / len(recalls) >= 0.5

@@ -182,6 +182,21 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk(emb, queries, k=10)
 
 
+def q_ann_ivf_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN probing ALL inverted lists — exhaustive, so it must equal
+    the brute-force scorer and shares its SQL oracle. Gates the coarse
+    quantizer + probe + per-list scoring machinery end to end; partial
+    probes trade recall for cost (recall-tested in pytest)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    dim = len(emb.select("embedding").first()["embedding"])
+    return similarity.ivf_topk(
+        emb, queries, dim=dim, k=10, n_centroids=4, n_probe=4
+    )
+
+
 def sql_ann_topk() -> str:
     return f"""
 SELECT q.vec_id AS query_id, e.vec_id,
@@ -469,6 +484,7 @@ def queries():
         "dedup_simhash": q_dedup_simhash,
         "neardup_cosine": q_neardup_cosine,
         "ann_cosine_topk": q_ann_topk,
+        "ann_ivf_full_probe": q_ann_ivf_full,
         "lang_id": q_lang_id,
         "quality_scores": q_quality,
         "token_counts": q_token_counts,
@@ -490,6 +506,7 @@ def oracle_sql():
         "dedup_simhash": sql_dedup_simhash(),
         "neardup_cosine": sql_neardup_cosine(),
         "ann_cosine_topk": sql_ann_topk(),
+        "ann_ivf_full_probe": sql_ann_topk(),
         "lang_id": sql_lang_id(),
         "quality_scores": sql_quality(),
         "token_counts": sql_token_counts(),

@@ -19,6 +19,7 @@ must not flip results).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -169,3 +170,140 @@ def cosine_near_pairs(
         )
         .filter(F.col("cos") >= threshold)
     )
+
+
+def ivf_centroids(
+    embeddings: DataFrame,
+    n_centroids: int,
+    dim: int,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Deterministic IVF coarse quantizer (k-means, Lloyd refinement).
+
+    Seeds = bottom-``n_centroids`` vectors by ``xxhash64(id)`` (a
+    deterministic uniform sample — no RNG state, reruns identical).
+    Each Lloyd step is two distributed operations: assignment via the
+    vectorized numpy argmax UDF, update via a per-dimension
+    ``posexplode → groupBy(cid, pos) → avg`` aggregation whose result is
+    only ``n_centroids × dim`` rows — the only driver-sized piece.
+    """
+    import numpy as np
+
+    seed_rows = (
+        embeddings.select(vec_col, F.xxhash64(F.col(id_col)).alias("h"))
+        .orderBy("h")
+        .limit(n_centroids)
+        .collect()
+    )
+    cents = np.asarray([list(r[vec_col]) for r in seed_rows], dtype=np.float64)
+    for _ in range(iters):
+        assign = _centroid_assign_udf(cents)
+        means = (
+            embeddings.withColumn("cid", assign(F.col(vec_col)))
+            .select("cid", F.posexplode(F.col(vec_col)).alias("pos", "v"))
+            .groupBy("cid", "pos")
+            .agg(F.avg(F.col("v").cast("double")).alias("m"))
+            .collect()
+        )
+        new = cents.copy()  # empty cells keep their previous centroid
+        got = {}
+        for r in means:
+            got.setdefault(r["cid"], {})[r["pos"]] = r["m"]
+        for cid, dims in got.items():
+            for pos, m in dims.items():
+                new[cid][pos] = m
+        cents = new
+    return [list(map(float, c)) for c in cents]
+
+
+def _centroid_assign_udf(cents):
+    """vec -> nearest-centroid id by cosine; one numpy matmul per Arrow
+    batch (no per-row Python)."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    cmat = np.asarray(cents, dtype=np.float64)
+    cnorm = cmat / np.maximum(np.linalg.norm(cmat, axis=1, keepdims=True), 1e-12)
+
+    @pandas_udf("int")
+    def assign(vecs: pd.Series) -> pd.Series:
+        m = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
+        if m.size == 0:
+            return pd.Series(np.empty(0, dtype=np.int32))
+        mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        return pd.Series(np.argmax(mn @ cnorm.T, axis=1).astype(np.int32))
+
+    return assign
+
+
+def _centroid_probes_udf(cents, n_probe: int):
+    """query vec -> the ``n_probe`` nearest centroid ids (IVF probe list)."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    cmat = np.asarray(cents, dtype=np.float64)
+    cnorm = cmat / np.maximum(np.linalg.norm(cmat, axis=1, keepdims=True), 1e-12)
+    p = min(n_probe, cmat.shape[0])
+
+    @pandas_udf("array<int>")
+    def probes(vecs: pd.Series) -> pd.Series:
+        out = []
+        for v in vecs:
+            q = np.asarray(v, dtype=np.float64)
+            q = q / max(np.linalg.norm(q), 1e-12)
+            sims = cnorm @ q
+            top = np.argpartition(-sims, p - 1)[:p]
+            out.append([int(x) for x in top[np.argsort(-sims[top], kind="stable")]])
+        return pd.Series(out)
+
+    return probes
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    centroids: list[list[float]] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 4,
+) -> DataFrame:
+    """IVF ANN: partition the corpus into ``n_centroids`` inverted lists
+    by nearest centroid; each query scans only its ``n_probe`` nearest
+    lists. Same output shape as ``cosine_topk``. With
+    ``n_probe == n_centroids`` every list is probed and results equal
+    the brute-force scorer exactly (tested) — recall degrades gracefully
+    as ``n_probe`` shrinks while cost drops to ~``n_probe/n_centroids``
+    of the corpus per query.
+
+    At 100 TB the assignment column is computed once at ingest and the
+    corpus is written bucketed/partitioned by ``cid``, so a probe is a
+    partition-pruned scan, not a filter."""
+    if centroids is None:
+        centroids = ivf_centroids(
+            embeddings, n_centroids, dim, id_col=id_col, vec_col=vec_col
+        )
+    assign = _centroid_assign_udf(centroids)
+    probes = _centroid_probes_udf(centroids, n_probe)
+    emb_c = embeddings.withColumn("cid", assign(F.col(vec_col)))
+    q = F.broadcast(
+        queries.select(
+            "query_id", "query_vec", F.explode(probes(F.col("query_vec"))).alias("cid")
+        )
+    )
+    scored = (
+        emb_c.join(q, "cid")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col),
+            F.round(cosine_expr(F.col(vec_col), F.col("query_vec")), round_to).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc(id_col))
+    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k).drop("rn")
