@@ -192,3 +192,49 @@ def test_stats_preserving_change_reencodes_only_affected(spark, v1, tmp_path):
         assert _results_by_path(spark, out, terms) == _results_by_path(
             spark, idx1, terms
         ), terms
+
+
+@pytest.mark.parametrize("seed", [3, 11, 29])
+def test_randomized_sync_equals_rebuild(spark, v1, tmp_path, seed):
+    """Seeded pseudo-random change mixes (scattered deletes + modifies +
+    adds) must still produce an index exactly equal to a rebuild —
+    regardless of how many shards they touch."""
+    corpus, idx1, _ = v1
+    h = F.pmod(F.xxhash64(F.lit(seed), "repo", "path"), F.lit(20))
+    kept = corpus.filter(h != 0)  # ~5% deleted
+    src2 = kept.withColumn(
+        "content",
+        F.when(h == 1, F.concat(F.col("content"), F.lit(f" seedmark{seed}"))).otherwise(
+            F.col("content")
+        ),
+    ).withColumn(
+        "commit",
+        F.when(h == 1, F.sha2(F.coalesce(F.col("content"), F.lit("")), 256)).otherwise(
+            F.col("commit")
+        ),
+    ).unionByName(
+        spark.createDataFrame(
+            [
+                (f"aa/added-{seed}", "docs/a.txt", f"c{seed}a", "txt",
+                 f"seedmark{seed} alpha the data"),
+                (f"zz/added-{seed}", "docs/z.txt", f"c{seed}z", "txt",
+                 f"seedmark{seed} omega join merge"),
+            ],
+            "repo string, path string, commit string, lang string, content string",
+        )
+    )
+    out = str(tmp_path / f"v2_{seed}")
+    m2 = sync_index_dir(spark, idx1, src2, out)
+    assert m2["synced"]["remove"] > 0 and m2["synced"]["add"] == 2
+
+    ref = str(tmp_path / f"ref_{seed}")
+    build_index(src2, ref, num_shards=8, resume=False)
+    cat = lambda d: {
+        (r["repo"], r["path"], r["content_sha256"], r["doc_len"])
+        for r in load_catalog(spark, d).collect()
+    }
+    assert cat(out) == cat(ref)
+    for terms in (["the", "data"], [f"seedmark{seed}"]):
+        assert _results_by_path(spark, out, terms) == _results_by_path(
+            spark, ref, terms
+        ), terms
