@@ -162,20 +162,39 @@ def sync_index_dir(
             *keys, F.col("doc_id").alias("old_id")
         )
         max_id = catalog.agg(F.max("doc_id")).first()[0] or 0
-        # deterministic fresh ids for adds: rank among added rows. A sync
-        # delta is small by construction; a mass rewrite should use
-        # build_index instead (documented), so a single window is fine.
-        w = Window.orderBy("repo", "path")
-        with_ids = (
-            upserts.join(reidx, keys, "left")
-            .withColumn(
-                "doc_id",
-                F.when(F.col("old_id").isNotNull(), F.col("old_id")).otherwise(
-                    F.row_number().over(w) + F.lit(int(max_id))
-                ),
-            )
-            .drop("old_id")
+        # deterministic fresh ids for adds WITHOUT a single-reducer
+        # window: global rank = per-shard offset + rank within shard
+        # (window partitioned by shard runs parallel; offsets come from
+        # a tiny per-shard count collect). Survives a mass-add sync.
+        adds_only = upserts.join(reidx, keys, "left_anti").withColumn(
+            "shard", shard_of("repo", "path")
         )
+        add_counts = {
+            r["shard"]: r["n"]
+            for r in adds_only.groupBy("shard").agg(F.count("*").alias("n")).collect()
+        }
+        add_offsets, acc = {}, int(max_id) + 1
+        for s in sorted(add_counts):
+            add_offsets[s] = acc
+            acc += add_counts[s]
+        if add_offsets:
+            off_map = F.create_map(
+                *[x for s, o in add_offsets.items()
+                  for x in (F.lit(int(s)), F.lit(int(o)))]
+            )
+            w = Window.partitionBy("shard").orderBy("repo", "path")
+            adds_with_ids = adds_only.withColumn(
+                "doc_id",
+                (F.row_number().over(w) - 1 + off_map[F.col("shard")]).cast("long"),
+            ).drop("shard")
+        else:
+            adds_with_ids = adds_only.drop("shard").withColumn(
+                "doc_id", F.lit(None).cast("long")
+            ).limit(0)
+        reindexed = upserts.join(reidx, keys, "inner").withColumn(
+            "doc_id", F.col("old_id")
+        ).drop("old_id")
+        with_ids = adds_with_ids.unionByName(reindexed)
         enriched = (
             with_ids.withColumn(
                 "content_sha256",
