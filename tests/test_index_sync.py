@@ -238,3 +238,40 @@ def test_randomized_sync_equals_rebuild(spark, v1, tmp_path, seed):
         assert _results_by_path(spark, out, terms) == _results_by_path(
             spark, ref, terms
         ), terms
+
+
+def test_sync_rerun_after_partial_failure(spark, v1, tmp_path):
+    """A sync that dies before committing (manifest missing, partial
+    files on disk) can simply be re-run into the same out_dir: every
+    write is tmp+rename idempotent and the change set is recomputed from
+    the immutable parent. The committed result equals a clean sync."""
+    corpus, idx1, _ = v1
+    src2 = _snapshot2(spark, corpus).cache()
+
+    clean = str(tmp_path / "clean")
+    sync_index_dir(spark, idx1, src2, clean)
+
+    crashed = str(tmp_path / "crashed")
+    sync_index_dir(spark, idx1, src2, crashed)
+    # simulate dying mid-run: drop the manifest, delete some outputs
+    os.remove(os.path.join(crashed, "_MANIFEST.json"))
+    removed = 0
+    for sub in ("posting_lists", "catalog"):
+        files = sorted(os.listdir(os.path.join(crashed, sub)))
+        for f in files[: len(files) // 2]:
+            os.remove(os.path.join(crashed, sub, f))
+            removed += 1
+    assert removed > 0
+    from text_indexer_spark import checkpoint as ckpt
+
+    assert ckpt.read_manifest(crashed) is None  # invisible until commit
+    m2 = sync_index_dir(spark, idx1, src2, crashed)
+    assert m2["n_docs"] == src2.select("repo", "path").distinct().count()
+    for sub in ("postings", "catalog", "posting_lists"):
+        a = sorted(os.listdir(os.path.join(clean, sub)))
+        b = sorted(os.listdir(os.path.join(crashed, sub)))
+        assert a == b, sub
+        for f in a:
+            assert _file_sha(os.path.join(clean, sub, f)) == _file_sha(
+                os.path.join(crashed, sub, f)
+            ), (sub, f)

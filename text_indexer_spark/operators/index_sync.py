@@ -70,7 +70,13 @@ _MERGE_CAT_SCHEMA = "shard int, n_docs long, n_tokens long"
 
 
 def _link_or_copy(src: str, dst: str) -> None:
+    """Idempotent: a re-run after a partial failure may find the link
+    already in place — replace it (same content either way)."""
     os.makedirs(os.path.dirname(dst), exist_ok=True)
+    if os.path.exists(dst):
+        if os.path.samefile(src, dst):
+            return
+        os.remove(dst)
     try:
         os.link(src, dst)
     except OSError:
