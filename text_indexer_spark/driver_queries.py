@@ -296,9 +296,10 @@ def sql_search_paths() -> str:
     )
 
 
-def sql_bm25_topk(conjunctive: bool = True) -> str:
+def sql_bm25_topk(conjunctive: bool = True, terms: list[str] | None = None) -> str:
     k1, b = K1, B
-    guard = f"WHERE nt = {len(BM25_TERMS)}" if conjunctive else ""
+    terms = BM25_TERMS if terms is None else terms
+    guard = f"WHERE nt = {len(set(terms))}" if conjunctive else ""
     return f"""
 WITH {_toks_cte()},
 dl AS (SELECT doc_id, sum(tf)::DOUBLE AS dl FROM tf GROUP BY doc_id),
@@ -312,7 +313,7 @@ scored AS (
          count(DISTINCT tf.term) AS nt
   FROM tf
   JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN consts
-  WHERE tf.term IN ({_sql_list(BM25_TERMS)})
+  WHERE tf.term IN ({_sql_list(terms)})
   GROUP BY tf.doc_id
 )
 SELECT doc_id, round(s, 4) AS score FROM scored {guard}

@@ -468,6 +468,50 @@ def sql_wand_bm25_topk() -> str:
     return sql_bm25_topk()
 
 
+BATCH_QUERIES = {
+    "q_join": ["join"],
+    "q_the_data": ["the", "data"],
+    "q_mvs": ["merge", "vector", "stream"],
+}
+
+
+def q_wand_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched serving path: all queries answered in ONE Spark job over
+    the compressed index (per-job overhead amortized across the batch).
+    Oracle = UNION ALL of the per-query BM25 SQL."""
+    from pyspark.sql import Window
+
+    from text_indexer_spark.operators.index_build import load_posting_lists
+    from text_indexer_spark.operators.wand import wand_topk_batch
+
+    idx = _ensure_wand_index(spark, sf_dir)
+    lists = load_posting_lists(spark, idx)
+    cands = wand_topk_batch(
+        lists, BATCH_QUERIES, k=10, round_to=ROUND, global_topk=False
+    )
+    remapped = (
+        cands.withColumnRenamed("doc_id", "engine_id")
+        .join(F.broadcast(_engine_id_map(spark, idx)), "engine_id")
+        .select("query_id", "doc_id", "score")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        remapped.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .drop("rn")
+    )
+
+
+def sql_wand_batch_topk() -> str:
+    from text_indexer_spark.driver_queries import sql_bm25_topk
+
+    parts = [
+        f"SELECT '{qid}' AS query_id, * FROM ({sql_bm25_topk(terms=terms)})"
+        for qid, terms in BATCH_QUERIES.items()
+    ]
+    return " UNION ALL ".join(parts)
+
+
 def _sql_postings_oracle() -> str:
     from text_indexer_spark.driver_queries import sql_postings
 
@@ -493,6 +537,7 @@ def queries():
         "wand_bm25_topk": q_wand_bm25_topk,
         "wand_bm25_topk_or": q_wand_bm25_topk_or,
         "decoded_postings": q_decoded_postings,
+        "wand_bm25_batch": q_wand_batch_topk,
         "merged_decoded_postings": q_merged_decoded_postings,
     }
 
@@ -514,6 +559,7 @@ def oracle_sql():
         "multimodal_meta": sql_multimodal_meta(),
         "wand_bm25_topk": sql_wand_bm25_topk(),
         "decoded_postings": _sql_postings_oracle(),
+        "wand_bm25_batch": sql_wand_batch_topk(),
         "merged_decoded_postings": _sql_postings_oracle(),
         "wand_bm25_topk_or": __import__("text_indexer_spark.driver_queries", fromlist=["sql_bm25_topk"]).sql_bm25_topk(conjunctive=False),
     }

@@ -177,6 +177,7 @@ def wand_topk_batch(
     queries: dict[str, list[str]],
     k: int = 10,
     round_to: int | None = None,
+    global_topk: bool = True,
 ) -> DataFrame:
     """Many queries in ONE Spark job → (query_id, doc_id, score).
 
@@ -216,6 +217,10 @@ def wand_topk_batch(
     )
     if round_to is not None:
         local = local.withColumn("score", F.round(F.col("score"), round_to))
+    if not global_topk:
+        # tie-inclusive per-shard candidates; caller applies its own cut
+        # (e.g. after re-keying doc ids — see wand_topk's contract)
+        return local
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
     return (
         local.withColumn("rn", F.row_number().over(w))
