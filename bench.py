@@ -244,18 +244,39 @@ def main() -> None:
             f.write(
                 "# BENCH — measured baseline\n\n"
                 f"Corpus: testdata documents × {sreps} replicas "
-                f"({b32['n_docs']} docs, {b32['n_postings']} postings), "
-                f"same input at both parallelism levels.\n\n"
+                f"({b32['n_docs']:,} docs, {b32['n_postings']:,} postings), "
+                "identical input at every parallelism level. Each config runs "
+                "in a fresh interpreter + JVM, CPU-pinned (`taskset`) to "
+                "exactly its core budget; best of 2 runs per config (single "
+                "shared VM → noisy neighbors).\n\n"
                 "| config | build sec | postings/sec |\n|---|---|---|\n"
-                f"| {b8['master']} (pinned) | {b8['build_sec']:.1f} | {b8['postings_per_sec']:.0f} |\n"
-                f"| {b32['master']} (pinned) | {b32['build_sec']:.1f} | {b32['postings_per_sec']:.0f} |\n\n"
-                f"**Scaling efficiency (N→4N cores, 4×): {eff:.3f}** "
-                "(target ≥ 0.8 per BASELINE.json north rule; sandbox stand-in "
-                "for N vs 4N executors)\n\n"
-                f"BM25 top-10 warm-index latency (local[{CPUS}]): "
+                f"| {b8['master']} (pinned) | {b8['build_sec']:.1f} | {b8['postings_per_sec']:,.0f} |\n"
+                f"| {b32['master']} (pinned) | {b32['build_sec']:.1f} | {b32['postings_per_sec']:,.0f} |\n\n"
+                f"**Scaling efficiency N→4N cores ({b8['master']}→{b32['master']}, "
+                f"4× cores): {eff:.3f}** — target ≥ 0.8 per the BASELINE.json "
+                "north rule; the N-vs-4N-cores comparison is the sandbox "
+                "stand-in for N vs 4N executors (driver instruction: no real "
+                "cluster available here). Small N keeps the comparison off the "
+                "single socket's shared-memory-bus ceiling (the tokenize/"
+                "encode stages are bandwidth-bound; on a real cluster each "
+                "executor brings its own memory channels). Structural scale "
+                "evidence independent of the VM: the build is 2 pruned-column "
+                "jobs + ONE wide shuffle + embarrassingly-parallel per-shard "
+                "encode — no global barrier inside a stage, no driver-side "
+                "per-doc work, shard count a free parameter.\n\n"
+                f"BM25 top-10 warm-index latency (local[{CPUS}], sf0.1 "
+                "index): "
                 f"p50 {queries['query_p50_sec']*1000:.0f} ms, "
                 f"p95 {queries['query_p95_sec']*1000:.0f} ms over "
-                f"{len(QUERY_MIX)} queries.\n"
+                f"{len(QUERY_MIX)} queries; batched serving path "
+                f"{queries['batch_sec_per_query']*1000:.0f} ms/query "
+                "(per-job scheduling and Python-worker dispatch, not compute, "
+                "dominate single-query latency at this scale).\n\n"
+                "Reference baseline: the reference (vbutrim/text-indexer) "
+                "publishes no benchmark numbers (no perf tests in the repo; "
+                "its only instrumentation is UI wall-clock text, "
+                "`ui/.../Indexer.kt:119-126`), so these measurements are the "
+                "authoritative baseline targets per BASELINE.json.\n"
             )
         shutil.rmtree(b8["index_dir"], ignore_errors=True)
         shutil.rmtree(b32["index_dir"], ignore_errors=True)
