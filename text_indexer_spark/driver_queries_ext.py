@@ -14,7 +14,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from text_indexer_spark.operators import dedup, multimodal, similarity, textstats
+from text_indexer_spark.operators import cluster, dedup, multimodal, similarity, textstats
 from text_indexer_spark.sources.tables import load_table
 from text_indexer_spark.tokenizer import duckdb_tokens_sql
 
@@ -156,6 +156,109 @@ def sql_dedup_simhash() -> str:
 WITH t AS (SELECT doc_id, unnest({toks}) AS term FROM documents),
 tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM t WHERE term <> '' GROUP BY 1, 2)
 SELECT doc_id, ({bits})::BIGINT AS simhash FROM tf GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------- clustering
+def _planted_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ planted exact duplicates (same planting rule as
+    ``q_dedup_exact`` — every 25th doc re-appears under doc_id+1e6)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.filter(F.pmod(F.col("doc_id"), F.lit(25)) == 0).select(
+        (F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"), "text"
+    )
+    return docs.unionByName(planted)
+
+
+def _cluster_pair_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pair graph the clustering gates run over: LSH candidate pairs
+    on the real docs ∪ exact-dup pairs from the planted corpus — two
+    independent pair sources whose transitive closure the cluster op
+    must merge (a planted copy of doc X links X's LSH component to the
+    planted id space)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sigs = dedup.minhash_signatures(docs, num_hashes=MINHASHES, n=SHINGLE_N)
+    lsh = dedup.lsh_candidate_pairs(sigs, num_hashes=MINHASHES, bands=BANDS)
+    ex = (
+        dedup.exact_dedup(_planted_union(spark, sf_dir))
+        .filter(F.col("doc_id") != F.col("canonical_id"))
+        .select(F.col("canonical_id").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+    )
+    return lsh.unionByName(ex)
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the union pair graph → (doc_id,
+    cluster_id). The step that turns pair REPORTS into an actionable
+    dedup decision (reference drops dupes at scan time,
+    FilesAndDirs.kt:12-16; min-id canonical generalizes its
+    first-wins)."""
+    return cluster.dedup_clusters(_cluster_pair_edges(spark, sf_dir))
+
+
+def q_dedup_kept_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cleaned corpus: planted-union corpus minus every clustered doc
+    except its min-id canonical."""
+    clusters = cluster.dedup_clusters(_cluster_pair_edges(spark, sf_dir))
+    kept = cluster.materialize_deduped(_planted_union(spark, sf_dir), clusters)
+    return kept.select(
+        "doc_id", F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("content_md5")
+    )
+
+
+def _cluster_edges_ctes() -> str:
+    """Shared CTE chain: LSH pairs + planted exact pairs → symmetric
+    edge list → recursive reachability → (doc_id, cluster_id)."""
+    rpb = MINHASHES // BANDS
+    mins = ", ".join(f"min(md5('{i}|' || shingle)) AS sig_{i}" for i in range(MINHASHES))
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_idx, "
+        f"md5({' || '.join(f'sig_{b * rpb + r}' for r in range(rpb))}) AS band_hash FROM sigs"
+        for b in range(BANDS)
+    )
+    return f"""
+{_shingle_cte()},
+sigs AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+banded AS ({band_rows}),
+lsh AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+),
+u AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 25 = 0
+),
+hx AS (SELECT doc_id, md5(coalesce(text, '')) AS h FROM u),
+ex AS (
+  SELECT min_id AS doc_a, doc_id AS doc_b FROM (
+    SELECT doc_id, min(doc_id) OVER (PARTITION BY h) AS min_id,
+           count(*) OVER (PARTITION BY h) AS c FROM hx
+  ) WHERE c >= 2 AND doc_id <> min_id
+),
+e0 AS (SELECT doc_a, doc_b FROM lsh UNION SELECT doc_a, doc_b FROM ex),
+edges AS (SELECT doc_a AS a, doc_b AS b FROM e0 UNION SELECT doc_b AS a, doc_a AS b FROM e0),
+nodes AS (SELECT DISTINCT a AS node FROM edges),
+reach AS (
+  SELECT node, node AS r FROM nodes
+  UNION
+  SELECT reach.node, e.b AS r FROM reach JOIN edges e ON e.a = reach.r
+),
+clusters AS (SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node)
+"""
+
+
+def sql_dedup_clusters() -> str:
+    return f"WITH RECURSIVE {_cluster_edges_ctes().strip()} SELECT doc_id, cluster_id FROM clusters"
+
+
+def sql_dedup_kept_corpus() -> str:
+    return f"""
+WITH RECURSIVE {_cluster_edges_ctes().strip()}
+SELECT u.doc_id, md5(coalesce(u.text, '')) AS content_md5
+FROM u
+WHERE u.doc_id NOT IN (SELECT doc_id FROM clusters WHERE doc_id <> cluster_id)
 """
 
 
@@ -526,6 +629,8 @@ def queries():
         "dedup_lsh_pairs": q_dedup_lsh_pairs,
         "dedup_ngram_jaccard": q_dedup_jaccard,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_clusters": q_dedup_clusters,
+        "dedup_kept_corpus": q_dedup_kept_corpus,
         "neardup_cosine": q_neardup_cosine,
         "ann_cosine_topk": q_ann_topk,
         "ann_ivf_full_probe": q_ann_ivf_full,
@@ -549,6 +654,8 @@ def oracle_sql():
         "dedup_lsh_pairs": sql_dedup_lsh_pairs(),
         "dedup_ngram_jaccard": sql_dedup_jaccard(),
         "dedup_simhash": sql_dedup_simhash(),
+        "dedup_clusters": sql_dedup_clusters(),
+        "dedup_kept_corpus": sql_dedup_kept_corpus(),
         "neardup_cosine": sql_neardup_cosine(),
         "ann_cosine_topk": sql_ann_topk(),
         "ann_ivf_full_probe": sql_ann_topk(),
