@@ -97,3 +97,58 @@ def test_simhash(docs):
     if (0, 2) in pairs:
         assert pairs[(0, 2)] <= 3
     assert (3, 4) not in pairs
+
+
+def test_simhash_banding_matches_bruteforce(spark, docs):
+    """The (d+1)-band equi-join path must find the IDENTICAL pair set
+    the naive all-pairs Hamming scan finds (pigeonhole recall 1.0)."""
+    for bits, d in [(16, 0), (16, 2), (16, 3), (32, 2), (32, 5)]:
+        sigs = simhash_signatures(docs, bits=bits)
+        got = sorted(
+            map(tuple, simhash_near_pairs(sigs, max_hamming=d, bits=bits).collect())
+        )
+        s = {r["doc_id"]: r["simhash"] for r in sigs.collect()}
+        exp = sorted(
+            (a, b, bin(s[a] ^ s[b]).count("1"))
+            for a in s
+            for b in s
+            if a < b and bin(s[a] ^ s[b]).count("1") <= d
+        )
+        assert got == exp, (bits, d)
+
+
+def test_simhash_banding_plan_has_no_cartesian(spark, docs):
+    """The near-pair join must be an equi-join on band buckets — a
+    CartesianProduct / BroadcastNestedLoopJoin here is O(N²) at scale."""
+    from text_indexer_spark.plans.checks import formatted_plan
+
+    sigs = simhash_signatures(docs, bits=16)
+    plan = formatted_plan(simhash_near_pairs(sigs, max_hamming=2, bits=16))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_hot_shingle_cap_default_on_and_audited(spark):
+    """A shingle shared by every doc must be dropped by the default cap
+    (and surfaced by hot_shingles); Jaccard is then computed over the
+    capped shingle universe consistently."""
+    from text_indexer_spark.operators.dedup import hot_shingles
+
+    # every doc shares the hot prefix "aa bb cc dd"; only 0/1 also share a tail
+    rows = [(i, "aa bb cc dd " + ("xx yy zz ww" if i < 2 else f"u{i} v{i} w{i} q{i}"))
+            for i in range(8)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    # cap=4 < 8 docs → the shingles fully contained in the hot prefix drop
+    hot = {r["shingle"] for r in hot_shingles(docs, n=3, max_shingle_df=4).collect()}
+    assert "aa bb cc" in hot and "bb cc dd" in hot
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            docs, n=3, threshold=0.5, max_shingle_df=4
+        ).collect()
+    }
+    # only (0,1) survive: their non-hot shingles are identical
+    assert set(pairs) == {(0, 1)}
+    # uncapped, the hot prefix alone links every pair at threshold 0.2
+    uncapped = ngram_jaccard_pairs(docs, n=3, threshold=0.2, max_shingle_df=None)
+    assert uncapped.count() > 1

@@ -132,3 +132,58 @@ def test_ivf_partial_probe_recall_and_determinism(spark, vecs):
         got.setdefault(r["query_id"], set()).add(r["vec_id"])
     recalls = [len(brute[q] & got.get(q, set())) / len(brute[q]) for q in brute]
     assert sum(recalls) / len(recalls) >= 0.5
+
+
+def test_cosine_near_pairs_lsh_full_probe_equals_exact(spark, vecs):
+    """probe_hamming = n_planes → every pair flows through the band
+    machinery and the output must EQUAL the exact theta-join."""
+    from text_indexer_spark.operators.similarity import cosine_near_pairs_lsh
+
+    df, _ = vecs
+    exact = sorted(map(tuple, cosine_near_pairs(df, threshold=0.8).collect()))
+    lsh = sorted(
+        map(
+            tuple,
+            cosine_near_pairs_lsh(
+                df, DIM, threshold=0.8, n_planes=8, probe_hamming=8
+            ).collect(),
+        )
+    )
+    assert lsh == exact
+    assert len(exact) > 0  # non-vacuous: clustered vectors do produce pairs
+
+
+def test_cosine_near_pairs_lsh_recall_monotone(spark, vecs):
+    """Partial probing is a recall knob: no false pairs ever, recall
+    non-decreasing in probe_hamming, and decent at moderate probes."""
+    from text_indexer_spark.operators.similarity import cosine_near_pairs_lsh
+
+    df, _ = vecs
+    exact = set(
+        (r["vec_a"], r["vec_b"]) for r in cosine_near_pairs(df, threshold=0.8).collect()
+    )
+    prev = -1.0
+    for ph in (1, 3, 5, 8):
+        got = set(
+            (r["vec_a"], r["vec_b"])
+            for r in cosine_near_pairs_lsh(
+                df, DIM, threshold=0.8, n_planes=8, probe_hamming=ph
+            ).collect()
+        )
+        assert got <= exact  # candidates are verified: zero false positives
+        rec = len(got & exact) / len(exact)
+        assert rec >= prev - 1e-9
+        prev = rec
+    assert prev == 1.0
+
+
+def test_cosine_near_pairs_lsh_plan_has_no_cartesian(spark, vecs):
+    from text_indexer_spark.operators.similarity import cosine_near_pairs_lsh
+    from text_indexer_spark.plans.checks import formatted_plan
+
+    df, _ = vecs
+    plan = formatted_plan(
+        cosine_near_pairs_lsh(df, DIM, threshold=0.8, n_planes=8, probe_hamming=2)
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -117,18 +117,29 @@ FROM banded a JOIN banded b
 """
 
 
+JACCARD_CAP = dedup.DEFAULT_MAX_SHINGLE_DF
+
+
 def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return dedup.ngram_jaccard_pairs(docs, n=SHINGLE_N, threshold=JACCARD_T)
+    return dedup.ngram_jaccard_pairs(
+        docs, n=SHINGLE_N, threshold=JACCARD_T, max_shingle_df=JACCARD_CAP
+    )
 
 
 def sql_dedup_jaccard() -> str:
+    # the hot-shingle cap is part of the operator's semantics, so the
+    # oracle applies the identical cap before sizes AND intersections
     return f"""
 WITH {_shingle_cte()},
-sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+shf AS (
+  SELECT * FROM sh WHERE shingle NOT IN (
+    SELECT shingle FROM sh GROUP BY shingle HAVING count(*) > {JACCARD_CAP})
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM shf GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY a.doc_id, b.doc_id
 )
 SELECT doc_a, doc_b,
@@ -145,17 +156,46 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_signatures(docs, bits=SIMHASH_BITS)
 
 
-def sql_dedup_simhash() -> str:
+def sql_dedup_simhash(n_bits: int = SIMHASH_BITS) -> str:
     toks = duckdb_tokens_sql("text")
     bits = " + ".join(
         f"(CASE WHEN sum(CASE WHEN substr(md5('{j}|' || term), 1, 1) >= '8' "
         f"THEN tf ELSE -tf END) > 0 THEN {1 << j} ELSE 0 END)"
-        for j in range(SIMHASH_BITS)
+        for j in range(n_bits)
     )
     return f"""
 WITH t AS (SELECT doc_id, unnest({toks}) AS term FROM documents),
 tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM t WHERE term <> '' GROUP BY 1, 2)
 SELECT doc_id, ({bits})::BIGINT AS simhash FROM tf GROUP BY doc_id
+"""
+
+
+# 32-bit signatures for the PAIRS gate: 16 bits saturate on this corpus
+# (504 exact-equal signature pairs at sf0.01); 32 bits keep the Hamming≤2
+# pair set discriminative (991 pairs) so the banding join is exercised
+# non-vacuously.
+SIMHASH_PAIR_BITS = 32
+SIMHASH_MAX_HAMMING = 2
+
+
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs via (d+1)-band pigeonhole bucketing over 32-bit
+    simhash signatures — the scale-safe equi-join path (no cartesian;
+    plan-asserted in tests). Oracle = exact all-pairs Hamming in DuckDB."""
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = dedup.simhash_signatures(docs, bits=SIMHASH_PAIR_BITS)
+    return dedup.simhash_near_pairs(
+        sigs, max_hamming=SIMHASH_MAX_HAMMING, bits=SIMHASH_PAIR_BITS
+    )
+
+
+def sql_dedup_simhash_pairs() -> str:
+    return f"""
+WITH sigs AS ({sql_dedup_simhash(SIMHASH_PAIR_BITS)})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
 """
 
 
@@ -275,6 +315,19 @@ SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), {ROUND}) >= {COSINE_T}
 """
+
+
+def q_neardup_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed near-pair join in its full-probe configuration
+    (probe_hamming = n_planes → every pair compared through the band
+    machinery) — must equal the exact O(N²) scan, so it shares its SQL
+    oracle. Partial probes trade recall for cost (recall-tested in
+    pytest)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()["embedding"])
+    return similarity.cosine_near_pairs_lsh(
+        emb, dim, threshold=COSINE_T, n_planes=8, probe_hamming=8
+    )
 
 
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -629,9 +682,11 @@ def queries():
         "dedup_lsh_pairs": q_dedup_lsh_pairs,
         "dedup_ngram_jaccard": q_dedup_jaccard,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "dedup_clusters": q_dedup_clusters,
         "dedup_kept_corpus": q_dedup_kept_corpus,
         "neardup_cosine": q_neardup_cosine,
+        "neardup_cosine_lsh": q_neardup_cosine_lsh,
         "ann_cosine_topk": q_ann_topk,
         "ann_ivf_full_probe": q_ann_ivf_full,
         "lang_id": q_lang_id,
@@ -654,9 +709,11 @@ def oracle_sql():
         "dedup_lsh_pairs": sql_dedup_lsh_pairs(),
         "dedup_ngram_jaccard": sql_dedup_jaccard(),
         "dedup_simhash": sql_dedup_simhash(),
+        "dedup_simhash_pairs": sql_dedup_simhash_pairs(),
         "dedup_clusters": sql_dedup_clusters(),
         "dedup_kept_corpus": sql_dedup_kept_corpus(),
         "neardup_cosine": sql_neardup_cosine(),
+        "neardup_cosine_lsh": sql_neardup_cosine(),
         "ann_cosine_topk": sql_ann_topk(),
         "ann_ivf_full_probe": sql_ann_topk(),
         "lang_id": sql_lang_id(),

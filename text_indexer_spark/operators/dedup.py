@@ -122,20 +122,46 @@ def lsh_candidate_pairs(
     )
 
 
+DEFAULT_MAX_SHINGLE_DF = 1000
+
+
+def hot_shingles(
+    df: DataFrame,
+    n: int = 3,
+    max_shingle_df: int = DEFAULT_MAX_SHINGLE_DF,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(shingle, df) for every shingle the cap would drop — the
+    observability side of the cap: a pipeline should log/metric this
+    count next to the pair output so dropped mass is never silent."""
+    sh = token_shingles(df, n, text_col, id_col)
+    return (
+        sh.groupBy("shingle")
+        .agg(F.count("*").cast("long").alias("df"))
+        .filter(F.col("df") > max_shingle_df)
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     n: int = 3,
     threshold: float = 0.8,
     text_col: str = "text",
     id_col: str = "doc_id",
-    max_shingle_df: int | None = None,
+    max_shingle_df: int | None = DEFAULT_MAX_SHINGLE_DF,
     round_to: int = 4,
 ) -> DataFrame:
     """Exact n-gram Jaccard ≥ threshold → (doc_a, doc_b, jaccard).
 
     Scale note: a shingle shared by m docs contributes m·(m-1)/2 pair
-    rows. ``max_shingle_df`` drops ubiquitous shingles before the join
-    (standard practice — they carry no near-dup signal); the LSH path is
+    rows — one stop-word trigram shared by 10^6 docs would emit 10^12
+    rows. ``max_shingle_df`` therefore defaults ON (ubiquitous shingles
+    carry no near-dup signal; Jaccard is then computed over the capped
+    shingle universe on BOTH the intersection and the sizes, so the
+    metric stays internally consistent). Use ``hot_shingles`` to
+    log/audit what the cap dropped. Pass ``max_shingle_df=None`` only
+    for oracle-grade exact Jaccard on bounded corpora; the LSH path is
     the real 100 TB answer, this is its exact oracle."""
     sh = token_shingles(df, n, text_col, id_col)
     if max_shingle_df is not None:
@@ -215,17 +241,57 @@ def hamming(a, b):
     return F.bit_count(a.bitwiseXOR(b))
 
 
+def _band_split(bit_col, bits: int, n_bands: int):
+    """Split an integer bit signature into ``n_bands`` contiguous bands
+    (widths as even as possible) → array<struct<band_idx, band_val>>.
+
+    Pigeonhole guarantee: two signatures with Hamming distance ≤ d agree
+    EXACTLY on at least one of d+1 bands, so an equi-join on
+    (band_idx, band_val) has recall 1.0 for Hamming ≤ n_bands − 1."""
+    widths = [bits // n_bands + (1 if i < bits % n_bands else 0) for i in range(n_bands)]
+    bands, off = [], 0
+    for i, w in enumerate(widths):
+        val = F.shiftrightunsigned(bit_col, off).bitwiseAND(F.lit((1 << w) - 1))
+        bands.append(
+            F.struct(F.lit(i).alias("band_idx"), val.cast("long").alias("band_val"))
+        )
+        off += w
+    return F.array(*bands)
+
+
 def simhash_near_pairs(
-    signatures: DataFrame, max_hamming: int = 2, id_col: str = "doc_id"
+    signatures: DataFrame,
+    max_hamming: int = 2,
+    bits: int = 16,
+    id_col: str = "doc_id",
 ) -> DataFrame:
-    """Near-dup pairs by simhash. Exact-match grouping on the signature
-    (the scale path: one shuffle); pairs within Hamming ≤ d would use
-    bit-rotation banding at scale — here exact-equal buckets + a
-    broadcast-sized verification join."""
-    a = signatures.alias("a")
-    b = signatures.alias("b")
+    """Near-dup pairs (doc_a, doc_b, hamming) with Hamming ≤ d.
+
+    Scale shape: (d+1)-band pigeonhole bucketing — the signature is split
+    into d+1 bands; any pair within Hamming ≤ d matches exactly on some
+    band, so an EQUI-join on (band_idx, band_val) finds every such pair
+    (recall 1.0), and the full Hamming check inside the bucket discards
+    false candidates. No cartesian/broadcast-nested-loop join anywhere
+    (plan-asserted in tests); the shuffle key is the band value, whose
+    bucket sizes are bounded by how many docs actually share d+1-th of a
+    signature — the quantity the operator is estimating in the first
+    place. Cost: (d+1)× row duplication + one equi-join, vs N²/2 for the
+    naive pair scan."""
+    n_bands = max_hamming + 1
+    banded = signatures.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(_band_split(F.col("simhash"), bits, n_bands)).alias("b"),
+    ).select(id_col, "simhash", "b.band_idx", "b.band_val")
+    a = banded.alias("a")
+    b = banded.alias("b")
     return (
-        a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
         .withColumn("hd", hamming(F.col("a.simhash"), F.col("b.simhash")))
         .filter(F.col("hd") <= max_hamming)
         .select(
@@ -233,4 +299,5 @@ def simhash_near_pairs(
             F.col(f"b.{id_col}").alias("doc_b"),
             F.col("hd").cast("int").alias("hamming"),
         )
+        .distinct()
     )

@@ -153,8 +153,9 @@ def cosine_near_pairs(
 ) -> DataFrame:
     """Embedding near-dup pairs (vec_a < vec_b, cos ≥ threshold).
 
-    Exact O(N²) — the oracle for the LSH-bucketed variant, which
-    replaces the crossJoin with a per-bucket join at scale."""
+    Exact O(N²) — the differential ORACLE for ``cosine_near_pairs_lsh``,
+    which replaces the theta-join with a banded bucket equi-join at
+    scale; use the LSH variant on real corpora."""
     a = embeddings.select(
         F.col(id_col).alias("vec_a"), F.col(vec_col).alias("va")
     )
@@ -169,6 +170,67 @@ def cosine_near_pairs(
             F.round(cosine_expr(F.col("va"), F.col("vb")), round_to).alias("cos"),
         )
         .filter(F.col("cos") >= threshold)
+    )
+
+
+def cosine_near_pairs_lsh(
+    embeddings: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    probe_hamming: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 4,
+) -> DataFrame:
+    """Scale path for embedding near-dup pairs: hyperplane-LSH bucketed
+    equi-join instead of the O(N²) theta-join.
+
+    Each vector gets an ``n_planes``-bit hyperplane signature; the
+    signature is split into ``probe_hamming + 1`` bands (pigeonhole, same
+    machinery as ``dedup._band_split``): any two vectors whose signatures
+    differ in ≤ ``probe_hamming`` bits share at least one exact band and
+    are compared. For cos ≥ t pairs, P(one plane separates) = θ/π per
+    plane, so signature Hamming concentrates near n_planes·θ/π — recall
+    is tunable via probe_hamming and differential-tested against the
+    exact scan. With ``probe_hamming ≥ n_planes`` every pair is compared
+    (one band is zero-width → a single global bucket) and the result is
+    EXACTLY ``cosine_near_pairs`` — that configuration is the driver-gated
+    one, like ``ann_ivf_full_probe``.
+
+    The join is an equi-join on (band_idx, band_val) — never a
+    cartesian/broadcast-nested-loop (plan-asserted in tests)."""
+    from text_indexer_spark.operators.dedup import _band_split
+
+    n_bands = probe_hamming + 1
+    sigs = embeddings.select(
+        F.col(id_col),
+        F.col(vec_col),
+        hyperplane_signature(F.col(vec_col), dim, n_planes).cast("long").alias("sig"),
+    )
+    banded = sigs.select(
+        id_col,
+        vec_col,
+        F.explode(_band_split(F.col("sig"), n_planes, n_bands)).alias("b"),
+    ).select(id_col, vec_col, "b.band_idx", "b.band_val")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("vec_a"),
+            F.col(f"b.{id_col}").alias("vec_b"),
+            F.round(
+                cosine_expr(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), round_to
+            ).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+        .distinct()
     )
 
 
