@@ -277,3 +277,30 @@ def test_build_duplicate_heavy_corpus(spark, tmp_path):
     # the surviving duplicate is the greatest (commit, ...) version
     win = cat.filter(F.col("commit").startswith("commit-")).collect()
     assert len(win) == 1 and win[0]["commit"] == "commit-015"
+
+
+def test_build_with_null_keys_no_id_collision(spark, tmp_path):
+    """Rows with NULL repo/path must not break doc-id accounting: they
+    normalize to "" and get unique ids like everyone else (previously
+    countDistinct excluded NULL keys from sizing while stage A still
+    assigned them ids → cross-shard collisions)."""
+    from text_indexer_spark.corpus import synthetic_corpus
+    from text_indexer_spark.operators.index_build import build_index, load_catalog
+
+    base = synthetic_corpus(spark, n_docs=40, avg_tokens=10, n_repos=4)
+    nulls = spark.createDataFrame(
+        [
+            (None, "orphan/a.txt", "c1", "txt", "null repo content alpha"),
+            ("rr/x", None, "c2", "txt", "null path content beta"),
+            (None, None, "c3", "txt", "fully null key content gamma"),
+        ],
+        "repo string, path string, commit string, lang string, content string",
+    )
+    idx = str(tmp_path / "nullidx")
+    build_index(base.unionByName(nulls), idx, num_shards=4, resume=False)
+    cat = load_catalog(spark, idx)
+    ids = [r["doc_id"] for r in cat.select("doc_id").collect()]
+    assert len(ids) == len(set(ids)) == 43
+    # normalized keys present
+    assert cat.filter((F.col("repo") == "") & (F.col("path") == "orphan/a.txt")).count() == 1
+    assert cat.filter((F.col("repo") == "rr/x") & (F.col("path") == "")).count() == 1

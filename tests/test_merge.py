@@ -66,3 +66,45 @@ def test_term_major_stats(merged):
     rows = term_major_stats(m).collect()
     assert all(r["bytes_per_posting"] < 4.0 for r in rows)  # well under raw 16B
     assert all(r["df"] > 0 for r in rows)
+
+
+def test_merge_handles_interleaved_chunk_ranges(spark):
+    """A SYNCED index can hold added docs with ids above the global max
+    in ANY shard, so chunk doc-id ranges may interleave. The merge must
+    detect the overlap and produce a correctly sorted global list
+    (re-encode fallback), while disjoint terms keep the pure byte
+    splice (n_chunks preserved)."""
+    import numpy as np
+    import pandas as pd
+
+    from text_indexer_spark.operators.codec import encode_posting_list
+
+    def chunk(term, shard, ids):
+        ids = np.asarray(ids, dtype=np.int64)
+        enc = encode_posting_list(ids, np.ones_like(ids), ids.astype(np.float64) / 10)
+        enc["term"] = term
+        enc["shard_id"] = shard
+        return enc
+
+    rows = [
+        # term "x": shard 0 holds [0..4] + a synced add id 1000 → overlaps shard 1's [50..54]
+        chunk("x", 0, [0, 1, 2, 3, 4, 1000]),
+        chunk("x", 1, [50, 51, 52, 53, 54]),
+        # term "y": clean disjoint ranges → splice path
+        chunk("y", 0, [5, 6]),
+        chunk("y", 1, [60, 61]),
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    got = {r["term"]: r.asDict() for r in merge_term_major(df).collect()}
+
+    for t, exp_ids in (("x", [0, 1, 2, 3, 4, 50, 51, 52, 53, 54, 1000]),
+                       ("y", [5, 6, 60, 61])):
+        d = dict(got[t])
+        d["doc_ids_delta_varbyte"] = bytes(d["doc_ids_delta_varbyte"])
+        d["tfs_varbyte"] = bytes(d["tfs_varbyte"])
+        d["weights_f64"] = bytes(d["weights_f64"])
+        ids, tfs, ws = decode_merged(d)
+        assert list(ids) == exp_ids, t
+        assert list(ws) == [i / 10 for i in exp_ids], t  # weights follow their ids
+    assert got["x"]["n_chunks"] == 1  # re-encoded
+    assert got["y"]["n_chunks"] == 2  # pure splice preserved

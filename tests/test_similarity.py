@@ -187,3 +187,37 @@ def test_cosine_near_pairs_lsh_plan_has_no_cartesian(spark, vecs):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ivf_ingest_layout_prunes_and_matches(spark, vecs, tmp_path):
+    """ivf_ingest persists the corpus partitioned by cid; the indexed
+    query path must (a) show a cid PARTITION filter in the scan plan —
+    unprobed inverted lists are pruned before IO — and (b) return
+    exactly what the filter-based ivf_topk returns for the same
+    centroids/probes; full probe equals brute force."""
+    from text_indexer_spark.operators.similarity import (
+        ivf_centroids,
+        ivf_ingest,
+        ivf_topk,
+        ivf_topk_indexed,
+    )
+    from text_indexer_spark.plans.checks import formatted_plan, has_partition_filter
+
+    df, _ = vecs
+    idx = str(tmp_path / "ivf")
+    cents = ivf_centroids(df, 8, DIM)
+    ivf_ingest(df, idx, DIM, n_centroids=8, centroids=cents)
+    queries = df.filter(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+
+    got = ivf_topk_indexed(spark, idx, queries, k=5, n_probe=2)
+    assert has_partition_filter(got, "cid")
+    assert "PushedFilters" in formatted_plan(got)  # scan-level plan present
+    exp = ivf_topk(df, queries, dim=DIM, k=5, n_centroids=8, n_probe=2, centroids=cents)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, exp.collect()))
+
+    # full probe over the persisted layout == brute force
+    full = ivf_topk_indexed(spark, idx, queries, k=5, n_probe=8)
+    brute = cosine_topk(df, queries, k=5)
+    assert sorted(map(tuple, full.collect())) == sorted(map(tuple, brute.collect()))

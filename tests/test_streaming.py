@@ -216,3 +216,46 @@ def test_stream_index_maintenance_end_to_end(spark, tmp_path):
 
     for terms in (["streamed"], ["marker"], ["the", "data"]):
         assert topk(final, terms) == topk(ref, terms), terms
+
+
+def test_stream_maintenance_restart_resumes_from_committed_version(spark, tmp_path):
+    """Restarting with the SAME checkpoint_dir + versions_dir and a stale
+    index_dir must adopt the newest committed version as base (and
+    continue its numbering) — otherwise the streaming checkpoint
+    suppresses replay of batch-1 files while the base resets, silently
+    dropping every previously applied upsert."""
+    from text_indexer_spark.corpus import synthetic_corpus
+    from text_indexer_spark.operators.index_build import build_index, load_catalog
+    from text_indexer_spark.streaming.sync_stream import run_stream_index_maintenance
+
+    corpus = synthetic_corpus(spark, n_docs=30, avg_tokens=15, n_repos=3).cache()
+    idx0 = str(tmp_path / "v0")
+    build_index(corpus, idx0, num_shards=2, resume=False)
+    drop = str(tmp_path / "drops")
+    os.makedirs(drop)
+    ckpt = str(tmp_path / "ckpt")
+    versions = str(tmp_path / "versions")
+    schema = ("repo string, path string, commit string, lang string, "
+              "content string, event_time timestamp, deleted boolean")
+
+    spark.createDataFrame(
+        [("rr/a", "batch1.txt", "c1", "txt", "first streamed doc alpha", None, False)],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(drop)
+    q, latest = run_stream_index_maintenance(spark, drop, ckpt, idx0, versions)
+    q.awaitTermination(120)
+    assert latest().endswith("v0001")
+
+    # second file lands; restart the maintenance job pointing at the
+    # ORIGINAL index_dir (the stale base) with the same checkpoint
+    spark.createDataFrame(
+        [("rr/b", "batch2.txt", "c2", "txt", "second streamed doc beta", None, False)],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(drop)
+    q2, latest2 = run_stream_index_maintenance(spark, drop, ckpt, idx0, versions)
+    q2.awaitTermination(120)
+    final = latest2()
+    assert final.endswith("v0002")
+
+    paths = {r["path"] for r in load_catalog(spark, final).collect()}
+    assert "batch1.txt" in paths and "batch2.txt" in paths  # batch 1 NOT lost

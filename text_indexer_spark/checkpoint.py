@@ -10,63 +10,51 @@ scale the equivalents are:
 * an atomic ``_MANIFEST.json`` commit — partial writes are invisible
   until the manifest lands (the snapshot-isolation replacement for the
   reference's mutex, SURVEY §2.7 M6);
-* executor-side writes go to ``<file>.tmp.<uuid>`` then ``os.rename``
-  (atomic on one filesystem), so Spark task retries stay idempotent.
+* all IO routes through ``storage`` (pyarrow.fs): local writes go to
+  ``<file>.tmp.<uuid>`` then rename (atomic on one filesystem, so Spark
+  task retries stay idempotent); on object stores a single-shot PUT is
+  the atomic primitive and the manifest-last protocol carries the
+  multi-file commit.
 """
 
 from __future__ import annotations
 
-import json
-import os
 import time
-import uuid
 
+from text_indexer_spark import storage
 
 MANIFEST = "_MANIFEST.json"
 
 
 def atomic_write_json(path: str, payload: dict) -> None:
-    tmp = f"{path}.tmp.{uuid.uuid4().hex}"
-    with open(tmp, "w") as f:
-        json.dump(payload, f, indent=2, sort_keys=True)
-    os.rename(tmp, path)
+    storage.write_json_atomic(path, payload)
 
 
 def atomic_write_bytes(path: str, payload: bytes) -> None:
-    tmp = f"{path}.tmp.{uuid.uuid4().hex}"
-    with open(tmp, "wb") as f:
-        f.write(payload)
-    os.rename(tmp, path)
+    storage.write_bytes_atomic(path, payload)
 
 
 def marker_path(index_dir: str, stage: str, shard_id: int | None = None) -> str:
     name = f"{stage}.done.json" if shard_id is None else f"{stage}_shard_{shard_id:05d}.done.json"
-    return os.path.join(index_dir, "checkpoints", name)
+    return storage.join(index_dir, "checkpoints", name)
 
 
 def write_marker(
     index_dir: str, stage: str, shard_id: int | None = None, **lineage
 ) -> None:
-    os.makedirs(os.path.join(index_dir, "checkpoints"), exist_ok=True)
+    storage.makedirs(storage.join(index_dir, "checkpoints"))
     payload = {"stage": stage, "shard_id": shard_id, "ts": time.time(), **lineage}
     atomic_write_json(marker_path(index_dir, stage, shard_id), payload)
 
 
 def read_marker(index_dir: str, stage: str, shard_id: int | None = None) -> dict | None:
-    p = marker_path(index_dir, stage, shard_id)
-    if not os.path.exists(p):
-        return None
-    with open(p) as f:
-        return json.load(f)
+    return storage.read_json(marker_path(index_dir, stage, shard_id))
 
 
 def done_shards(index_dir: str, stage: str) -> set[int]:
-    d = os.path.join(index_dir, "checkpoints")
-    if not os.path.isdir(d):
-        return set()
     out = set()
     prefix = f"{stage}_shard_"
-    for name in os.listdir(d):
+    for name in storage.listdir(storage.join(index_dir, "checkpoints")):
         if name.startswith(prefix) and name.endswith(".done.json"):
             out.add(int(name[len(prefix) : len(prefix) + 5]))
     return out
@@ -79,29 +67,23 @@ def write_boundaries(index_dir: str, num_shards: int, bounds: list[str]) -> None
     """Persist the shard range boundaries before stage A starts: a
     resumed build must shard identically or completed-shard markers
     would describe the wrong doc ranges."""
-    os.makedirs(index_dir, exist_ok=True)
+    storage.makedirs(index_dir)
     atomic_write_json(
-        os.path.join(index_dir, BOUNDARIES),
+        storage.join(index_dir, BOUNDARIES),
         {"num_shards": num_shards, "bounds": bounds},
     )
 
 
 def read_boundaries(index_dir: str) -> tuple[int, list[str]] | None:
-    p = os.path.join(index_dir, BOUNDARIES)
-    if not os.path.exists(p):
+    d = storage.read_json(storage.join(index_dir, BOUNDARIES))
+    if d is None:
         return None
-    with open(p) as f:
-        d = json.load(f)
     return int(d["num_shards"]), list(d["bounds"])
 
 
 def commit_manifest(index_dir: str, manifest: dict) -> None:
-    atomic_write_json(os.path.join(index_dir, MANIFEST), manifest)
+    atomic_write_json(storage.join(index_dir, MANIFEST), manifest)
 
 
 def read_manifest(index_dir: str) -> dict | None:
-    p = os.path.join(index_dir, MANIFEST)
-    if not os.path.exists(p):
-        return None
-    with open(p) as f:
-        return json.load(f)
+    return storage.read_json(storage.join(index_dir, MANIFEST))

@@ -367,6 +367,28 @@ QUALIFY row_number() OVER (
 """
 
 
+_IVF_INDEX_CACHE: dict[str, str] = {}
+
+
+def q_ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF over the INGEST-TIME layout: corpus persisted partitioned by
+    cid (ivf_ingest), query path reads only probed partitions
+    (plan-asserted partition pruning in pytest). Full probe → must equal
+    the brute-force scorer, so it shares its SQL oracle."""
+    from text_indexer_spark.operators.similarity import ivf_ingest, ivf_topk_indexed
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()["embedding"])
+    if sf_dir not in _IVF_INDEX_CACHE:
+        idx = tempfile.mkdtemp(prefix="driver_ivf_idx_")
+        ivf_ingest(emb, idx, dim, n_centroids=4)
+        _IVF_INDEX_CACHE[sf_dir] = idx
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return ivf_topk_indexed(spark, _IVF_INDEX_CACHE[sf_dir], queries, k=10, n_probe=4)
+
+
 # ---------------------------------------------------------------- textstats
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.lang_id(load_table(spark, sf_dir, "documents"))
@@ -689,6 +711,7 @@ def queries():
         "neardup_cosine_lsh": q_neardup_cosine_lsh,
         "ann_cosine_topk": q_ann_topk,
         "ann_ivf_full_probe": q_ann_ivf_full,
+        "ann_ivf_indexed_full_probe": q_ann_ivf_indexed,
         "lang_id": q_lang_id,
         "quality_scores": q_quality,
         "token_counts": q_token_counts,
@@ -716,6 +739,7 @@ def oracle_sql():
         "neardup_cosine_lsh": sql_neardup_cosine(),
         "ann_cosine_topk": sql_ann_topk(),
         "ann_ivf_full_probe": sql_ann_topk(),
+        "ann_ivf_indexed_full_probe": sql_ann_topk(),
         "lang_id": sql_lang_id(),
         "quality_scores": sql_quality(),
         "token_counts": sql_token_counts(),

@@ -53,7 +53,6 @@ from __future__ import annotations
 import hashlib
 import os
 import time
-import uuid
 from typing import Iterator
 
 import numpy as np
@@ -87,18 +86,17 @@ _STAGE_C_SCHEMA = (
 
 def _write_shard_parquet(df: pd.DataFrame, directory: str, shard_id: int) -> None:
     import pyarrow as pa
-    import pyarrow.parquet as pq
 
-    os.makedirs(directory, exist_ok=True)
-    final = os.path.join(directory, f"shard_{shard_id:05d}.parquet")
-    tmp = f"{final}.tmp.{uuid.uuid4().hex}"
+    from text_indexer_spark import storage
+
+    storage.makedirs(directory)
+    final = storage.join(directory, f"shard_{shard_id:05d}.parquet")
     # one row group per shard file: the scan never splits a shard across
     # input partitions, which the shuffle-free query kernel relies on
-    pq.write_table(
-        pa.Table.from_pandas(df, preserve_index=False), tmp,
+    storage.write_parquet_atomic(
+        pa.Table.from_pandas(df, preserve_index=False), final,
         row_group_size=max(len(df), 1),
     )
-    os.rename(tmp, final)
 
 
 # \x01, not \x00: numpy's str arithmetic truncates at NUL, so a NUL
@@ -389,6 +387,15 @@ def build_index(
     if verify_sha is None:
         verify_sha = "content_sha256" in corpus.columns
     has_expected = "content_sha256" in corpus.columns
+
+    # Normalize NULL keys to "" ONCE at the input: every downstream
+    # accounting path (boundary sampling, per-shard countDistinct sizing,
+    # stage-A dedup, _shard_of_udf's fillna) must agree on the key of a
+    # NULL-repo/path row, or doc-id offsets diverge from the rows stage A
+    # actually assigns and ids collide across shards.
+    corpus = corpus.withColumn(
+        "repo", F.coalesce(F.col("repo"), F.lit(""))
+    ).withColumn("path", F.coalesce(F.col("path"), F.lit("")))
 
     if num_shards is None:
         num_shards = max(1, min(spark.sparkContext.defaultParallelism * 2, 256))

@@ -70,17 +70,13 @@ _MERGE_CAT_SCHEMA = "shard int, n_docs long, n_tokens long"
 
 
 def _link_or_copy(src: str, dst: str) -> None:
-    """Idempotent: a re-run after a partial failure may find the link
-    already in place — replace it (same content either way)."""
-    os.makedirs(os.path.dirname(dst), exist_ok=True)
-    if os.path.exists(dst):
-        if os.path.samefile(src, dst):
-            return
-        os.remove(dst)
-    try:
-        os.link(src, dst)
-    except OSError:
-        shutil.copy2(src, dst)
+    """Zero-copy shard carry-over via ``storage.link_or_copy``:
+    hard link on local filesystems, stream copy elsewhere. Idempotent —
+    a re-run after a partial failure may find the link already in
+    place."""
+    from text_indexer_spark import storage
+
+    storage.link_or_copy(src, dst)
 
 
 def _shard_file(base: str, sub: str, shard: int) -> str:

@@ -50,10 +50,57 @@ def merge_term_major(posting_lists: DataFrame) -> DataFrame:
     (num_shards rows per term, each ~KBs) — this IS the salted merge:
     phase-1 salt = shard, phase-2 concat. applyInPandas per term splices
     chunks without decoding.
+
+    Chunk order: a freshly built index guarantees shard order == doc-id
+    order, but a SYNCED index does not — ``index_sync`` mints added-doc
+    ids above the global max regardless of which shard they land in. So
+    chunks are ordered by their actual first doc id (one varbyte decode
+    per chunk, the block-restart value), the doc-id ranges are checked
+    for monotonicity, and only a term whose chunk ranges genuinely
+    overlap pays a decode → merge-sort → re-encode; disjoint-range terms
+    (all of a fresh build, most of a synced one) still splice pure
+    bytes.
     """
+    from text_indexer_spark.operators.codec import (
+        decode_posting_list,
+        encode_posting_list,
+        varbyte_decode,
+    )
+
+    def _reencode(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids_all, tf_all, w_all = [], [], []
+        for _, r in pdf.iterrows():
+            ids, tfs, w = decode_posting_list(r)
+            ids_all.append(ids)
+            tf_all.append(tfs)
+            w_all.append(w)
+        ids = np.concatenate(ids_all)
+        enc = encode_posting_list(
+            ids, np.concatenate(tf_all), np.concatenate(w_all)
+        )
+        enc["term"] = pdf["term"].iloc[0]
+        enc["n_chunks"] = 1
+        return pd.DataFrame([enc])
 
     def splice(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("shard_id")  # shard order == doc-id order
+        first_ids = [
+            int(varbyte_decode(memoryview(bytes(b)), 1)[0]) if len(b) else -1
+            for b in pdf["doc_ids_delta_varbyte"]
+        ]
+        pdf = (
+            pdf.assign(_first_id=first_ids)
+            .sort_values("_first_id")
+            .drop(columns=["_first_id"])
+        )
+        last_ids = [
+            int(r[-1]) if len(r) else -1 for r in pdf["block_last_id"]
+        ]
+        firsts_sorted = sorted(first_ids)
+        if any(
+            firsts_sorted[i + 1] <= last_ids[i]
+            for i in range(len(last_ids) - 1)
+        ):
+            return _reencode(pdf)  # interleaved ranges (synced index)
         ids_parts, tf_parts, w_parts = [], [], []
         last_id, max_tf, max_w, id_off, tf_off = [], [], [], [], []
         id_base = 0

@@ -51,26 +51,45 @@ def dedup_corpus(corpus: DataFrame) -> DataFrame:
 
 
 def assign_doc_ids(corpus: DataFrame, num_partitions: int | None = None) -> DataFrame:
-    """Add ``doc_id`` = global rank of (repo, path, commit), 0-based.
+    """Add ``doc_id`` = global rank of (repo, path), 0-based (callers
+    pass a ``dedup_corpus``'d frame, so keys are unique and commit never
+    has to break a tie).
 
-    Deterministic and parallel: range-partition + local sort, then
-    per-partition offsets (computed from a tiny count-by-partition
-    aggregate) + local row numbers attached in a single mapInPandas pass.
-    A plain ``row_number() over (order by ...)`` would funnel every row
-    through one reducer at 10^12 scale.
+    Deterministic and parallel, sharing the index builder's machinery
+    (``index_build._compute_boundaries`` / ``_shard_of_udf`` /
+    ``_route_tokens``): explicit sampled boundaries from a PRUNED
+    (repo, path) scan replace ``repartitionByRange``, whose hidden
+    sampling job re-executes the full child plan (a second `content`
+    scan at 100 TB — the exact double-execution the builder's stage A
+    avoids). Per-shard offsets come from one pruned count aggregate
+    (tiny driver cumsum); ranks attach in a single mapInPandas pass over
+    the one wide shuffle. A plain ``row_number() over (order by ...)``
+    would funnel every row through one reducer at 10^12 scale.
     """
+    from text_indexer_spark.operators.index_build import (
+        _compute_boundaries,
+        _route_tokens,
+        _shard_of_udf,
+        _sharded_sorted,
+    )
+
     spark = corpus.sparkSession
     if num_partitions is None:
         num_partitions = max(spark.sparkContext.defaultParallelism, 8)
-    sorted_df = corpus.repartitionByRange(num_partitions, *SORT_KEYS).sortWithinPartitions(
-        *SORT_KEYS
-    )
-    sorted_df = sorted_df.withColumn("_pid", F.spark_partition_id())
-    # Tiny aggregate: one row per partition → driver cumsum → broadcast.
+    bounds = _compute_boundaries(corpus, num_partitions)
+    route = _route_tokens(spark, num_partitions)
+    shard_of = _shard_of_udf(bounds)
+    # Tiny aggregate over PRUNED key columns: one row per shard →
+    # driver cumsum → broadcast.
     sizes = {
         r["_pid"]: r["n"]
-        for r in sorted_df.groupBy("_pid").agg(F.count("*").alias("n")).collect()
+        for r in corpus.select("repo", "path")
+        .withColumn("_pid", shard_of("repo", "path"))
+        .groupBy("_pid")
+        .agg(F.count("*").alias("n"))
+        .collect()
     }
+    sorted_df = _sharded_sorted(corpus, bounds, route)
     offsets = {}
     acc = 0
     for pid in sorted(sizes):

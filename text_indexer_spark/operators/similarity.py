@@ -323,6 +323,90 @@ def _centroid_probes_udf(cents, n_probe: int):
     return probes
 
 
+def ivf_ingest(
+    embeddings: DataFrame,
+    index_dir: str,
+    dim: int,
+    n_centroids: int = 8,
+    centroids: list[list[float]] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Ingest-time IVF layout: assign every vector its nearest-centroid
+    ``cid`` ONCE and persist the corpus PARTITIONED BY ``cid`` (one
+    directory per inverted list), with the centroids stored next to it.
+
+    This is the 100 TB shape: a query's probe set then becomes a
+    partition-PRUNED scan (``ivf_topk_indexed``) — the other
+    ``n_centroids − n_probe`` lists are never opened, enforced by a plan
+    assertion in tests. The filter-based ``ivf_topk`` remains as the
+    ad-hoc/oracle path over unpartitioned data."""
+    import json
+    import os
+
+    if centroids is None:
+        centroids = ivf_centroids(
+            embeddings, n_centroids, dim, id_col=id_col, vec_col=vec_col
+        )
+    assign = _centroid_assign_udf(centroids)
+    (
+        embeddings.withColumn("cid", assign(F.col(vec_col)))
+        .write.mode("overwrite")
+        .partitionBy("cid")
+        .parquet(os.path.join(index_dir, "vectors"))
+    )
+    tmp = os.path.join(index_dir, "centroids.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump({"dim": dim, "centroids": centroids}, f)
+    os.replace(tmp, os.path.join(index_dir, "centroids.json"))
+    return centroids
+
+
+def ivf_topk_indexed(
+    spark,
+    index_dir: str,
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 4,
+) -> DataFrame:
+    """IVF ANN over an ``ivf_ingest``-persisted layout: the union of the
+    queries' probe lists becomes a partition filter on the ``cid``-
+    partitioned parquet — Spark prunes unprobed list directories at
+    planning time (no IO, no decode; PartitionFilters in the plan).
+    Same output shape/semantics as ``ivf_topk``."""
+    import json
+    import os
+
+    with open(os.path.join(index_dir, "centroids.json")) as f:
+        meta = json.load(f)
+    centroids = meta["centroids"]
+    probes = _centroid_probes_udf(centroids, n_probe)
+    q = queries.select(
+        "query_id", "query_vec", F.explode(probes(F.col("query_vec"))).alias("cid")
+    )
+    # the probe-cid union is tiny (≤ queries × n_probe): collect it so
+    # the scan filter is a LITERAL in-list — that is what lets Catalyst
+    # prune partitions at plan time instead of scanning + filtering
+    probe_cids = sorted({r["cid"] for r in q.select("cid").distinct().collect()})
+    vectors = spark.read.parquet(os.path.join(index_dir, "vectors")).filter(
+        F.col("cid").isin(probe_cids)
+    )
+    scored = (
+        vectors.join(F.broadcast(q), "cid")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col),
+            F.round(cosine_expr(F.col(vec_col), F.col("query_vec")), round_to).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc(id_col))
+    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k).drop("rn")
+
+
 def ivf_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -343,9 +427,11 @@ def ivf_topk(
     as ``n_probe`` shrinks while cost drops to ~``n_probe/n_centroids``
     of the corpus per query.
 
-    At 100 TB the assignment column is computed once at ingest and the
-    corpus is written bucketed/partitioned by ``cid``, so a probe is a
-    partition-pruned scan, not a filter."""
+    At 100 TB use ``ivf_ingest`` + ``ivf_topk_indexed``: the assignment
+    is computed once at ingest, the corpus persisted partitioned by
+    ``cid``, and a probe becomes a partition-pruned scan, not a filter
+    over the full corpus (this function recomputes ``cid`` per call —
+    the ad-hoc/differential path)."""
     if centroids is None:
         centroids = ivf_centroids(
             embeddings, n_centroids, dim, id_col=id_col, vec_col=vec_col

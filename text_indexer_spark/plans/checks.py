@@ -52,6 +52,15 @@ def read_schema_columns(df: DataFrame) -> set[str]:
     return cols
 
 
+def has_partition_filter(df: DataFrame, fragment: str) -> bool:
+    """True if a file scan carries a PARTITION filter containing
+    ``fragment`` — i.e. directory-level pruning happens at planning
+    time, before any IO."""
+    plan = formatted_plan(df)
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    return bool(m and fragment in m.group(1))
+
+
 def broadcast_join_count(df: DataFrame) -> int:
     return len(re.findall(r"BroadcastHashJoin|BroadcastNestedLoopJoin", formatted_plan(df)))
 

@@ -101,15 +101,34 @@ def run_stream_index_maintenance(
     Version commits are serialized by the single writer foreachBatch
     guarantees (one micro-batch at a time per query) — the streaming
     analogue of the reference's indexer mutex (``DocumentsIndexer.kt:
-    29``)."""
-    import os
+    29``).
 
+    Restart-safe: the base index is NOT blindly ``index_dir`` — on
+    start-up the newest COMMITTED version under ``versions_dir`` (valid
+    ``_MANIFEST.json``) is adopted as the base and its numbering
+    continued. Without this, restarting with the same ``checkpoint_dir``
+    would silently drop every previously applied batch: the streaming
+    checkpoint suppresses replay of processed files while the index base
+    reset to the stale ``index_dir``."""
+    import os
+    import re
+
+    from text_indexer_spark.checkpoint import read_manifest
     from text_indexer_spark.operators.index_sync import (
         sync_index_dir,
         upserts_as_snapshot,
     )
 
     state = {"latest": index_dir, "n": 0}
+    if os.path.isdir(versions_dir):
+        committed = []
+        for name in os.listdir(versions_dir):
+            m = re.fullmatch(r"v(\d+)", name)
+            p = os.path.join(versions_dir, name)
+            if m and read_manifest(p) is not None:
+                committed.append((int(m.group(1)), p))
+        if committed:
+            state["n"], state["latest"] = max(committed)
 
     def apply_batch(batch_df, batch_id):
         if batch_df.isEmpty():
