@@ -199,6 +199,86 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
 """
 
 
+# ---------------------------------------------------------------- registry
+def q_registry_listing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end registry state machine (nested/independent provenance,
+    operators/registry.py) over a deterministic event sequence on the
+    documents table:
+
+    1. every ``source`` added as a DIR source sweeping its docs with
+       doc_id%5 != 0 (→ nested) into synthetic sub-paths;
+    2. docs with doc_id%5 == 0 added as explicit FILE sources
+       (→ independent);
+    3. docs with doc_id%7 == 0 among the swept ones removed; the
+       lang='en' ones "still exist on the source" → their source dirs
+       demote to NotIndexed (IndexedFileManager.kt:36-58);
+    4. source dir 'src1' removed outright (subtree drop).
+
+    Output = final ANY listing (dir rows carry doc_id = -1: a NULL
+    would be engine-ambiguous in the driver's value compare). The
+    oracle is the closed form of the same rules."""
+    from text_indexer_spark.operators import registry as R
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.lit("corpus").alias("repo"),
+        F.concat(
+            F.col("source"), F.lit("/sub"), F.pmod(F.col("doc_id"), F.lit(3)),
+            F.lit("/doc_"), F.col("doc_id"), F.lit(".txt"),
+        ).alias("path"),
+        "doc_id", "source", "lang",
+    )
+    dirs = docs.select("repo", F.col("source").alias("path")).distinct()
+    state = R.empty_state(spark)
+    state = R.add_dir_source(
+        state, dirs, docs.filter(F.pmod("doc_id", F.lit(5)) != 0).select("repo", "path", "doc_id")
+    )
+    state = R.add_file_sources(
+        state, docs.filter(F.pmod("doc_id", F.lit(5)) == 0).select("repo", "path", "doc_id")
+    )
+    state = R.remove_items(
+        state,
+        files_to_remove=docs.filter(
+            (F.pmod("doc_id", F.lit(7)) == 0) & (F.pmod("doc_id", F.lit(5)) != 0)
+        ).select("repo", "path", (F.col("lang") == "en").alias("still_exists")),
+    )
+    state = R.remove_items(
+        state,
+        dirs_to_remove=spark.createDataFrame(
+            [("corpus", "src1", False)], "repo string, path string, contains_any_file boolean"
+        ),
+    )
+    return R.list_indexed(state).withColumn(
+        "doc_id", F.coalesce(F.col("doc_id"), F.lit(-1)).cast("long")
+    )
+
+
+def sql_registry_listing() -> str:
+    return """
+WITH f AS (
+  SELECT 'corpus' AS repo,
+         source || '/sub' || (doc_id % 3) || '/doc_' || doc_id || '.txt' AS path,
+         'file' AS kind, doc_id,
+         (doc_id % 5 <> 0) AS is_nested, source, lang
+  FROM documents
+),
+survivors AS (
+  SELECT repo, path, kind, doc_id, is_nested FROM f
+  WHERE source <> 'src1' AND NOT (doc_id % 7 = 0 AND doc_id % 5 <> 0)
+),
+demoted AS (
+  SELECT DISTINCT source FROM f
+  WHERE doc_id % 7 = 0 AND doc_id % 5 <> 0 AND lang = 'en'
+),
+dirs AS (
+  SELECT DISTINCT 'corpus' AS repo, source AS path, 'dir' AS kind,
+         (-1)::BIGINT AS doc_id, FALSE AS is_nested
+  FROM documents
+  WHERE source <> 'src1' AND source NOT IN (SELECT source FROM demoted)
+)
+SELECT * FROM survivors UNION ALL SELECT * FROM dirs
+"""
+
+
 # ---------------------------------------------------------------- clustering
 def _planted_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents ∪ planted exact duplicates (same planting rule as
@@ -699,6 +779,7 @@ def _sql_postings_oracle() -> str:
 # ---------------------------------------------------------------- registry
 def queries():
     return {
+        "registry_listing": q_registry_listing,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_sigs": q_dedup_minhash,
         "dedup_lsh_pairs": q_dedup_lsh_pairs,
@@ -727,6 +808,7 @@ def queries():
 
 def oracle_sql():
     return {
+        "registry_listing": sql_registry_listing(),
         "dedup_exact": sql_dedup_exact(),
         "dedup_minhash_sigs": sql_dedup_minhash(),
         "dedup_lsh_pairs": sql_dedup_lsh_pairs(),

@@ -469,8 +469,19 @@ def build_index(
                         "lang": rows["lang"].values,
                         "content_sha256": sha.values,
                         "doc_len": doc_lens,
-                        "is_nested": rows["path"].str.contains("/").values,
-                        "source_root": rows["repo"].values,
+                        # provenance pass-through (registry.py is the
+                        # state machine); path-shape is only the default
+                        # for provenance-less corpora
+                        "is_nested": (
+                            rows["is_nested"].fillna(False).to_numpy(dtype=bool)
+                            if "is_nested" in rows.columns
+                            else rows["path"].str.contains("/").values
+                        ),
+                        "source_root": (
+                            rows["source_root"].values
+                            if "source_root" in rows.columns
+                            else rows["repo"].values
+                        ),
                     }
                 )
             )

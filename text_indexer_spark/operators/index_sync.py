@@ -204,8 +204,16 @@ def sync_index_dir(
             )
             .withColumn("_toks", tokenize_column(F.coalesce(F.col("content"), F.lit(""))))
             .withColumn("doc_len", F.size("_toks").cast("long"))
-            .withColumn("is_nested", F.col("path").contains("/"))
-            .withColumn("source_root", F.col("repo"))
+            .withColumn(
+                "is_nested",
+                F.col("is_nested") if "is_nested" in with_ids.columns
+                else F.col("path").contains("/"),
+            )
+            .withColumn(
+                "source_root",
+                F.col("source_root") if "source_root" in with_ids.columns
+                else F.col("repo"),
+            )
             .withColumn("shard", shard_of("repo", "path"))
             .cache()
         )

@@ -124,9 +124,13 @@ def build_catalog(corpus: DataFrame, num_partitions: int | None = None) -> DataF
     source (input_hint): if the source table carries its own
     ``content_sha256`` column that value is kept as the EXPECTED hash
     (and the build's stage A recomputes + compares); otherwise it is
-    derived here. ``is_nested`` mirrors the reference's
-    nested-vs-independent dir state (``IndexedItem.kt:17-22``): a file in
-    a subdirectory of its source root is "nested".
+    derived here. ``is_nested`` / ``source_root`` mirror the reference's
+    nested-vs-independent provenance (``IndexedItem.kt:17-22``). They
+    are EVENT properties, not path properties (``operators/registry.py``
+    holds the full state machine): a corpus carrying them (e.g. joined
+    from a registry listing) passes them through verbatim; without
+    provenance columns the path-shape default applies (file in a
+    subdirectory = swept by its root).
     """
     has_expected = "content_sha256" in corpus.columns
     with_ids = assign_doc_ids(dedup_corpus(corpus), num_partitions)
@@ -134,6 +138,13 @@ def build_catalog(corpus: DataFrame, num_partitions: int | None = None) -> DataF
         F.col("content_sha256")
         if has_expected
         else F.sha2(F.coalesce(F.col("content"), F.lit("")), 256)
+    )
+    nested_col = (
+        F.col("is_nested") if "is_nested" in corpus.columns
+        else F.col("path").contains("/")
+    )
+    root_col = (
+        F.col("source_root") if "source_root" in corpus.columns else F.col("repo")
     )
     return with_ids.select(
         "doc_id",
@@ -143,8 +154,8 @@ def build_catalog(corpus: DataFrame, num_partitions: int | None = None) -> DataF
         "lang",
         sha_col.alias("content_sha256"),
         F.size(tokenize_column(F.coalesce(F.col("content"), F.lit("")))).alias("doc_len"),
-        F.col("path").contains("/").alias("is_nested"),
-        F.col("repo").alias("source_root"),
+        nested_col.alias("is_nested"),
+        root_col.alias("source_root"),
         "content",
     )
 
