@@ -142,3 +142,38 @@ def test_dir_summary(v1):
     assert rows["texts"]["n_docs"] == 4
     assert rows["src"]["n_docs"] == 1
     assert rows["texts"]["n_nested"] == 1
+
+
+def test_table_snapshot_parquet_rejects_time_travel(spark):
+    """Parquet dirs have no snapshot history: time-travel options must
+    fail loudly, plain reads pass through to load_table."""
+    import pytest as _pytest
+
+    from text_indexer_spark.sources.tables import table_snapshot
+
+    sf = "/root/testdata/sf0.001"
+    assert table_snapshot(spark, sf, "documents").count() > 0
+    with _pytest.raises(ValueError):
+        table_snapshot(spark, sf, "documents", snapshot_id=123)
+    with _pytest.raises(ValueError):
+        table_snapshot(spark, sf, "documents", as_of_ms=1700000000000)
+
+
+def test_assign_doc_ids_edge_shapes(spark):
+    """Degenerate inputs through the boundary-based rank: empty corpus,
+    one distinct key (no boundaries), and rank == sorted (repo, path)."""
+    from text_indexer_spark.operators.postings import assign_doc_ids
+
+    schema = "repo string, path string, commit string, lang string, content string"
+    empty = spark.createDataFrame([], schema)
+    assert assign_doc_ids(empty).count() == 0
+
+    one = spark.createDataFrame([("r", "p", "c", "l", "x")], schema)
+    assert [r["doc_id"] for r in assign_doc_ids(one).collect()] == [0]
+
+    rows = [(f"r{i%3}", f"p{i}", "c", "l", "x") for i in range(40)]
+    df = spark.createDataFrame(rows, schema)
+    got = sorted((r["repo"], r["path"], r["doc_id"]) for r in assign_doc_ids(df).collect())
+    expected_order = sorted((r, p) for r, p, *_ in rows)
+    assert [(r, p) for r, p, _ in got] == expected_order
+    assert [i for *_, i in got] == list(range(40))  # dense global rank

@@ -65,3 +65,20 @@ def test_fingerprints_dups_collide(docs):
     assert fp[4] == fp[5]
     assert fp[0] != fp[4]
     assert all(len(v) == 32 for v in fp.values())  # md5 hex
+
+
+def test_filter_by_quality_zero_shuffle_and_semantics(spark):
+    """filter_by_quality is a scan-fused row-local filter (zero
+    exchanges) and keeps exactly the rows quality_scores clears."""
+    from text_indexer_spark.operators.textstats import filter_by_quality, quality_scores
+    from text_indexer_spark.plans.checks import count_exchanges
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    kept = filter_by_quality(docs, min_quality=0.4)
+    assert count_exchanges(kept) == 0
+    exp = {
+        r["doc_id"]
+        for r in quality_scores(docs).filter("quality >= 0.4").collect()
+    }
+    got = {r["doc_id"] for r in kept.collect()}
+    assert got == exp and 0 < len(got) < docs.count()

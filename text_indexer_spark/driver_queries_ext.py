@@ -537,6 +537,27 @@ FROM y
 """
 
 
+QUALITY_KEEP_T = 0.4  # sf0.01: keeps 278/500 docs — non-vacuous both ways
+
+
+def q_quality_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-filtered corpus materialization: one shuffle-free pass
+    (filter fused into the scan — plan-asserted in pytest)."""
+    docs = load_table(spark, sf_dir, "documents")
+    kept = textstats.filter_by_quality(docs, min_quality=QUALITY_KEEP_T)
+    return kept.select(
+        "doc_id", F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("content_md5")
+    )
+
+
+def sql_quality_kept() -> str:
+    return f"""
+SELECT doc_id, md5(coalesce(text, '')) AS content_md5
+FROM documents WHERE doc_id IN (
+  SELECT doc_id FROM ({sql_quality()}) WHERE quality >= {QUALITY_KEEP_T})
+"""
+
+
 def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.token_counts(load_table(spark, sf_dir, "documents"))
 
@@ -795,6 +816,7 @@ def queries():
         "ann_ivf_indexed_full_probe": q_ann_ivf_indexed,
         "lang_id": q_lang_id,
         "quality_scores": q_quality,
+        "quality_kept_corpus": q_quality_kept,
         "token_counts": q_token_counts,
         "doc_fingerprints": q_fingerprints,
         "multimodal_meta": q_multimodal_meta,
@@ -824,6 +846,7 @@ def oracle_sql():
         "ann_ivf_indexed_full_probe": sql_ann_topk(),
         "lang_id": sql_lang_id(),
         "quality_scores": sql_quality(),
+        "quality_kept_corpus": sql_quality_kept(),
         "token_counts": sql_token_counts(),
         "doc_fingerprints": sql_fingerprints(),
         "multimodal_meta": sql_multimodal_meta(),

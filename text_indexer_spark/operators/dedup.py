@@ -13,12 +13,16 @@ Python in any hot path; md5/xxhash64 are Spark built-ins):
   engine-portable — the DuckDB oracle computes the identical
   signatures).
 * ``simhash_signatures`` — per-token md5-derived ±1 bit votes weighted
-  by tf; near-dups have small Hamming distance. Bits are materialized as
-  an integer for banding/grouping.
+  by tf; near-dups have small Hamming distance. ``simhash_near_pairs``
+  finds all pairs within Hamming ≤ d via (d+1)-band pigeonhole
+  bucketing: recall 1.0, equi-join only, never a cartesian.
+* pair → CLUSTER closure and cleaned-corpus materialization live in
+  ``cluster.py`` (connected components over any pair source).
 * ``ngram_jaccard_pairs`` — exact token-n-gram Jaccard via shingle
-  self-join; the LSH path above is the scale version of this exact one
-  (document the blow-up: a shingle shared by m docs emits m² pair rows —
-  hot shingles should be capped/df-filtered at 100 TB, knob provided).
+  self-join; the LSH path above is the scale version of this exact one.
+  A shingle shared by m docs emits m² pair rows, so the hot-shingle cap
+  defaults ON (``DEFAULT_MAX_SHINGLE_DF``; ``hot_shingles`` audits what
+  it drops).
 * embedding near-dup lives in ``similarity.py`` (cosine).
 """
 

@@ -108,19 +108,44 @@ _KEY_SEP = "\x01"
 
 
 def _shard_of_udf(bounds: list[str]):
-    """Vectorized (repo, path) → shard id: binary search over the
-    broadcast boundary keys."""
-    from pyspark.sql.functions import pandas_udf
+    """(repo, path) → shard id, as a PURE JVM expression: a balanced
+    binary-search ``when()`` tree over the literal boundary keys
+    (depth = ⌈log2(#shards)⌉, fully inside whole-stage codegen — a
+    higher-order ``filter`` over an array literal would be interpreted
+    per row, and the previous vectorized pandas UDF added an Arrow
+    round trip + Python-worker spin-up to the sizing/routing passes;
+    differentially micro-benchmarked, the tree needs no Python workers
+    at all and keeps the wide routing stage in one codegen span).
 
-    barr = np.array(bounds, dtype=object)
+    Collation note: Spark SQL compares strings as UTF-8 bytes
+    (UTF8String), which is code-point order — the SAME order Python's
+    ``sorted`` and numpy's object-string comparisons use, so boundary
+    computation, this assignment, and ``sortWithinPartitions`` all
+    agree for any input."""
+    if not bounds:
+        def shard_of_zero(repo: str, path: str):
+            return F.lit(0).cast("int")
 
-    @pandas_udf("int")
-    def shard_of(repo: pd.Series, path: pd.Series) -> pd.Series:
-        if barr.size == 0:
-            return pd.Series(np.zeros(len(repo), dtype=np.int32))
-        keys = (repo.fillna("") + _KEY_SEP + path.fillna("")).to_numpy(dtype=object)
-        pid = np.searchsorted(barr, keys, side="right")
-        return pd.Series(pid.astype(np.int32))
+        return shard_of_zero
+
+    def shard_of(repo: str, path: str):
+        key = F.concat(
+            F.coalesce(F.col(repo), F.lit("")),
+            F.lit(_KEY_SEP),
+            F.coalesce(F.col(path), F.lit("")),
+        )
+
+        # shard id = right-bisect(bounds, key): key < bounds[mid] → id
+        # in [lo, mid], else [mid+1, hi]
+        def tree(lo: int, hi: int):
+            if lo == hi:
+                return F.lit(lo)
+            mid = (lo + hi) // 2
+            return F.when(key < F.lit(bounds[mid]), tree(lo, mid)).otherwise(
+                tree(mid + 1, hi)
+            )
+
+        return tree(0, len(bounds)).cast("int")
 
     return shard_of
 
@@ -138,10 +163,12 @@ def _compute_boundaries(corpus: DataFrame, num_shards: int) -> list[str]:
     parallelism shard identically. Bottom-k over the key hash is a
     uniform sample of DISTINCT keys (duplicates share a hash)."""
     target = num_shards * 256
+    r0 = F.coalesce(F.col("repo"), F.lit(""))
+    p0 = F.coalesce(F.col("path"), F.lit(""))
     sampled = (
         corpus.select(
-            F.concat(F.col("repo"), F.lit(_KEY_SEP), F.col("path")).alias("k"),
-            F.xxhash64("repo", "path").alias("h"),
+            F.concat(r0, F.lit(_KEY_SEP), p0).alias("k"),
+            F.xxhash64(r0, p0).alias("h"),
         )
         .orderBy("h")
         .limit(target)
@@ -312,8 +339,16 @@ def encode_shards(
         bdf = spark.sparkContext.broadcast({r["term"]: r["df"] for r in df_rows})
 
         def encode_from_file(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            import pyarrow as pa
             import pyarrow.parquet as pq
 
+            # one OS thread per task: pyarrow defaults its pool to the
+            # MACHINE's cpu count, so K concurrent tasks on a K-core
+            # executor would spawn K×machine_cpus threads — pure
+            # oversubscription (measured: drags the pinned small-core
+            # scaling configs). Parallelism comes from Spark tasks.
+            pa.set_cpu_count(1)
+            pa.set_io_thread_count(2)
             for b in batches:
                 for _, row in b.iterrows():
                     t0 = time.time()
@@ -438,6 +473,10 @@ def build_index(
     catalog_dir = os.path.join(index_dir, CATALOG_DIR)
 
     def stage_a(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pyarrow as pa
+
+        pa.set_cpu_count(1)  # see encode_from_file: task = one thread
+        pa.set_io_thread_count(2)
         t0 = time.time()
         pid = None
         pending: pd.DataFrame | None = None  # last run's candidate row

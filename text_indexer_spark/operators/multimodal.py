@@ -56,24 +56,25 @@ def _fake_decode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     n_frames, feature[FEATURE_DIM]). The fake derives them from
     sha256(payload) so results are stable across runs and cluster sizes.
     """
-    out_rows = []
-    for _, r in pdf.iterrows():
-        payload = bytes(r["payload"]) if r["payload"] is not None else b""
-        h = hashlib.sha256(payload).digest()
-        rng = np.frombuffer(h, dtype=np.uint8).astype(np.float32)
-        feature = np.resize(rng, FEATURE_DIM) / 255.0
-        out_rows.append(
-            {
-                "media_id": int(r["media_id"]),
-                "kind": r["kind"],
-                "n_bytes": len(payload),
-                "width": int(h[0]) + 1,
-                "height": int(h[1]) + 1,
-                "n_frames": (int(h[2]) % 30 + 1) if r["kind"] == "video" else 1,
-                "feature": feature.tolist(),
-            }
-        )
-    return pd.DataFrame(out_rows)
+    payloads = [bytes(p) if p is not None else b"" for p in pdf["payload"]]
+    digests = np.frombuffer(
+        b"".join(hashlib.sha256(p).digest() for p in payloads), dtype=np.uint8
+    ).reshape(len(payloads), 32)
+    features = digests[:, :FEATURE_DIM].astype(np.float32) / 255.0
+    kinds = pdf["kind"].to_numpy()
+    return pd.DataFrame(
+        {
+            "media_id": pdf["media_id"].astype("int64").to_numpy(),
+            "kind": kinds,
+            "n_bytes": np.fromiter(map(len, payloads), dtype=np.int64, count=len(payloads)),
+            "width": digests[:, 0].astype(np.int32) + 1,
+            "height": digests[:, 1].astype(np.int32) + 1,
+            "n_frames": np.where(
+                kinds == "video", digests[:, 2].astype(np.int32) % 30 + 1, 1
+            ).astype(np.int32),
+            "feature": list(features),
+        }
+    )
 
 
 def decode_media(media: DataFrame, strict: bool = False) -> DataFrame:

@@ -89,6 +89,35 @@ def quality_scores(
     )
 
 
+def quality_expr(text_col: str = "text", round_to: int = 4):
+    """The composite quality score as a row-local Column (shared by
+    ``quality_scores`` and ``filter_by_quality``)."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    toks = tokenize_column(text_col)
+    n_chars = F.length(t)
+    n_alpha = F.length(F.regexp_replace(t, "[^a-zA-Z0-9]", ""))
+    n_punct = F.length(F.regexp_replace(t, "[^.,;:!?]", ""))
+    n_tokens = F.size(toks)
+    alpha_ratio = F.when(n_chars > 0, n_alpha / n_chars).otherwise(F.lit(0.0))
+    punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))
+    length_sat = F.least(F.lit(1.0), n_tokens / F.lit(100.0))
+    return F.round(length_sat * alpha_ratio * (F.lit(1.0) - punct_ratio), round_to)
+
+
+def filter_by_quality(
+    df: DataFrame,
+    min_quality: float = 0.4,
+    text_col: str = "text",
+) -> DataFrame:
+    """Cleaned-corpus materialization by quality: keep rows whose
+    composite ``quality`` clears the threshold — the filtering step a
+    training pipeline runs after scoring (mirrors
+    ``cluster.materialize_deduped`` for the dedup family). One pass,
+    ZERO shuffle: the score is a row-local expression, so the filter
+    fuses into the scan (whole-stage codegen, plan-asserted)."""
+    return df.filter(quality_expr(text_col) >= min_quality)
+
+
 def token_counts(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

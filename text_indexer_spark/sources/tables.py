@@ -41,6 +41,39 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def table_snapshot(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    snapshot_id: int | None = None,
+    as_of_ms: int | None = None,
+) -> DataFrame:
+    """Read a table AS OF a snapshot — the natural ``source`` argument
+    for ``index_sync.sync_index_dir`` (diff the committed index against
+    any table version).
+
+    Catalog namespaces get Iceberg time travel (``snapshot-id`` /
+    ``as-of-timestamp`` read options — pure Spark reader config, no
+    extra code path); parquet directories have no snapshot history, so
+    both options are rejected there rather than silently ignored —
+    snapshot semantics for local dirs come from the engine's own
+    versioned index directories (``index_sync``) instead."""
+    if os.sep not in sf_dir and not os.path.isdir(sf_dir):
+        reader = spark.read
+        if snapshot_id is not None:
+            reader = reader.option("snapshot-id", int(snapshot_id))
+        if as_of_ms is not None:
+            reader = reader.option("as-of-timestamp", int(as_of_ms))
+        return reader.table(f"{sf_dir}.{name}")
+    if snapshot_id is not None or as_of_ms is not None:
+        raise ValueError(
+            "parquet-directory sources have no snapshot history; time "
+            "travel requires an Iceberg catalog namespace (or use the "
+            "engine's versioned index dirs)"
+        )
+    return load_table(spark, sf_dir, name)
+
+
 def documents_as_corpus(
     spark: SparkSession, sf_dir: str, num_partitions: int | None = None
 ) -> DataFrame:
