@@ -89,3 +89,29 @@ def test_cli_sync_index(spark, corpus_dir, tmp_path, capsys):
     assert rc == 0
     lines = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
     assert any(h.get("score") for h in lines)
+
+
+def test_cli_dedup(spark, tmp_path, capsys):
+    """dedup subcommand: plant an exact duplicate + a near-duplicate;
+    the cleaned corpus drops the dupes and keeps everything else."""
+    from pyspark.sql import functions as F
+
+    base = golden_corpus(spark, snapshot=1)
+    one = base.orderBy("repo", "path").first()
+    planted = spark.createDataFrame(
+        [
+            (one["repo"], "zz/exact_copy.txt", "c9", one["lang"], one["content"]),
+        ],
+        "repo string, path string, commit string, lang string, content string",
+    )
+    d = str(tmp_path / "corpus")
+    base.unionByName(planted).write.parquet(d)
+    out = str(tmp_path / "clean")
+    rc = cli.main(["dedup", "--corpus", d, "--out", out])
+    assert rc == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["rows_in"] == base.count() + 1
+    assert stats["rows_dropped"] >= 1  # at least the planted exact dup
+    kept = spark.read.parquet(out)
+    # exactly one of the two identical contents survives
+    assert kept.filter(F.col("content") == one["content"]).count() == 1

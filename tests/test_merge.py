@@ -108,3 +108,58 @@ def test_merge_handles_interleaved_chunk_ranges(spark):
         assert list(ws) == [i / 10 for i in exp_ids], t  # weights follow their ids
     assert got["x"]["n_chunks"] == 1  # re-encoded
     assert got["y"]["n_chunks"] == 2  # pure splice preserved
+
+
+def test_merge_over_synced_index_end_to_end(spark, tmp_path):
+    """Full pipeline: build → sync_index_dir with ADDS (mints doc ids
+    above the global max in arbitrary shards) → term-major merge of the
+    SYNCED index must decode to exactly the synced postings relation,
+    globally sorted per term."""
+    from pyspark.sql import functions as F
+
+    from text_indexer_spark.operators.index_build import build_index, load_posting_lists
+    from text_indexer_spark.operators.index_sync import sync_index_dir
+
+    corpus = synthetic_corpus(spark, 80, avg_tokens=25, n_repos=4).cache()
+    idx = str(tmp_path / "base")
+    build_index(corpus, idx, num_shards=4, resume=False)
+
+    # adds that land in the FIRST shard by key order ("aa/..."), with
+    # fresh ids above every existing id → interleaved chunk ranges
+    adds = spark.createDataFrame(
+        [("aa/added", f"doc{i}.txt", "c1", "txt",
+          "merge vector stream added content") for i in range(6)],
+        "repo string, path string, commit string, lang string, content string",
+    )
+    snapshot = corpus.unionByName(adds)
+    out = str(tmp_path / "synced")
+    sync_index_dir(spark, idx, snapshot, out)
+
+    merged = merge_term_major(load_posting_lists(spark, out))
+    # expected relation: decode per-shard lists of the synced index
+    exp: dict[str, list] = {}
+    for row in load_posting_lists(spark, out).collect():
+        d = row.asDict()
+        ids, tfs, _ = decode_posting_list(
+            {
+                "df": d["df"],
+                "doc_ids_delta_varbyte": bytes(d["doc_ids_delta_varbyte"]),
+                "tfs_varbyte": bytes(d["tfs_varbyte"]),
+                "weights_f64": bytes(d["weights_f64"]),
+                "block_id_off": list(d["block_id_off"]),
+            }
+        )
+        exp.setdefault(d["term"], []).extend(zip(ids, tfs))
+    for t in exp:
+        exp[t].sort()
+
+    for row in merged.collect():
+        d = row.asDict()
+        d["doc_ids_delta_varbyte"] = bytes(d["doc_ids_delta_varbyte"])
+        d["tfs_varbyte"] = bytes(d["tfs_varbyte"])
+        d["weights_f64"] = bytes(d["weights_f64"])
+        ids, tfs, _ = decode_merged(d)
+        assert list(zip(ids, tfs)) == exp[d["term"]], d["term"]
+        assert list(ids) == sorted(set(ids))  # globally sorted, no dups
+    # the added term's list must span old and new id ranges correctly
+    assert "added" in exp

@@ -105,6 +105,39 @@ def cmd_merge(args) -> int:
     return 0
 
 
+def cmd_dedup(args) -> int:
+    """Exact + MinHash/LSH near-dup detection → connected-component
+    clusters → cleaned corpus written out (min-id canonical kept)."""
+    from pyspark.sql import functions as F
+
+    from text_indexer_spark.operators import cluster, dedup
+
+    spark = _spark(args)
+    corpus = spark.read.parquet(args.corpus)
+    id_corpus = corpus.withColumn(
+        "doc_id", F.xxhash64(F.coalesce(F.col("repo"), F.lit("")), F.coalesce(F.col("path"), F.lit("")))
+    ) if "doc_id" not in corpus.columns else corpus
+    text_col = "content" if "content" in id_corpus.columns else "text"
+    edges = (
+        dedup.exact_dedup(id_corpus, text_col=text_col)
+        .filter(F.col("doc_id") != F.col("canonical_id"))
+        .select(F.col("canonical_id").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+    )
+    if not args.exact_only:
+        sigs = dedup.minhash_signatures(
+            id_corpus, num_hashes=args.minhashes, n=args.shingle_n, text_col=text_col
+        )
+        edges = edges.unionByName(
+            dedup.lsh_candidate_pairs(sigs, num_hashes=args.minhashes, bands=args.bands)
+        )
+    clusters = cluster.dedup_clusters(edges)
+    kept = cluster.materialize_deduped(id_corpus, clusters)
+    kept.write.mode("overwrite").parquet(args.out)
+    n_in, n_out = id_corpus.count(), kept.count()
+    print(json.dumps({"rows_in": n_in, "rows_kept": n_out, "rows_dropped": n_in - n_out}))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="text-indexer-spark")
     p.add_argument("--master", default=None, help="Spark master (default: env/local)")
@@ -146,6 +179,19 @@ def main(argv: list[str] | None = None) -> int:
     m.add_argument("--index", required=True)
     m.add_argument("--out", required=True)
     m.set_defaults(fn=cmd_merge)
+
+    d = sub.add_parser(
+        "dedup",
+        help="corpus parquet -> cleaned corpus (exact + LSH near-dup "
+        "clusters, min-id canonical kept)",
+    )
+    d.add_argument("--corpus", required=True)
+    d.add_argument("--out", required=True)
+    d.add_argument("--exact-only", action="store_true")
+    d.add_argument("--minhashes", type=int, default=16)
+    d.add_argument("--bands", type=int, default=4)
+    d.add_argument("--shingle-n", type=int, default=3)
+    d.set_defaults(fn=cmd_dedup)
 
     args = p.parse_args(argv)
     return args.fn(args)
