@@ -355,6 +355,13 @@ def main() -> None:
                 "executors). Neither is a property of the plan: no stage has "
                 "a global barrier, no driver-side per-doc work exists, and "
                 "shard count is a free parameter.\n\n"
+                "Query-side IO note: doc-range sharding means every query "
+                "touches every shard file (the standard document-partitioned "
+                "trade-off), so per-query IO grows with shard count while "
+                "per-shard work shrinks — size shards for the serving tier "
+                "(fewer, larger per executor), not for build granularity; "
+                "the term-major merged layout serves whole-list workloads "
+                "without that cost.\n\n"
                 f"BM25 top-10 warm-index latency (local[{CPUS}], sf0.1 "
                 "index): "
                 f"p50 {queries['query_p50_sec']*1000:.0f} ms, "

@@ -259,3 +259,54 @@ def test_stream_maintenance_restart_resumes_from_committed_version(spark, tmp_pa
 
     paths = {r["path"] for r in load_catalog(spark, final).collect()}
     assert "batch1.txt" in paths and "batch2.txt" in paths  # batch 1 NOT lost
+
+
+def test_stream_dedup_exact_cross_batch_state(spark, tmp_path):
+    """applyInPandasWithState dedup: a content seen in micro-batch 1
+    must NOT be emitted again in micro-batch 2 (state persists across
+    batches via the streaming checkpoint); within a batch, first-wins."""
+    from text_indexer_spark.streaming.dedup_stream import stream_dedup_exact
+    from text_indexer_spark.streaming.sync_stream import corpus_change_stream
+
+    drop = str(tmp_path / "drops")
+    os.makedirs(drop)
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    schema = ("repo string, path string, commit string, lang string, "
+              "content string, event_time timestamp, deleted boolean")
+
+    def run_batchfile(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(drop)
+        stream = corpus_change_stream(spark, drop, max_files_per_trigger=1)
+        q = (
+            stream_dedup_exact(stream)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # batch 1: two distinct contents + an in-batch duplicate of the first
+    run_batchfile([
+        ("r1", "a.txt", "c1", "txt", "alpha content", None, False),
+        ("r1", "b.txt", "c1", "txt", "beta content", None, False),
+        ("r2", "a_copy.txt", "c1", "txt", "alpha content", None, False),
+    ])
+    got1 = spark.read.parquet(out)
+    assert got1.count() == 2
+    assert {r["content"] for r in got1.collect()} == {"alpha content", "beta content"}
+    # first-wins within the batch: the kept alpha is the smallest key
+    assert got1.filter("content = 'alpha content'").first()["path"] == "a.txt"
+
+    # batch 2: replays alpha (cross-batch dup) + one genuinely new doc
+    run_batchfile([
+        ("r3", "late_alpha.txt", "c2", "txt", "alpha content", None, False),
+        ("r3", "c.txt", "c2", "txt", "gamma content", None, False),
+    ])
+    got2 = spark.read.parquet(out)
+    assert got2.count() == 3  # alpha NOT re-admitted
+    assert {r["content"] for r in got2.collect()} == {
+        "alpha content", "beta content", "gamma content"
+    }

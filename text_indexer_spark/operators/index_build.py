@@ -333,7 +333,16 @@ def encode_shards(
 
     if not shard_ids:
         return []
-    stats_count = spark.read.parquet(stats_dir).count()
+    # vocabulary size from parquet FOOTERS (pyarrow metadata) — no Spark
+    # job for a single scalar the files already store
+    import pyarrow.parquet as pq_meta
+
+    stats_count = 0
+    for name in os.listdir(stats_dir):
+        if name.endswith(".parquet"):
+            stats_count += pq_meta.ParquetFile(
+                os.path.join(stats_dir, name)
+            ).metadata.num_rows
     if stats_count <= 5_000_000:
         df_rows = spark.read.parquet(stats_dir).collect()
         bdf = spark.sparkContext.broadcast({r["term"]: r["df"] for r in df_rows})
@@ -439,11 +448,15 @@ def build_index(
     # (a resumed build MUST shard identically or completed-shard markers
     # would describe the wrong doc ranges)
     t_sz = time.time()
+    # ONE pruned key projection, cached across the boundary-sample job
+    # and the offset-count job (they are inherently sequential — counts
+    # need the boundaries — but need not scan the source twice)
+    keys = corpus.select("repo", "path").persist()
     persisted = ckpt.read_boundaries(index_dir) if resume else None
     if persisted is not None:
         num_shards, bounds = persisted
     else:
-        bounds = _compute_boundaries(corpus, num_shards)
+        bounds = _compute_boundaries(keys, num_shards)
         ckpt.write_boundaries(index_dir, num_shards, bounds)
     route = _route_tokens(spark, num_shards)
     # dense deterministic doc-id offsets from a PRUNED key aggregation:
@@ -451,12 +464,13 @@ def build_index(
     # the full corpus even on resume so offsets reproduce exactly.
     shard_of = _shard_of_udf(bounds)
     sizes_rows = (
-        corpus.select("repo", "path")
+        keys
         .withColumn("_pid", shard_of("repo", "path"))
         .groupBy("_pid")
         .agg(F.countDistinct("repo", "path").alias("n"))
         .collect()
     )
+    keys.unpersist()
     sizes = {r["_pid"]: r["n"] for r in sizes_rows}
     n_docs = int(sum(sizes.values()))
     offsets, acc = {}, 0
