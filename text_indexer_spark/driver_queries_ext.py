@@ -151,6 +151,25 @@ WHERE round(i / (sa.sz + sb.sz - i), {ROUND}) >= {JACCARD_T}
 """
 
 
+HOT_SHINGLE_GATE_CAP = 3  # sf0.01: 615 shingles above it — non-vacuous
+
+
+def q_hot_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cap-audit helper: (shingle, df) for every shingle a df cap
+    would drop — what a pipeline logs next to capped Jaccard output so
+    dropped mass is never silent."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.hot_shingles(docs, n=SHINGLE_N, max_shingle_df=HOT_SHINGLE_GATE_CAP)
+
+
+def sql_hot_shingles() -> str:
+    return f"""
+WITH {_shingle_cte()}
+SELECT shingle, count(*)::BIGINT AS df FROM sh
+GROUP BY shingle HAVING count(*) > {HOT_SHINGLE_GATE_CAP}
+"""
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return dedup.simhash_signatures(docs, bits=SIMHASH_BITS)
@@ -608,6 +627,34 @@ FROM documents
 """
 
 
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing end to end: synthesize → (fake) decode →
+    per-frame explode. The fake decoder is deterministic sha256 math,
+    so the oracle reproduces n_frames (digest byte 2 % 30 + 1 for
+    video) and the stride-5 frame indices exactly."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.synthesize_media(docs)
+    decoded = multimodal.decode_media(media, strict=False)
+    return multimodal.frame_sample(decoded, every_n=5).select(
+        "media_id", "kind", "frame_idx"
+    )
+
+
+def sql_multimodal_frames() -> str:
+    return """
+WITH m AS (
+  SELECT doc_id AS media_id,
+         (['image','audio','video'])[(doc_id % 3) + 1] AS kind,
+         ('0x' || substr(sha256(coalesce(text, '')), 5, 2))::INT % 30 + 1 AS nf
+  FROM documents
+)
+SELECT media_id, kind, unnest(
+  CASE WHEN kind = 'video' THEN range(0, nf, 5) ELSE [0] END
+)::INT AS frame_idx
+FROM m
+"""
+
+
 # ---------------------------------------------------------------- WAND path
 def q_wand_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 top-10 served from the COMPRESSED persisted index (build →
@@ -805,6 +852,7 @@ def queries():
         "dedup_minhash_sigs": q_dedup_minhash,
         "dedup_lsh_pairs": q_dedup_lsh_pairs,
         "dedup_ngram_jaccard": q_dedup_jaccard,
+        "hot_shingles": q_hot_shingles,
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "dedup_clusters": q_dedup_clusters,
@@ -820,6 +868,7 @@ def queries():
         "token_counts": q_token_counts,
         "doc_fingerprints": q_fingerprints,
         "multimodal_meta": q_multimodal_meta,
+        "multimodal_frames": q_multimodal_frames,
         "wand_bm25_topk": q_wand_bm25_topk,
         "wand_bm25_topk_or": q_wand_bm25_topk_or,
         "decoded_postings": q_decoded_postings,
@@ -835,6 +884,7 @@ def oracle_sql():
         "dedup_minhash_sigs": sql_dedup_minhash(),
         "dedup_lsh_pairs": sql_dedup_lsh_pairs(),
         "dedup_ngram_jaccard": sql_dedup_jaccard(),
+        "hot_shingles": sql_hot_shingles(),
         "dedup_simhash": sql_dedup_simhash(),
         "dedup_simhash_pairs": sql_dedup_simhash_pairs(),
         "dedup_clusters": sql_dedup_clusters(),
@@ -850,6 +900,7 @@ def oracle_sql():
         "token_counts": sql_token_counts(),
         "doc_fingerprints": sql_fingerprints(),
         "multimodal_meta": sql_multimodal_meta(),
+        "multimodal_frames": sql_multimodal_frames(),
         "wand_bm25_topk": sql_wand_bm25_topk(),
         "decoded_postings": _sql_postings_oracle(),
         "wand_bm25_batch": sql_wand_batch_topk(),
