@@ -197,12 +197,24 @@ def remove_items(
         "left_semi",
     )
 
-    # drop removed files and everything under removed dirs (incl. them)
-    survivors = state.join(
-        files_to_remove.select("repo", "path"), ["repo", "path"], "left_anti"
+    # drop removed FILES (a files_to_remove key naming a dir is a no-op,
+    # mirroring the reference: ToRemove.containsFileByAbsolutePath is
+    # only consulted at File nodes) and everything under removed DIRS
+    # (a dirs_to_remove key naming a file likewise only contributes its
+    # ancestor chain to the demotion set above)
+    removed_file_keys = files_to_remove.select("repo", "path").join(
+        state.filter(F.col("kind") == "file").select("repo", "path"),
+        ["repo", "path"],
+        "left_semi",
+    )
+    survivors = state.join(removed_file_keys, ["repo", "path"], "left_anti")
+    effective_dir_rm = dirs_to_remove.select("repo", "path").join(
+        state.filter(F.col("kind") == "dir").select("repo", "path"),
+        ["repo", "path"],
+        "left_semi",
     )
     victims_self = survivors.join(
-        dirs_to_remove.select("repo", "path"), ["repo", "path"], "left_semi"
+        effective_dir_rm, ["repo", "path"], "left_semi"
     ).select("repo", "path")
     parts = F.split(F.col("path"), "/")
     anc_of_items = survivors.select(
@@ -218,7 +230,7 @@ def remove_items(
     under_removed = (
         anc_of_items.select("repo", "path", F.explode("ancs").alias("anc"))
         .join(
-            dirs_to_remove.select("repo", F.col("path").alias("anc")),
+            effective_dir_rm.select("repo", F.col("path").alias("anc")),
             ["repo", "anc"],
             "left_semi",
         )
