@@ -429,6 +429,36 @@ def q_neardup_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_neardup_clusters_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over EMBEDDING near-pairs — the same
+    clustering operator the text dedup family uses, composed with the
+    cosine pair source (one clustering engine, any pair modality)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = similarity.cosine_near_pairs(emb, threshold=COSINE_T).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    return cluster.dedup_clusters(pairs)
+
+
+def sql_neardup_clusters_cosine() -> str:
+    return f"""
+WITH RECURSIVE
+p AS (
+  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), {ROUND}) >= {COSINE_T}
+),
+edges AS (SELECT doc_a AS a, doc_b AS b FROM p UNION SELECT doc_b AS a, doc_a AS b FROM p),
+nodes AS (SELECT DISTINCT a AS node FROM edges),
+reach AS (
+  SELECT node, node AS r FROM nodes
+  UNION
+  SELECT reach.node, e.b AS r FROM reach JOIN edges e ON e.a = reach.r
+)
+SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node
+"""
+
+
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5).select(
@@ -859,6 +889,7 @@ def queries():
         "dedup_kept_corpus": q_dedup_kept_corpus,
         "neardup_cosine": q_neardup_cosine,
         "neardup_cosine_lsh": q_neardup_cosine_lsh,
+        "neardup_clusters_cosine": q_neardup_clusters_cosine,
         "ann_cosine_topk": q_ann_topk,
         "ann_ivf_full_probe": q_ann_ivf_full,
         "ann_ivf_indexed_full_probe": q_ann_ivf_indexed,
@@ -891,6 +922,7 @@ def oracle_sql():
         "dedup_kept_corpus": sql_dedup_kept_corpus(),
         "neardup_cosine": sql_neardup_cosine(),
         "neardup_cosine_lsh": sql_neardup_cosine(),
+        "neardup_clusters_cosine": sql_neardup_clusters_cosine(),
         "ann_cosine_topk": sql_ann_topk(),
         "ann_ivf_full_probe": sql_ann_topk(),
         "ann_ivf_indexed_full_probe": sql_ann_topk(),
