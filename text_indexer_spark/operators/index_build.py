@@ -337,12 +337,13 @@ def encode_shards(
     # job for a single scalar the files already store
     import pyarrow.parquet as pq_meta
 
+    from text_indexer_spark import storage as _st
+
     stats_count = 0
-    for name in os.listdir(stats_dir):
+    for name in _st.listdir(stats_dir):
         if name.endswith(".parquet"):
-            stats_count += pq_meta.ParquetFile(
-                os.path.join(stats_dir, name)
-            ).metadata.num_rows
+            fs, fp = _st.resolve(_st.join(stats_dir, name))
+            stats_count += pq_meta.ParquetFile(fp, filesystem=fs).metadata.num_rows
     if stats_count <= 5_000_000:
         df_rows = spark.read.parquet(stats_dir).collect()
         bdf = spark.sparkContext.broadcast({r["term"]: r["df"] for r in df_rows})

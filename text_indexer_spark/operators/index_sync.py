@@ -46,6 +46,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from text_indexer_spark import checkpoint as ckpt
+from text_indexer_spark import storage
 from text_indexer_spark.operators.index_build import (
     CATALOG_DIR,
     LISTS_DIR,
@@ -80,7 +81,9 @@ def _link_or_copy(src: str, dst: str) -> None:
 
 
 def _shard_file(base: str, sub: str, shard: int) -> str:
-    return os.path.join(base, sub, f"shard_{shard:05d}.parquet")
+    from text_indexer_spark import storage
+
+    return storage.join(base, sub, f"shard_{shard:05d}.parquet")
 
 
 def upserts_as_snapshot(
@@ -229,7 +232,7 @@ def sync_index_dir(
         for sub in (POSTINGS_DIR, CATALOG_DIR, LISTS_DIR):
             for s in range(num_shards):
                 p = _shard_file(index_dir, sub, s)
-                if os.path.exists(p):
+                if storage.exists(p):
                     _link_or_copy(p, _shard_file(out_dir, sub, s))
         if os.path.isdir(os.path.join(index_dir, STATS_DIR)):
             shutil.copytree(
@@ -289,8 +292,9 @@ def sync_index_dir(
         pdf = pdf[pdf["op"] != "noop"]
         adds = pdf.loc[pdf["op"] == "add", ["term", "doc_id", "tf"]]
         old_path = _shard_file(index_dir, POSTINGS_DIR, shard)
-        if os.path.exists(old_path):
-            old = pq.read_table(old_path).to_pandas()
+        if storage.exists(old_path):
+            _fs, _fp = storage.resolve(old_path)
+            old = pq.read_table(_fp, filesystem=_fs).to_pandas()
         else:
             old = pd.DataFrame({"term": pd.Series(dtype="object"),
                                 "doc_id": pd.Series(dtype="int64"),
@@ -343,8 +347,9 @@ def sync_index_dir(
         )
         adds = pdf.loc[pdf["op"] == "add", _CAT_COLS]
         old_path = _shard_file(index_dir, CATALOG_DIR, shard)
-        if os.path.exists(old_path):
-            old = pq.read_table(old_path).to_pandas()
+        if storage.exists(old_path):
+            _fs, _fp = storage.resolve(old_path)
+            old = pq.read_table(_fp, filesystem=_fs).to_pandas()
         else:
             old = pd.DataFrame(columns=_CAT_COLS)
         if del_keys:
@@ -384,7 +389,7 @@ def sync_index_dir(
             continue
         for sub in (POSTINGS_DIR, CATALOG_DIR):
             p = _shard_file(index_dir, sub, s)
-            if os.path.exists(p):
+            if storage.exists(p):
                 _link_or_copy(p, _shard_file(out_dir, sub, s))
         m = ckpt.read_marker(index_dir, "postings", s)
         if m:
@@ -436,7 +441,7 @@ def sync_index_dir(
         reused_lists = [s for s in range(num_shards) if s not in affected_set]
     for s in reused_lists:
         p = _shard_file(index_dir, LISTS_DIR, s)
-        if os.path.exists(p):
+        if storage.exists(p):
             _link_or_copy(p, _shard_file(out_dir, LISTS_DIR, s))
         m = ckpt.read_marker(index_dir, "lists", s)
         if m:

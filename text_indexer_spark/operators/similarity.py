@@ -341,8 +341,7 @@ def ivf_ingest(
     ``n_centroids − n_probe`` lists are never opened, enforced by a plan
     assertion in tests. The filter-based ``ivf_topk`` remains as the
     ad-hoc/oracle path over unpartitioned data."""
-    import json
-    import os
+    from text_indexer_spark import storage
 
     if centroids is None:
         centroids = ivf_centroids(
@@ -353,12 +352,12 @@ def ivf_ingest(
         embeddings.withColumn("cid", assign(F.col(vec_col)))
         .write.mode("overwrite")
         .partitionBy("cid")
-        .parquet(os.path.join(index_dir, "vectors"))
+        .parquet(storage.join(index_dir, "vectors"))
     )
-    tmp = os.path.join(index_dir, "centroids.json.tmp")
-    with open(tmp, "w") as f:
-        json.dump({"dim": dim, "centroids": centroids}, f)
-    os.replace(tmp, os.path.join(index_dir, "centroids.json"))
+    storage.write_json_atomic(
+        storage.join(index_dir, "centroids.json"),
+        {"dim": dim, "centroids": centroids},
+    )
     return centroids
 
 
@@ -377,11 +376,11 @@ def ivf_topk_indexed(
     partitioned parquet — Spark prunes unprobed list directories at
     planning time (no IO, no decode; PartitionFilters in the plan).
     Same output shape/semantics as ``ivf_topk``."""
-    import json
-    import os
+    from text_indexer_spark import storage
 
-    with open(os.path.join(index_dir, "centroids.json")) as f:
-        meta = json.load(f)
+    meta = storage.read_json(storage.join(index_dir, "centroids.json"))
+    if meta is None:
+        raise FileNotFoundError(f"no centroids.json under {index_dir}")
     centroids = meta["centroids"]
     probes = _centroid_probes_udf(centroids, n_probe)
     q = queries.select(
@@ -391,7 +390,7 @@ def ivf_topk_indexed(
     # the scan filter is a LITERAL in-list — that is what lets Catalyst
     # prune partitions at plan time instead of scanning + filtering
     probe_cids = sorted({r["cid"] for r in q.select("cid").distinct().collect()})
-    vectors = spark.read.parquet(os.path.join(index_dir, "vectors")).filter(
+    vectors = spark.read.parquet(storage.join(index_dir, "vectors")).filter(
         F.col("cid").isin(probe_cids)
     )
     scored = (
