@@ -14,7 +14,14 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from text_indexer_spark.operators import cluster, dedup, multimodal, similarity, textstats
+from text_indexer_spark.operators import (
+    cluster,
+    dedup,
+    multimodal,
+    sampling,
+    similarity,
+    textstats,
+)
 from text_indexer_spark.sources.tables import load_table
 from text_indexer_spark.tokenizer import duckdb_tokens_sql
 
@@ -685,6 +692,63 @@ FROM m
 """
 
 
+# ---------------------------------------------------------------- sampling
+_U_SQL = "(('0x' || substr(md5(doc_id::VARCHAR || '|{salt}'), 1, 8))::BIGINT / 4294967296.0)"
+
+
+def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 30 % corpus sample (content-stable hash, no RNG —
+    identical on any cluster size / rerun)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling.hash_sample(docs, 0.3, salt="s1").select("doc_id")
+
+
+def sql_hash_sample() -> str:
+    u = _U_SQL.format(salt="s1")
+    return f"SELECT doc_id FROM documents WHERE {u} < 0.3"
+
+
+STRATA = {"en": 0.15, "de": 0.9}
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language keep fractions (rebalancing, the training-mix use
+    case); unlisted langs keep 0.5."""
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling.stratified_hash_sample(
+        docs, STRATA, stratum_col="lang", salt="s1", default_fraction=0.5
+    ).select("doc_id", "lang")
+
+
+def sql_stratified_sample() -> str:
+    u = _U_SQL.format(salt="s1")
+    return f"""
+SELECT doc_id, lang FROM documents
+WHERE {u} < (CASE lang WHEN 'en' THEN 0.15 WHEN 'de' THEN 0.9 ELSE 0.5 END)
+"""
+
+
+SPLITS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Disjoint train/val/test labels from one hash draw — rows never
+    migrate between splits across reruns or weight appends."""
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling.hash_split(docs, SPLITS, salt="split1").select("doc_id", "split")
+
+
+def sql_hash_split() -> str:
+    u = _U_SQL.format(salt="split1")
+    return f"""
+SELECT doc_id,
+       CASE WHEN {u} < 0.8 THEN 'train'
+            WHEN {u} < 0.9 THEN 'val'
+            WHEN {u} < 1.0 THEN 'test' END AS split
+FROM documents
+"""
+
+
 # ---------------------------------------------------------------- WAND path
 def q_wand_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 top-10 served from the COMPRESSED persisted index (build →
@@ -898,6 +962,9 @@ def queries():
         "quality_kept_corpus": q_quality_kept,
         "token_counts": q_token_counts,
         "doc_fingerprints": q_fingerprints,
+        "sample_hash": q_hash_sample,
+        "sample_stratified": q_stratified_sample,
+        "split_hash": q_hash_split,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_frames": q_multimodal_frames,
         "wand_bm25_topk": q_wand_bm25_topk,
@@ -931,6 +998,9 @@ def oracle_sql():
         "quality_kept_corpus": sql_quality_kept(),
         "token_counts": sql_token_counts(),
         "doc_fingerprints": sql_fingerprints(),
+        "sample_hash": sql_hash_sample(),
+        "sample_stratified": sql_stratified_sample(),
+        "split_hash": sql_hash_split(),
         "multimodal_meta": sql_multimodal_meta(),
         "multimodal_frames": sql_multimodal_frames(),
         "wand_bm25_topk": sql_wand_bm25_topk(),
