@@ -82,3 +82,33 @@ def test_filter_by_quality_zero_shuffle_and_semantics(spark):
     }
     got = {r["doc_id"] for r in kept.collect()}
     assert got == exp and 0 < len(got) < docs.count()
+
+
+def test_chunk_documents_reassembles_and_shapes(spark):
+    """Chunks concatenate back to the tokenized doc; sizes ≤ N with only
+    the last chunk short; empty docs yield one empty chunk; zero
+    exchanges in the plan."""
+    from text_indexer_spark.operators.textstats import chunk_documents
+    from text_indexer_spark.plans.checks import count_exchanges
+    from text_indexer_spark.tokenizer import tokenize_text
+
+    rows = [
+        (0, " ".join(f"w{i}" for i in range(10))),   # 2 chunks of 4+... n=10,N=4 → 4,4,2
+        (1, "one two three"),                          # single short chunk
+        (2, ""),                                       # empty
+        (3, None),                                     # null text
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = chunk_documents(docs, max_tokens=4)
+    assert count_exchanges(out) == 0
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["doc_id"], []).append((r["chunk_idx"], r["n_tokens"], r["chunk_text"]))
+    for d in got:
+        got[d].sort()
+    assert [n for _, n, _ in got[0]] == [4, 4, 2]
+    reassembled = " ".join(t for _, _, t in got[0])
+    assert reassembled == " ".join(tokenize_text(rows[0][1]))
+    assert got[1] == [(0, 3, "one two three")]
+    assert got[2] == [(0, 0, "")]
+    assert got[3] == [(0, 0, "")]

@@ -692,6 +692,33 @@ FROM m
 """
 
 
+CHUNK_TOKENS = 64
+
+
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking (≤64 tokens per chunk) — the pretraining
+    preprocessing step; row-local, zero shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return textstats.chunk_documents(docs, max_tokens=CHUNK_TOKENS)
+
+
+def sql_doc_chunks() -> str:
+    t = _tokens_sql()
+    N = CHUNK_TOKENS
+    return f"""
+WITH tk AS (SELECT doc_id, {t} AS toks FROM documents),
+c AS (
+  SELECT doc_id, len(toks) AS n, toks,
+         unnest(range(0, greatest(1, ceil(len(toks) / {N}.0)::INT))) AS chunk_idx
+  FROM tk
+)
+SELECT doc_id, chunk_idx::INT AS chunk_idx,
+       least({N}, n - chunk_idx * {N})::BIGINT AS n_tokens,
+       array_to_string(list_slice(toks, chunk_idx * {N} + 1, chunk_idx * {N} + {N}), ' ') AS chunk_text
+FROM c
+"""
+
+
 # ---------------------------------------------------------------- sampling
 _U_SQL = "(('0x' || substr(md5(doc_id::VARCHAR || '|{salt}'), 1, 8))::BIGINT / 4294967296.0)"
 
@@ -962,6 +989,7 @@ def queries():
         "quality_kept_corpus": q_quality_kept,
         "token_counts": q_token_counts,
         "doc_fingerprints": q_fingerprints,
+        "doc_chunks": q_doc_chunks,
         "sample_hash": q_hash_sample,
         "sample_stratified": q_stratified_sample,
         "split_hash": q_hash_split,
@@ -998,6 +1026,7 @@ def oracle_sql():
         "quality_kept_corpus": sql_quality_kept(),
         "token_counts": sql_token_counts(),
         "doc_fingerprints": sql_fingerprints(),
+        "doc_chunks": sql_doc_chunks(),
         "sample_hash": sql_hash_sample(),
         "sample_stratified": sql_stratified_sample(),
         "split_hash": sql_hash_split(),

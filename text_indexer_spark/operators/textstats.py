@@ -89,6 +89,42 @@ def quality_scores(
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    max_tokens: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Context-window chunking: split each document into consecutive
+    token windows of ≤ ``max_tokens`` → (doc_id, chunk_idx, n_tokens,
+    chunk_text). The pretraining preprocessing step between cleaning
+    and packing; row-local (tokenize + slice expressions, zero shuffle,
+    chunk_idx deterministic), so it fuses into the scan at any scale.
+    Empty/whitespace-only/NULL docs yield one empty chunk (chunk count
+    = ceil(len/N) with a floor of 1 — no document silently
+    disappears)."""
+    toks = tokenize_column(F.coalesce(F.col(text_col), F.lit("")))
+    n_chunks = F.greatest(
+        F.lit(1), F.ceil(F.size(toks) / F.lit(max_tokens)).cast("int")
+    )
+    return df.select(
+        F.col(id_col),
+        F.size(toks).alias("_n"),
+        toks.alias("_t"),
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+    ).select(
+        id_col,
+        "chunk_idx",
+        F.least(
+            F.lit(max_tokens), F.col("_n") - F.col("chunk_idx") * F.lit(max_tokens)
+        ).cast("long").alias("n_tokens"),
+        F.array_join(
+            F.slice(F.col("_t"), F.col("chunk_idx") * F.lit(max_tokens) + 1, max_tokens),
+            " ",
+        ).alias("chunk_text"),
+    )
+
+
 def quality_expr(text_col: str = "text", round_to: int = 4):
     """The composite quality score as a row-local Column (shared by
     ``quality_scores`` and ``filter_by_quality``)."""
