@@ -112,3 +112,44 @@ def test_chunk_documents_reassembles_and_shapes(spark):
     assert got[1] == [(0, 3, "one two three")]
     assert got[2] == [(0, 0, "")]
     assert got[3] == [(0, 0, "")]
+
+
+def test_pack_chunks_invariants(spark):
+    """Packing invariants: every chunk packed exactly once; per-sequence
+    total ≤ budget (except singleton oversize chunks); deterministic
+    across partitionings; sequences fill greedily (no two consecutive
+    sequences that would fit together)."""
+    from text_indexer_spark.operators.textstats import chunk_documents, pack_chunks
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    chunks = chunk_documents(docs, max_tokens=16).cache()
+    packed = pack_chunks(chunks, budget=48, buckets=8).cache()
+
+    assert packed.count() == chunks.count()  # nothing lost or duplicated
+    assert packed.select("doc_id", "chunk_idx").distinct().count() == chunks.count()
+
+    import collections
+    seq_tot = collections.defaultdict(int)
+    seqs = collections.defaultdict(list)
+    for r in packed.collect():
+        seq_tot[(r["bucket"], r["seq_idx"])] += r["n_tokens"]
+        seqs[r["bucket"]].append((r["seq_idx"], r["n_tokens"]))
+    for (b, s), tot in seq_tot.items():
+        assert tot <= 48 or sum(1 for r in seqs[b] if r[0] == s) == 1
+    # greedy: consecutive sequence totals can't both fit in one budget
+    per_bucket = collections.defaultdict(dict)
+    for (b, s), tot in seq_tot.items():
+        per_bucket[b][s] = tot
+    for b, m in per_bucket.items():
+        for s in sorted(m)[:-1]:
+            # the FIRST chunk of s+1 must not have fit at the end of s
+            first_next = min(
+                ((r["doc_id"], r["chunk_idx"]), r["n_tokens"])
+                for r in packed.collect()
+                if r["bucket"] == b and r["seq_idx"] == s + 1
+            )[1] if (s + 1) in m else None
+            if first_next is not None:
+                assert m[s] + first_next > 48
+
+    repart = pack_chunks(chunks.repartition(7), budget=48, buckets=8)
+    assert sorted(map(tuple, repart.collect())) == sorted(map(tuple, packed.collect()))

@@ -719,6 +719,17 @@ FROM c
 """
 
 
+def q_packed_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget packing of chunks into training sequences. Greedy
+    packing is inherently sequential (not SQL-expressible), so there is
+    deliberately NO oracle_sql entry — the driver records the weaker
+    rows-only check; the packing invariants (lossless, budget-bounded,
+    greedy, partitioning-independent) are pytest-asserted instead."""
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = textstats.chunk_documents(docs, max_tokens=CHUNK_TOKENS)
+    return textstats.pack_chunks(chunks, budget=256, buckets=16)
+
+
 # ---------------------------------------------------------------- sampling
 _U_SQL = "(('0x' || substr(md5(doc_id::VARCHAR || '|{salt}'), 1, 8))::BIGINT / 4294967296.0)"
 
@@ -990,6 +1001,7 @@ def queries():
         "token_counts": q_token_counts,
         "doc_fingerprints": q_fingerprints,
         "doc_chunks": q_doc_chunks,
+        "packed_chunks": q_packed_chunks,
         "sample_hash": q_hash_sample,
         "sample_stratified": q_stratified_sample,
         "split_hash": q_hash_split,

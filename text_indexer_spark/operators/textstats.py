@@ -125,6 +125,54 @@ def chunk_documents(
     )
 
 
+def pack_chunks(
+    chunks: DataFrame,
+    budget: int = 2048,
+    buckets: int = 256,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Greedy token-budget packing: assemble chunks into training
+    sequences of total n_tokens ≤ ``budget``.
+
+    Packing is inherently sequential, so determinism at cluster scale
+    comes from structure, not luck: chunks are hash-bucketed by doc id
+    (uniform, content-stable), and within a bucket packed greedily in
+    (doc_id, chunk_idx) order inside ONE applyInPandas task. Result is
+    a pure function of the data — independent of partitioning, core
+    count, and resume. Sequence ids are (bucket, seq_idx); an oversize
+    chunk (> budget) gets its own sequence rather than being dropped.
+
+    Cost shape: one shuffle on the bucket key; bucket count is the
+    parallelism dial (each task holds one bucket's chunk metadata —
+    tokens counts, not text, if the caller projects columns first)."""
+    import pandas as pd
+
+    out_schema = (
+        f"bucket int, seq_idx long, {id_col} long, chunk_idx int, n_tokens long"
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([id_col, "chunk_idx"], kind="stable")
+        seq_ids, acc, seq = [], 0, 0
+        first = True
+        for n in pdf["n_tokens"]:
+            n = int(n)
+            if not first and acc + n > budget:
+                seq += 1
+                acc = 0
+            seq_ids.append(seq)
+            acc += n
+            first = False
+        pdf = pdf.copy()
+        pdf["seq_idx"] = pd.Series(seq_ids, index=pdf.index, dtype="int64")
+        return pdf[["bucket", "seq_idx", id_col, "chunk_idx", "n_tokens"]]
+
+    bucketed = chunks.withColumn(
+        "bucket", F.pmod(F.xxhash64(F.col(id_col)), F.lit(buckets)).cast("int")
+    )
+    return bucketed.groupBy("bucket").applyInPandas(pack, out_schema)
+
+
 def quality_expr(text_col: str = "text", round_to: int = 4):
     """The composite quality score as a row-local Column (shared by
     ``quality_scores`` and ``filter_by_quality``)."""
