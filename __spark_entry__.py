@@ -15,8 +15,11 @@ from text_indexer_spark import driver_queries, driver_queries_ext
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query: BM25 top-10 over the sf0.001 documents table."""
-    return driver_queries.q_bm25_topk(spark, "/root/testdata/sf0.001")
+    """Flagship: the FULL engine path — build the compressed sharded
+    index from the sf0.001 documents table (stage A/B/C + manifest
+    commit), then serve BM25 top-10 via block-max WAND over the
+    persisted posting lists."""
+    return driver_queries_ext.q_wand_bm25_topk(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
