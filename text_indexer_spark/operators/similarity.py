@@ -199,8 +199,20 @@ def cosine_near_pairs_lsh(
     one, like ``ann_ivf_full_probe``.
 
     The join is an equi-join on (band_idx, band_val) — never a
-    cartesian/broadcast-nested-loop (plan-asserted in tests)."""
+    cartesian/broadcast-nested-loop (plan-asserted in tests for partial
+    probes). Full probe (``probe_hamming ≥ n_planes``) DELEGATES to the
+    exact pair scan: banding it would create one zero-width band = a
+    single global bucket, i.e. every pair through ONE task (measured
+    5.5× slower than the parallel exact scan at 5 000 vectors) — the
+    result is identical either way, the exact scan is the faster
+    physical plan for exhaustive comparison."""
     from text_indexer_spark.operators.dedup import _band_split
+
+    if probe_hamming >= n_planes:
+        return cosine_near_pairs(
+            embeddings, threshold=threshold, id_col=id_col,
+            vec_col=vec_col, round_to=round_to,
+        )
 
     n_bands = probe_hamming + 1
     sigs = embeddings.select(
