@@ -692,6 +692,41 @@ FROM m
 """
 
 
+def q_term_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-level term co-occurrence + PMI over a df-bounded
+    vocabulary (the corpus-analytics companion: phrase candidates /
+    stopword diagnosis)."""
+    from text_indexer_spark.operators.cooccur import term_cooccurrence
+
+    docs = load_table(spark, sf_dir, "documents")
+    return term_cooccurrence(docs, min_pair_df=5, min_term_df=2)
+
+
+def sql_term_cooccurrence() -> str:
+    t = _tokens_sql()
+    return f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, term FROM
+  (SELECT doc_id, unnest({t}) AS term FROM documents)
+),
+n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+tdf AS (SELECT term, count(*)::BIGINT AS df FROM toks GROUP BY term),
+vocab AS (SELECT term FROM tdf WHERE df >= 2),
+kept AS (SELECT toks.* FROM toks SEMI JOIN vocab USING (term)),
+pairs AS (
+  SELECT a.term AS term_a, b.term AS term_b, count(*)::BIGINT AS pair_df
+  FROM kept a JOIN kept b ON a.doc_id = b.doc_id AND a.term < b.term
+  GROUP BY a.term, b.term HAVING count(*) >= 5
+)
+SELECT term_a, term_b, pair_df,
+       round(ln(n.n_docs) + ln(pair_df) - ln(da.df) - ln(db.df), {ROUND}) AS pmi
+FROM pairs
+JOIN tdf da ON da.term = term_a
+JOIN tdf db ON db.term = term_b
+CROSS JOIN n
+"""
+
+
 CHUNK_TOKENS = 64
 
 
@@ -1002,6 +1037,7 @@ def queries():
         "doc_fingerprints": q_fingerprints,
         "doc_chunks": q_doc_chunks,
         "packed_chunks": q_packed_chunks,
+        "term_cooccurrence": q_term_cooccurrence,
         "sample_hash": q_hash_sample,
         "sample_stratified": q_stratified_sample,
         "split_hash": q_hash_split,
@@ -1039,6 +1075,7 @@ def oracle_sql():
         "token_counts": sql_token_counts(),
         "doc_fingerprints": sql_fingerprints(),
         "doc_chunks": sql_doc_chunks(),
+        "term_cooccurrence": sql_term_cooccurrence(),
         "sample_hash": sql_hash_sample(),
         "sample_stratified": sql_stratified_sample(),
         "split_hash": sql_hash_split(),

@@ -1,0 +1,84 @@
+"""Term co-occurrence statistics (PMI) over the corpus.
+
+Corpus-analytics companion to the index: which term pairs co-occur in
+documents more than chance predicts. Classic uses: phrase candidate
+mining, stopword diagnosis, embedding evaluation sets.
+
+Scale shape: the pair explosion is per-document — a doc with L distinct
+terms emits L·(L-1)/2 pair rows, so the operator takes a vocabulary
+filter (``min_term_df``/``max_term_df``): at 100 TB you mine
+co-occurrence for the mid-frequency vocabulary (stop-words are capped
+away exactly like hot shingles in the Jaccard path, and hapaxes carry
+no statistics). After the filter it is two hash aggregations and one
+self-join keyed by doc — no skew beyond document length, which the df
+cap bounds.
+
+PMI = log( P(a,b) / (P(a)·P(b)) ) with document-level probabilities
+(P = df/N). Computed in log space as
+``log(N) + log(c_ab) − log(c_a) − log(c_b)`` and rounded for
+cross-engine comparison.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from text_indexer_spark.tokenizer import tokenize_column
+
+
+def term_cooccurrence(
+    df: DataFrame,
+    min_pair_df: int = 2,
+    min_term_df: int = 1,
+    max_term_df: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_to: int = 4,
+) -> DataFrame:
+    """(term_a, term_b, pair_df, pmi) for term_a < term_b.
+
+    ``pair_df`` = number of docs containing BOTH terms; pairs below
+    ``min_pair_df`` are dropped (singleton pairs are noise and dominate
+    the output volume). ``min_term_df``/``max_term_df`` bound the
+    vocabulary before the per-doc pair join."""
+    toks = df.select(
+        F.col(id_col),
+        F.explode(tokenize_column(F.coalesce(F.col(text_col), F.lit("")))).alias("term"),
+    ).distinct()
+    n_docs = df.select(id_col).distinct().count()
+    tdf = toks.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    vocab = tdf.filter(F.col("df") >= min_term_df)
+    if max_term_df is not None:
+        vocab = vocab.filter(F.col("df") <= max_term_df)
+    kept = toks.join(F.broadcast(vocab.select("term")), "term", "left_semi")
+    a = kept.alias("a")
+    b = kept.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col(f"a.{id_col}") == F.col(f"b.{id_col}"))
+            & (F.col("a.term") < F.col("b.term")),
+        )
+        .groupBy(F.col("a.term").alias("term_a"), F.col("b.term").alias("term_b"))
+        .agg(F.count("*").cast("long").alias("pair_df"))
+        .filter(F.col("pair_df") >= min_pair_df)
+    )
+    da = tdf.select(F.col("term").alias("term_a"), F.col("df").alias("df_a"))
+    db = tdf.select(F.col("term").alias("term_b"), F.col("df").alias("df_b"))
+    return (
+        pairs.join(F.broadcast(da), "term_a")
+        .join(F.broadcast(db), "term_b")
+        .select(
+            "term_a",
+            "term_b",
+            "pair_df",
+            F.round(
+                F.log(F.lit(float(n_docs)))
+                + F.log(F.col("pair_df").cast("double"))
+                - F.log(F.col("df_a").cast("double"))
+                - F.log(F.col("df_b").cast("double")),
+                round_to,
+            ).alias("pmi"),
+        )
+    )
