@@ -692,6 +692,58 @@ FROM m
 """
 
 
+PHRASE = ["table", "hash"]  # 46 docs at sf0.01 — non-vacuous
+PROX_TERMS = ["merge", "vector", "stream"]
+PROX_W = 10
+
+
+def _pp_cte() -> str:
+    t = _tokens_sql()
+    return (
+        f"tk AS (SELECT doc_id, {t} AS toks FROM documents), "
+        "pp AS (SELECT doc_id, i - 1 AS pos, toks[i] AS term "
+        "FROM tk, unnest(range(1, len(toks) + 1)) AS u(i))"
+    )
+
+
+def q_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact consecutive-token phrase match (tokenizer-faithful
+    positional joins — engine extension beyond the reference's boolean
+    membership index)."""
+    from text_indexer_spark.operators.phrase import phrase_match
+
+    docs = load_table(spark, sf_dir, "documents")
+    return phrase_match(docs, PHRASE)
+
+
+def sql_phrase_match() -> str:
+    return f"""
+WITH {_pp_cte()}
+SELECT DISTINCT p0.doc_id
+FROM pp p0 JOIN pp p1 ON p1.doc_id = p0.doc_id AND p1.pos = p0.pos + 1
+WHERE p0.term = '{PHRASE[0]}' AND p1.term = '{PHRASE[1]}'
+"""
+
+
+def q_proximity_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unordered NEAR/w: all terms within a 10-token window."""
+    from text_indexer_spark.operators.phrase import proximity_match
+
+    docs = load_table(spark, sf_dir, "documents")
+    return proximity_match(docs, PROX_TERMS, window=PROX_W)
+
+
+def sql_proximity_match() -> str:
+    a, b, c = PROX_TERMS
+    return f"""
+WITH {_pp_cte()}
+SELECT DISTINCT a.doc_id
+FROM pp a JOIN pp b ON b.doc_id = a.doc_id JOIN pp c ON c.doc_id = a.doc_id
+WHERE a.term = '{a}' AND b.term = '{b}' AND c.term = '{c}'
+  AND greatest(a.pos, b.pos, c.pos) - least(a.pos, b.pos, c.pos) < {PROX_W}
+"""
+
+
 def q_term_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document-level term co-occurrence + PMI over a df-bounded
     vocabulary (the corpus-analytics companion: phrase candidates /
@@ -1038,6 +1090,8 @@ def queries():
         "doc_chunks": q_doc_chunks,
         "packed_chunks": q_packed_chunks,
         "term_cooccurrence": q_term_cooccurrence,
+        "phrase_match": q_phrase_match,
+        "proximity_match": q_proximity_match,
         "sample_hash": q_hash_sample,
         "sample_stratified": q_stratified_sample,
         "split_hash": q_hash_split,
@@ -1076,6 +1130,8 @@ def oracle_sql():
         "doc_fingerprints": sql_fingerprints(),
         "doc_chunks": sql_doc_chunks(),
         "term_cooccurrence": sql_term_cooccurrence(),
+        "phrase_match": sql_phrase_match(),
+        "proximity_match": sql_proximity_match(),
         "sample_hash": sql_hash_sample(),
         "sample_stratified": sql_stratified_sample(),
         "split_hash": sql_hash_split(),
