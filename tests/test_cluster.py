@@ -58,3 +58,20 @@ def test_determinism_across_partitionings(spark):
     a = connected_components(_pairs(spark, edges).repartition(1))
     b = connected_components(_pairs(spark, edges).repartition(7))
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_reliable_checkpoint_mode_identical(spark, tmp_path):
+    """checkpoint_dir switches the per-round lineage cut to reliable
+    checkpoint() — results must be identical to the localCheckpoint
+    path, and checkpoint files must actually land in the directory."""
+    import os
+
+    edges = [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11)]
+    base = {r["doc_id"]: r["cluster_id"]
+            for r in connected_components(_pairs(spark, edges)).collect()}
+    ck = str(tmp_path / "cc_ckpt")
+    rel = {r["doc_id"]: r["cluster_id"]
+           for r in connected_components(
+               _pairs(spark, edges), checkpoint_dir=ck).collect()}
+    assert rel == base == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10}
+    assert any(os.scandir(ck)), "no reliable checkpoint data written"

@@ -275,3 +275,39 @@ def test_sync_rerun_after_partial_failure(spark, v1, tmp_path):
             assert _file_sha(os.path.join(clean, sub, f)) == _file_sha(
                 os.path.join(crashed, sub, f)
             ), (sub, f)
+
+
+def test_vacuum_versions_retention_and_safety(tmp_path):
+    """vacuum keeps the newest keep_last COMMITTED versions, never
+    touches uncommitted dirs, and hard-linked shard files shared with a
+    surviving version remain readable."""
+    import os
+
+    from text_indexer_spark import checkpoint as ckpt
+    from text_indexer_spark import storage
+    from text_indexer_spark.operators.index_sync import vacuum_versions
+
+    vdir = str(tmp_path / "versions")
+    os.makedirs(vdir)
+    paths = {}
+    for n in (1, 2, 3, 4):
+        p = os.path.join(vdir, f"v{n:04d}")
+        os.makedirs(p)
+        with open(os.path.join(p, "shard.bin"), "wb") as f:
+            f.write(b"payload-%d" % n)
+        if n != 3:  # v0003 stays UNcommitted (mid-write)
+            ckpt.commit_manifest(p, {"version": n})
+        paths[n] = p
+    # v0004 carries v0002's shard over as a hard link
+    linked = os.path.join(paths[4], "carried.bin")
+    os.link(os.path.join(paths[2], "shard.bin"), linked)
+
+    removed = vacuum_versions(vdir, keep_last=1)
+    assert removed == [paths[1], paths[2]]
+    assert not os.path.exists(paths[1]) and not os.path.exists(paths[2])
+    assert os.path.isdir(paths[3])  # uncommitted: untouched
+    assert os.path.isdir(paths[4])
+    with open(linked, "rb") as f:  # link survives the vacuum of v0002
+        assert f.read() == b"payload-2"
+    # idempotent
+    assert vacuum_versions(vdir, keep_last=1) == []

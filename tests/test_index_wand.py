@@ -180,6 +180,27 @@ def test_route_tokens_cover_all_slots(spark):
         assert sorted(r["slot"] for r in slots) == list(range(n))
 
 
+def test_local_murmur3_matches_jvm_hash(spark):
+    """_murmur3_hash_int (driver-local routing, zero Spark jobs) must be
+    bit-identical to the JVM's F.hash on an int column for positive and
+    negative inputs."""
+    from pyspark.sql import functions as F
+
+    from text_indexer_spark.operators.index_build import _murmur3_hash_int
+
+    vals = list(range(0, 2000)) + [-1, -7, 2**31 - 1, -(2**31)]
+    rows = (
+        spark.createDataFrame([(v,) for v in vals], "v int")
+        .select("v", F.hash("v").alias("h"))
+        .collect()
+    )
+    for r in rows:
+        # mod-2^32 arithmetic makes the signed and unsigned renderings
+        # of the same 32-bit pattern hash identically
+        assert _murmur3_hash_int(r["v"]) == r["h"], r["v"]
+        assert _murmur3_hash_int(r["v"] & 0xFFFFFFFF) == r["h"], r["v"]
+
+
 def test_boundaries_monotone_and_sharding_deterministic(spark):
     from text_indexer_spark.corpus import synthetic_corpus
     from text_indexer_spark.operators.index_build import (

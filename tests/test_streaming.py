@@ -310,3 +310,43 @@ def test_stream_dedup_exact_cross_batch_state(spark, tmp_path):
     assert {r["content"] for r in got2.collect()} == {
         "alpha content", "beta content", "gamma content"
     }
+
+
+def test_stream_dedup_seen_catalog_bounds_state(spark, tmp_path):
+    """Compaction path: content already in the committed catalog is
+    dropped by the stream-static anti-join BEFORE the stateful operator,
+    so it is never admitted and never enters state."""
+    from pyspark.sql import functions as F
+
+    from text_indexer_spark.streaming.dedup_stream import stream_dedup_exact
+    from text_indexer_spark.streaming.sync_stream import corpus_change_stream
+
+    drop = str(tmp_path / "drops")
+    os.makedirs(drop)
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    schema = ("repo string, path string, commit string, lang string, "
+              "content string, event_time timestamp, deleted boolean")
+
+    # the "committed index catalog": alpha content is already indexed
+    catalog = spark.createDataFrame(
+        [("alpha content",)], "content string"
+    ).select(F.sha2(F.col("content"), 256).alias("content_sha256"))
+
+    spark.createDataFrame([
+        ("r1", "a.txt", "c1", "txt", "alpha content", None, False),
+        ("r1", "b.txt", "c1", "txt", "beta content", None, False),
+    ], schema).coalesce(1).write.mode("append").parquet(drop)
+    stream = corpus_change_stream(spark, drop, max_files_per_trigger=1)
+    q = (
+        stream_dedup_exact(stream, seen_catalog=catalog)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    # alpha was pre-seen via the catalog -> only beta is admitted
+    assert [r["content"] for r in got.collect()] == ["beta content"]

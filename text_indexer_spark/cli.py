@@ -138,6 +138,16 @@ def cmd_dedup(args) -> int:
     return 0
 
 
+def cmd_vacuum(args) -> int:
+    """Retention over the immutable version chain (streaming sync
+    output): drop all but the newest N committed versions."""
+    from text_indexer_spark.operators.index_sync import vacuum_versions
+
+    removed = vacuum_versions(args.versions, keep_last=args.keep_last)
+    print(json.dumps({"removed": removed, "kept_last": args.keep_last}))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="text-indexer-spark")
     p.add_argument("--master", default=None, help="Spark master (default: env/local)")
@@ -192,6 +202,13 @@ def main(argv: list[str] | None = None) -> int:
     d.add_argument("--bands", type=int, default=4)
     d.add_argument("--shingle-n", type=int, default=3)
     d.set_defaults(fn=cmd_dedup)
+
+    v = sub.add_parser(
+        "vacuum", help="delete all but the newest N committed index versions"
+    )
+    v.add_argument("--versions", required=True, help="versions directory (v0001, ...)")
+    v.add_argument("--keep-last", type=int, default=2)
+    v.set_defaults(fn=cmd_vacuum)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -135,6 +135,46 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(10)
 
 
+PREFIX = "s"            # wildcard query "s*" (6 testdata vocab terms)
+WILDCARD = "s%a%"       # SQL-LIKE pattern (scan, small, spark, stream)
+SNIPPET_WINDOW = 5
+# non-vacuous on testdata text; identical leftmost-non-overlapping
+# semantics in Java regex and DuckDB RE2 for this pattern class
+GREP_REGEX = "s[a-z]+m"
+
+
+def q_search_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix wildcard query over the vocabulary (engine extension:
+    term-range scan, pushdown-pruned on the term-sorted layout)."""
+    from text_indexer_spark.operators.search import prefix_match
+
+    return prefix_match(doc_postings(spark, sf_dir), PREFIX)
+
+
+def q_search_wildcard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """General LIKE-pattern query; literal prefix extracted for pushdown."""
+    from text_indexer_spark.operators.search import wildcard_match
+
+    return wildcard_match(doc_postings(spark, sf_dir), WILDCARD)
+
+
+def q_search_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snippet extraction around the first query-term hit (result
+    presentation; tokenizer-faithful positions, zero-shuffle scan)."""
+    from text_indexer_spark.operators.highlight import snippets
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return snippets(docs, BM25_TERMS, window=SNIPPET_WINDOW)
+
+
+def q_regex_grep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex content scan (the grep tier the inverted index can't serve)."""
+    from text_indexer_spark.operators.highlight import regex_grep
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return regex_grep(docs, GREP_REGEX)
+
+
 def _snapshot2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic second corpus snapshot derived from ``documents``:
     doc_id % 10 == 0 → deleted, % 10 == 1 → content modified, plus one
@@ -321,6 +361,43 @@ ORDER BY round(s, 4) DESC, doc_id ASC LIMIT 10
 """
 
 
+def sql_search_prefix(pattern: str) -> str:
+    """Shared by the prefix and wildcard gates — both are LIKE scans on
+    the tokenized relation."""
+    return (
+        f"WITH {_toks_cte()} "
+        "SELECT doc_id, count(DISTINCT term)::BIGINT AS n_terms, "
+        "sum(tf)::BIGINT AS total_tf FROM tf "
+        f"WHERE term LIKE '{pattern}' GROUP BY doc_id"
+    )
+
+
+def sql_search_snippets() -> str:
+    from text_indexer_spark.operators.highlight import NO_MATCH
+
+    toks = duckdb_tokens_sql("text")
+    pos_terms = ", ".join(
+        f"coalesce(nullif(list_position(toks, '{t}'), 0), {NO_MATCH})"
+        for t in BM25_TERMS
+    )
+    w = SNIPPET_WINDOW
+    return f"""
+WITH t AS (SELECT doc_id, list_filter({toks}, x -> x <> '') AS toks FROM documents),
+p AS (SELECT doc_id, toks, least({pos_terms}) AS fp FROM t)
+SELECT doc_id, fp::INT AS first_pos,
+       array_to_string(list_slice(toks, greatest(1, fp - {w}), fp + {w}), ' ') AS snippet
+FROM p WHERE fp <> {NO_MATCH}
+"""
+
+
+def sql_regex_grep() -> str:
+    return (
+        f"SELECT doc_id, length(regexp_extract_all(text, '{GREP_REGEX}'))::INT "
+        "AS n_matches FROM documents "
+        f"WHERE length(regexp_extract_all(text, '{GREP_REGEX}')) > 0"
+    )
+
+
 def sql_sync_diff() -> str:
     return f"""
 WITH {SNAPSHOT2_SQL.strip()},
@@ -377,6 +454,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_and": q_search_and,
         "search_and_empty": q_search_empty,
         "search_paths": q_search_paths,
+        "search_prefix": q_search_prefix,
+        "search_wildcard": q_search_wildcard,
+        "search_snippets": q_search_snippets,
+        "regex_grep": q_regex_grep,
         "bm25_topk": q_bm25_topk,
         "sync_diff": q_sync_diff,
         "sync_apply_postings": q_sync_apply_postings,
@@ -394,6 +475,10 @@ def oracle_sql() -> dict[str, str]:
         "search_and": sql_search(AND_TERMS),
         "search_and_empty": sql_search(EMPTY_TERM),
         "search_paths": sql_search_paths(),
+        "search_prefix": sql_search_prefix(PREFIX + "%"),
+        "search_wildcard": sql_search_prefix(WILDCARD),
+        "search_snippets": sql_search_snippets(),
+        "regex_grep": sql_regex_grep(),
         "bm25_topk": sql_bm25_topk(),
         "sync_diff": sql_sync_diff(),
         "sync_apply_postings": sql_sync_apply_postings(),

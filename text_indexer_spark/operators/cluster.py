@@ -27,12 +27,13 @@ Scale notes (100 TB):
   small-star algorithm (Kiveris et al., "Connected Components in
   MapReduce and Beyond", SoCC'14) halves chains per round; diameter-ish
   inputs from near-dup detection don't need it.
-* lineage is cut every round with ``localCheckpoint`` — without it the
-  plan doubles per iteration and the driver OOMs on plan size long
-  before data size matters. On a real cluster prefer
-  ``spark.sparkContext.setCheckpointDir`` + ``checkpoint()`` for
-  executor-loss resilience; localCheckpoint keeps the sandbox
-  dependency-free and the cut is identical.
+* lineage is cut every round — without it the plan doubles per
+  iteration and the driver OOMs on plan size long before data size
+  matters. Default is ``localCheckpoint`` (executor-memory blocks, no
+  external storage needed); pass ``checkpoint_dir`` to use RELIABLE
+  ``checkpoint()`` instead, which survives executor loss — the right
+  mode for multi-hour 100 TB runs where losing one executor must not
+  restart the whole fixpoint.
 * the edge list is materialized once (symmetrized + distinct) and
   reused every round.
 """
@@ -48,26 +49,37 @@ def connected_components(
     src: str = "doc_a",
     dst: str = "doc_b",
     max_iter: int = 30,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """(doc_id, cluster_id) for every node appearing in ``pairs``;
     cluster_id = min node id of its connected component.
 
     Deterministic: the fixpoint of min-propagation is unique regardless
     of join order, so reruns (and different cluster sizes) agree.
+
+    ``checkpoint_dir``: when set, per-round lineage cuts use RELIABLE
+    ``checkpoint()`` into that directory (HDFS/object-store path on a
+    real cluster) instead of ``localCheckpoint`` — survives executor
+    loss at the cost of one write+read per round.
     """
+    if checkpoint_dir is not None:
+        pairs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def cut(df: DataFrame) -> DataFrame:
+        if checkpoint_dir is not None:
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
+
     e = pairs.select(
         F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b")
     ).filter(F.col("a") != F.col("b"))
-    edges = (
-        e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
-        .distinct()
-        .localCheckpoint(eager=True)
+    edges = cut(
+        e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
     )
-    labels = (
+    labels = cut(
         edges.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .localCheckpoint(eager=True)
     )
     prev_sum = labels.agg(F.sum("label")).first()[0]
     if prev_sum is None:  # no edges at all
@@ -88,8 +100,8 @@ def connected_components(
                     F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))
                 ).alias("label"),
             )
-            .localCheckpoint(eager=True)
         )
+        labels = cut(labels)
         cur_sum = labels.agg(F.sum("label")).first()[0]
         if cur_sum == prev_sum:
             break

@@ -69,6 +69,7 @@ POSTINGS_DIR = "postings"
 LISTS_DIR = "posting_lists"
 CATALOG_DIR = "catalog"
 STATS_DIR = "stats"
+STATS_PARTIAL_DIR = "stats_partial"
 METRICS_DIR = "metrics"
 
 SORT_KEYS = ["repo", "path", "commit", "lang", "content"]
@@ -190,36 +191,44 @@ def _compute_boundaries(corpus: DataFrame, num_shards: int) -> list[str]:
     return out
 
 
+def _murmur3_hash_int(value: int, seed: int = 42) -> int:
+    """Spark's ``F.hash`` on one INT column: Murmur3_x86_32.hashInt
+    (seed 42), reimplemented so routing tokens are computed on the
+    DRIVER with zero Spark jobs. Returns the signed 32-bit hash. If
+    this ever disagreed with the JVM, stage A's mixed-partition
+    invariant check fails the build loudly (and a pytest compares it
+    against ``F.hash`` directly)."""
+    m = 0xFFFFFFFF
+    k1 = (value * 0xCC9E2D51) & m
+    k1 = ((k1 << 15) | (k1 >> 17)) & m
+    k1 = (k1 * 0x1B873593) & m
+    h1 = seed ^ k1
+    h1 = ((h1 << 13) | (h1 >> 19)) & m
+    h1 = (h1 * 5 + 0xE6546B64) & m
+    # fmix(h1, 4)
+    h1 ^= 4
+    h1 ^= h1 >> 16
+    h1 = (h1 * 0x85EBCA6B) & m
+    h1 ^= h1 >> 13
+    h1 = (h1 * 0xC2B2AE35) & m
+    h1 ^= h1 >> 16
+    return h1 - (1 << 32) if h1 >= (1 << 31) else h1
+
+
 def _route_tokens(spark: SparkSession, num_shards: int) -> list[int]:
     """For each shard id k, an int token whose Murmur3 hash lands in
     partition slot k of a ``repartition(num_shards, ...)`` exchange —
     collision-free shard→partition routing without a range exchange
     (hash routing alone would map ~1/e of the slots empty and stack
-    multiple shards on one task: a straggler at any scale)."""
+    multiple shards on one task: a straggler at any scale). Computed
+    driver-locally (``_murmur3_hash_int`` ≡ JVM ``F.hash``/``pmod``
+    for n > 0, where Java's ((h%n)+n)%n equals Python's h%n), so the
+    sizing phase spends no Spark jobs on it."""
     route: dict[int, int] = {}
-    span = max(64 * num_shards, 1024)
-    probe = (
-        spark.range(span)
-        .select(
-            F.col("id").cast("int").alias("id"),
-            F.pmod(F.hash(F.col("id").cast("int")), F.lit(num_shards)).alias("slot"),
-        )
-        .collect()
-    )
-    for r in probe:
-        route.setdefault(r["slot"], r["id"])
-    missing = set(range(num_shards)) - set(route)
-    if missing:  # astronomically unlikely with 64× probes; widen once
-        probe = (
-            spark.range(span, 64 * span)
-            .select(
-                F.col("id").cast("int").alias("id"),
-                F.pmod(F.hash(F.col("id").cast("int")), F.lit(num_shards)).alias("slot"),
-            )
-            .collect()
-        )
-        for r in probe:
-            route.setdefault(r["slot"], r["id"])
+    token = 0
+    while len(route) < num_shards:
+        route.setdefault(_murmur3_hash_int(token) % num_shards, token)
+        token += 1
     return [route[k] for k in range(num_shards)]
 
 
@@ -486,6 +495,7 @@ def build_index(
     done_a = ckpt.done_shards(index_dir, "postings") if resume else set()
     postings_dir = os.path.join(index_dir, POSTINGS_DIR)
     catalog_dir = os.path.join(index_dir, CATALOG_DIR)
+    stats_partial_dir = os.path.join(index_dir, STATS_PARTIAL_DIR)
 
     def stage_a(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import pyarrow as pa
@@ -593,6 +603,17 @@ def build_index(
         )
         _write_shard_parquet(cat, catalog_dir, pid)
         _write_shard_parquet(post, postings_dir, pid)
+        # per-shard term-df PARTIAL, map-side-combined here so stage B
+        # aggregates Σ(per-shard vocab) rows instead of rescanning every
+        # posting (at 100 TB: ~shards×|vocab∩shard| vs 10^12 rows)
+        if len(post):
+            part = post.groupby("term", sort=False).size().reset_index(name="df")
+            part["df"] = part["df"].astype("int64")
+        else:
+            part = pd.DataFrame(
+                {"term": pd.Series(dtype="object"), "df": pd.Series(dtype="int64")}
+            )
+        _write_shard_parquet(part, stats_partial_dir, pid)
         secs = time.time() - t0
         ckpt.write_marker(
             index_dir, "postings", pid,
@@ -634,13 +655,32 @@ def build_index(
     t_b0 = time.time()
     stats_marker = ckpt.read_marker(index_dir, "stats") if resume else None
     if n_docs and (stats_marker is None or stats_marker.get("n_docs") != n_docs_committed):
-        # term-column-only scan + hash agg: map-side partial aggregation
-        # reduces each scan partition to its local vocabulary before the
-        # shuffle, so the exchange carries |partitions| × |vocab∩partition|
-        # rows, not one row per posting
-        spark.read.parquet(postings_dir).groupBy("term").agg(
-            F.count("*").cast("long").alias("df")
-        ).write.mode("overwrite").parquet(stats_dir)
+        # stage A wrote a per-shard (term, df) PARTIAL alongside each
+        # postings shard (map-side combine fused into the tokenize pass),
+        # so the stats job scans Σ(per-shard vocab) rows, not one row per
+        # posting. Indexes built before partials existed (resume across
+        # versions) fall back to the postings scan, whose hash agg still
+        # map-side-combines to per-partition vocab before the shuffle.
+        done_now = ckpt.done_shards(index_dir, "postings")
+        have_partials = all(
+            os.path.exists(
+                os.path.join(stats_partial_dir, f"shard_{s:05d}.parquet")
+            )
+            for s in done_now
+        ) and bool(done_now)
+        if have_partials:
+            term_src = (
+                spark.read.parquet(stats_partial_dir)
+                .groupBy("term")
+                .agg(F.sum("df").cast("long").alias("df"))
+            )
+        else:
+            term_src = (
+                spark.read.parquet(postings_dir)
+                .groupBy("term")
+                .agg(F.count("*").cast("long").alias("df"))
+            )
+        term_src.write.mode("overwrite").parquet(stats_dir)
         ckpt.write_marker(
             index_dir, "stats",
             n_docs=n_docs_committed, total_tokens=total_tokens, avgdl=avgdl,

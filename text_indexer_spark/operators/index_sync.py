@@ -479,3 +479,36 @@ def sync_index_dir(
     ckpt.commit_manifest(out_dir, new_manifest)
     diff.unpersist()
     return new_manifest
+
+
+def vacuum_versions(versions_dir: str, keep_last: int = 2) -> list[str]:
+    """Retention for the immutable version chain: delete all but the
+    newest ``keep_last`` COMMITTED versions under ``versions_dir`` (the
+    ``v<N>`` directories the streaming maintenance writes).
+
+    Safety properties:
+
+    * uncommitted directories (no ``_MANIFEST.json`` — a writer may be
+      mid-commit) are never touched;
+    * surviving versions stay fully readable: locally, carried-over
+      shard files are hard links (deleting one directory's entry never
+      frees a file another version still links); on object stores the
+      carry-over was a copy, so versions share nothing;
+    * idempotent — re-running after a partial delete just removes the
+      remainder.
+
+    Returns the removed version paths (oldest first).
+    """
+    import re
+
+    committed: list[tuple[int, str]] = []
+    for name in storage.listdir(versions_dir):
+        m = re.fullmatch(r"v(\d+)", name)
+        p = storage.join(versions_dir, name)
+        if m and ckpt.read_manifest(p) is not None:
+            committed.append((int(m.group(1)), p))
+    committed.sort()
+    doomed = committed[: max(0, len(committed) - max(keep_last, 1))]
+    for _, p in doomed:
+        storage.rmtree(p)
+    return [p for _, p in doomed]

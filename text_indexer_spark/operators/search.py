@@ -57,6 +57,52 @@ def conjunctive_match(postings: DataFrame, terms: list[str]) -> DataFrame:
     )
 
 
+def prefix_match(postings: DataFrame, prefix: str) -> DataFrame:
+    """Wildcard query ``pre*`` → (doc_id, n_terms, total_tf) over every
+    vocabulary term starting with ``prefix``.
+
+    ``startswith`` compiles to a StartsWith predicate that PUSHES DOWN
+    to the parquet scan as a string-range filter — on the term-major
+    merged layout (rows sorted by term) row-group min/max stats prune
+    everything outside the prefix range, so the scan cost is the prefix
+    bucket, not the vocabulary."""
+    spark = postings.sparkSession
+    if not prefix:
+        return spark.createDataFrame([], "doc_id long, n_terms long, total_tf long")
+    matched = postings.filter(F.col("term").startswith(prefix))
+    return matched.groupBy("doc_id").agg(
+        F.countDistinct("term").cast("long").alias("n_terms"),
+        F.sum("tf").cast("long").alias("total_tf"),
+    )
+
+
+def wildcard_match(postings: DataFrame, pattern: str) -> DataFrame:
+    """SQL-LIKE wildcard query (``st%m``) → (doc_id, n_terms, total_tf).
+
+    The literal prefix before the first ``%``/``_`` is extracted and
+    applied as a separate ``startswith`` filter so the storage layer
+    still gets a pushable range predicate; the full LIKE runs as a
+    codegen'd residual on the pruned rows. A leading-wildcard pattern
+    degrades to a vocabulary scan — the documented trade-off (serving
+    systems add a reversed-term dictionary for that; out of scope)."""
+    spark = postings.sparkSession
+    if not pattern:
+        return spark.createDataFrame([], "doc_id long, n_terms long, total_tf long")
+    lit_prefix = ""
+    for ch in pattern:
+        if ch in ("%", "_"):
+            break
+        lit_prefix += ch
+    matched = postings
+    if lit_prefix:
+        matched = matched.filter(F.col("term").startswith(lit_prefix))
+    matched = matched.filter(F.col("term").like(pattern))
+    return matched.groupBy("doc_id").agg(
+        F.countDistinct("term").cast("long").alias("n_terms"),
+        F.sum("tf").cast("long").alias("total_tf"),
+    )
+
+
 def search_paths(postings: DataFrame, catalog: DataFrame, terms: list[str]) -> DataFrame:
     """Reference search result: matching docs as (doc_id, repo, path),
     sorted by path (``DocumentsIndexer.kt:67``). The id→path join is

@@ -92,6 +92,18 @@ def listdir(path: str) -> list[str]:
     return [posixpath.basename(i.path) for i in infos]
 
 
+def rmtree(path: str) -> None:
+    """Recursively delete a directory (no-op if absent). Local hard
+    links shared with other directories survive — only this directory's
+    entries go away — so vacuuming an old index version never corrupts
+    a newer one that carried shards over via ``link_or_copy``."""
+    from pyarrow import fs as pafs
+
+    f, p = resolve(path)
+    if f.get_file_info(p).type != pafs.FileType.NotFound:
+        f.delete_dir(p)
+
+
 def write_bytes_atomic(path: str, payload: bytes) -> None:
     f, p = resolve(path)
     if _is_local(f):

@@ -17,9 +17,14 @@ stateful-operator API):
   a sha256 is emitted; later arrivals are dropped. First-wins inside a
   batch follows the batch's row order after a stable sort on
   (repo, path, commit) — deterministic under replay.
-* state TTL is left unset (dedup state must not expire); a production
-  deployment would bound state with a watermark + periodic compaction
-  into the batch index's catalog, which IS the long-term seen-set.
+* state TTL is left unset (dedup state must not expire) — instead state
+  GROWTH is bounded by compaction: pass ``seen_catalog`` (the committed
+  index catalog, which IS the long-term seen-set) and the stream
+  anti-joins it BEFORE the stateful operator, so state only accumulates
+  content first seen since the catalog snapshot. Re-deploying the query
+  after each index sync (fresh checkpoint, refreshed catalog) resets
+  state to the inter-compaction window — the standard bounded-state
+  pattern for monotone seen-sets.
 
 The streaming checkpoint makes this exactly-once per Spark's streaming
 guarantees: a replayed micro-batch re-derives the same admit/drop
@@ -66,13 +71,29 @@ def _dedup_fn(
 
 
 def stream_dedup_exact(
-    changes: DataFrame, state_buckets: int = 64
+    changes: DataFrame,
+    state_buckets: int = 64,
+    seen_catalog: DataFrame | None = None,
 ) -> DataFrame:
     """Streaming corpus rows → first-seen-only rows (exact content
-    dedup with cross-batch memory)."""
+    dedup with cross-batch memory).
+
+    ``seen_catalog``: optional STATIC frame with a ``content_sha256``
+    column (the committed index catalog). Content already in it is
+    dropped by a stream-static left_anti join before the stateful
+    operator — state then only grows with content that is new since the
+    catalog snapshot, which bounds state size to one compaction window.
+    """
     hashed = changes.withColumn(
         "content_sha256", F.sha2(F.coalesce(F.col("content"), F.lit("")), 256)
-    ).withColumn(
+    )
+    if seen_catalog is not None:
+        hashed = hashed.join(
+            seen_catalog.select("content_sha256").distinct(),
+            "content_sha256",
+            "left_anti",
+        )
+    hashed = hashed.withColumn(
         "_bucket",
         F.pmod(F.xxhash64("content_sha256"), F.lit(state_buckets)).cast("int"),
     )
