@@ -141,6 +141,7 @@ def run_build(master: str, sf_dir: str, replicas: int) -> dict:
             "master": master,
             "build_sec": build_sec,
             "stage_sec": manifest.get("stage_sec", {}),
+            "sizing_sec": manifest.get("sizing_sec", {}),
             "n_docs": manifest["n_docs"],
             "n_postings": n_postings,
             "postings_per_sec": n_postings / build_sec if build_sec else 0.0,
@@ -319,6 +320,27 @@ def main() -> None:
             f"{best[hi]['stage_sec'].get(s,0):.1f} | {stage_eff[s]:.2f} |"
             for s in stage_names
         )
+        # optional kernel-ceiling probe (BENCH/membw_probe.py writes it):
+        # the SAME tokenize/encode kernels in K pinned OS processes with
+        # no Spark — their 2→8 efficiency is the hardware's ceiling for
+        # the wide stages, separating machine from engine
+        membw_note = ""
+        membw_path = os.path.join("BENCH", "membw.json")
+        if os.path.exists(membw_path):
+            with open(membw_path) as f:
+                mb = json.load(f)
+            membw_note = (
+                "\n\nKernel ceiling (no Spark — `BENCH/membw_probe.py`, the "
+                "same tokenize/encode kernels in K CPU-pinned OS processes, "
+                "private inputs, zero shuffle/scheduler/JVM): "
+                + ", ".join(
+                    f"{k} 2→8 efficiency **{v:.3f}**"
+                    for k, v in sorted(mb.items())
+                )
+                + ". Any Spark-stage efficiency at or above its kernel "
+                "ceiling means the residual is the single socket's shared "
+                "memory bandwidth, not the engine's plan.\n"
+            )
         os.makedirs("BENCH", exist_ok=True)
         with open("BENCH/BASELINE.md", "w") as f:
             f.write(
@@ -354,7 +376,8 @@ def main() -> None:
                 "executor count; north-rule clusters add disks as they add "
                 "executors). Neither is a property of the plan: no stage has "
                 "a global barrier, no driver-side per-doc work exists, and "
-                "shard count is a free parameter.\n\n"
+                "shard count is a free parameter.\n"
+                + membw_note + "\n"
                 "Query-side IO note: doc-range sharding means every query "
                 "touches every shard file (the standard document-partitioned "
                 "trade-off), so per-query IO grows with shard count while "

@@ -50,12 +50,27 @@ def test_manifest_and_layout(built):
     assert len(ckpt.done_shards(index_dir, "lists")) == 6
 
 
+def _engine_to_dense(spark, index_dir, dense_catalog) -> dict:
+    """Engine (stride) id → DataFrame-level dense id, joined on the
+    (repo, path) key. Both id schemes rank docs in the SAME (repo,
+    path) order, so the map is monotone and rank results line up 1:1."""
+    eng = load_catalog(spark, index_dir).select(
+        F.col("doc_id").alias("eng_id"), "repo", "path"
+    )
+    dense = dense_catalog.select("doc_id", "repo", "path")
+    return {
+        r["eng_id"]: r["doc_id"]
+        for r in eng.join(dense, ["repo", "path"]).collect()
+    }
+
+
 def test_wand_matches_dataframe_scorer_and_oracle(spark, built):
     corpus, index_dir, _ = built
     lists = load_posting_lists(spark, index_dir).cache()
     catalog = build_catalog(corpus).cache()
     postings = build_postings(catalog)
     stats = term_stats(postings)
+    idmap = _engine_to_dense(spark, index_dir, catalog)
     oracle = OracleIndex()
     for r in catalog.select("doc_id", "content").collect():
         oracle.add(r["doc_id"], r["content"])
@@ -63,9 +78,9 @@ def test_wand_matches_dataframe_scorer_and_oracle(spark, built):
         wand = wand_topk(lists, terms, k=10).collect()
         plain = bm25_topk(postings, catalog, stats, terms, k=10, round_to=None).collect()
         exp = oracle.bm25_topk(terms, k=10)
-        assert [r["doc_id"] for r in wand] == [r["doc_id"] for r in plain] == [
-            d for d, _ in exp
-        ], terms
+        assert [idmap[r["doc_id"]] for r in wand] == [
+            r["doc_id"] for r in plain
+        ] == [d for d, _ in exp], terms
         for w_row, (_, s) in zip(wand, exp):
             assert w_row["score"] == pytest.approx(s, abs=1e-9)
 
@@ -147,6 +162,7 @@ def test_wand_or_mode_matches_oracle(spark, built):
     catalog = build_catalog(corpus).cache()
     postings = build_postings(catalog)
     stats = term_stats(postings)
+    idmap = _engine_to_dense(spark, index_dir, catalog)
     oracle = OracleIndex()
     for r in catalog.select("doc_id", "content").collect():
         oracle.add(r["doc_id"], r["content"])
@@ -155,9 +171,9 @@ def test_wand_or_mode_matches_oracle(spark, built):
         plain = df_topk(postings, catalog, stats, terms, k=10,
                         conjunctive=False, round_to=None).collect()
         exp = oracle.bm25_topk(terms, k=10, conjunctive=False)
-        assert [r["doc_id"] for r in wand] == [r["doc_id"] for r in plain] == [
-            d for d, _ in exp
-        ], terms
+        assert [idmap[r["doc_id"]] for r in wand] == [
+            r["doc_id"] for r in plain
+        ] == [d for d, _ in exp], terms
         for w_row, (_, s) in zip(wand, exp):
             assert w_row["score"] == pytest.approx(s, abs=1e-9)
 
@@ -233,7 +249,8 @@ def test_build_more_shards_than_docs(spark, tmp_path):
 
     corpus = synthetic_corpus(spark, n_docs=5, avg_tokens=6)
     idx = str(tmp_path / "tiny_idx")
-    m = build_index(corpus, idx, num_shards=32, resume=False)
+    # dense_ids mode: gapless 0..N-1 via the counting pass
+    m = build_index(corpus, idx, num_shards=32, resume=False, dense_ids=True)
     assert m["n_docs"] == 5
     cat = load_catalog(spark, idx)
     assert cat.count() == 5
@@ -293,8 +310,11 @@ def test_build_duplicate_heavy_corpus(spark, tmp_path):
     n_keys = corpus.select("repo", "path").distinct().count()
     assert m["n_docs"] == n_keys
     assert cat.count() == n_keys
-    ids = sorted(r["doc_id"] for r in cat.select("doc_id").collect())
-    assert ids == list(range(n_keys))
+    # default (stride) ids: unique, and id order == (repo, path) order
+    rows = cat.select("doc_id", "repo", "path").collect()
+    assert len({r["doc_id"] for r in rows}) == n_keys
+    by_key = sorted(rows, key=lambda r: (r["repo"], r["path"]))
+    assert [r["doc_id"] for r in by_key] == sorted(r["doc_id"] for r in rows)
     # the surviving duplicate is the greatest (commit, ...) version
     win = cat.filter(F.col("commit").startswith("commit-")).collect()
     assert len(win) == 1 and win[0]["commit"] == "commit-015"

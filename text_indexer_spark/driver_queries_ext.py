@@ -1013,6 +1013,44 @@ def sql_wand_bm25_topk() -> str:
     return sql_bm25_topk()
 
 
+def q_search_results_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full SERVING composition a search frontend issues as one
+    query: block-max WAND top-10 from the compressed index → broadcast
+    id→metadata join → snippet extraction over ONLY the top-k docs (the
+    semi-join keeps the scan tier to k rows — the shape highlight.py
+    prescribes for result pages)."""
+    from text_indexer_spark.driver_queries import BM25_TERMS, SNIPPET_WINDOW
+    from text_indexer_spark.operators.highlight import snippets
+
+    topk = q_wand_bm25_topk(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang", "text"
+    )
+    hits = docs.join(F.broadcast(topk.select("doc_id")), "doc_id", "left_semi")
+    snips = snippets(hits, BM25_TERMS, window=SNIPPET_WINDOW)
+    return (
+        topk.join(F.broadcast(docs.select("doc_id", "source", "lang")), "doc_id")
+        .join(F.broadcast(snips), "doc_id")
+        .select("doc_id", "score", "source", "lang", "first_pos", "snippet")
+    )
+
+
+def sql_search_results_page() -> str:
+    from text_indexer_spark.driver_queries import (
+        sql_bm25_topk,
+        sql_search_snippets,
+    )
+
+    return f"""
+WITH topk AS ({sql_bm25_topk()}),
+snips AS ({sql_search_snippets()})
+SELECT topk.doc_id, topk.score, d.source, d.lang, snips.first_pos, snips.snippet
+FROM topk
+JOIN documents d USING (doc_id)
+JOIN snips USING (doc_id)
+"""
+
+
 BATCH_QUERIES = {
     "q_join": ["join"],
     "q_the_data": ["the", "data"],
@@ -1098,6 +1136,7 @@ def queries():
         "multimodal_meta": q_multimodal_meta,
         "multimodal_frames": q_multimodal_frames,
         "wand_bm25_topk": q_wand_bm25_topk,
+        "search_results_page": q_search_results_page,
         "wand_bm25_topk_or": q_wand_bm25_topk_or,
         "decoded_postings": q_decoded_postings,
         "wand_bm25_batch": q_wand_batch_topk,
@@ -1138,6 +1177,7 @@ def oracle_sql():
         "multimodal_meta": sql_multimodal_meta(),
         "multimodal_frames": sql_multimodal_frames(),
         "wand_bm25_topk": sql_wand_bm25_topk(),
+        "search_results_page": sql_search_results_page(),
         "decoded_postings": _sql_postings_oracle(),
         "wand_bm25_batch": sql_wand_batch_topk(),
         "merged_decoded_postings": _sql_postings_oracle(),

@@ -162,8 +162,18 @@ def _compute_boundaries(corpus: DataFrame, num_shards: int) -> list[str]:
     ONE job (per-partition top-k + driver merge — no row count needed),
     and the boundaries are a pure function of the data, so reruns at any
     parallelism shard identically. Bottom-k over the key hash is a
-    uniform sample of DISTINCT keys (duplicates share a hash)."""
-    target = num_shards * 256
+    uniform sample of DISTINCT keys (duplicates share a hash).
+
+    The sample size stays BELOW spark.sql.execution.topKSortFallbackThreshold
+    (default 10000): above it, ``orderBy().limit()`` silently degrades
+    from TakeOrderedAndProject (per-partition heaps + driver merge) to a
+    FULL global sort of every key — measured as ~10 s of flat, parallel-
+    insensitive cost on a 2 M-doc corpus. At the default shard cap (256)
+    the floor is ≥32 uniform samples per boundary — relative shard-size
+    error ~1/√32 ≈ 18 % worst case, well inside what the collision-free
+    routing + per-shard checkpointing tolerate (shard size only gates
+    memory headroom, not correctness)."""
+    target = min(num_shards * 256, 8192)
     r0 = F.coalesce(F.col("repo"), F.lit(""))
     p0 = F.coalesce(F.col("path"), F.lit(""))
     sampled = (
@@ -426,6 +436,14 @@ def encode_shards(
     )
 
 
+# Stride between shard id-spaces when ``dense_ids=False``: doc_id =
+# shard_id * ID_STRIDE + local_rank. 2^40 docs per shard (a 10^12-doc
+# corpus across 256 shards uses < 0.4 % of it); stage A fails loudly on
+# overflow. Global order still holds: shard k's ids all precede shard
+# k+1's, and within a shard ranks follow the (repo, path) sort.
+ID_STRIDE = 1 << 40
+
+
 def build_index(
     corpus: DataFrame,
     index_dir: str,
@@ -433,8 +451,20 @@ def build_index(
     verify_sha: bool | None = None,
     resume: bool = True,
     block_size: int = BLOCK_SIZE,
+    dense_ids: bool = False,
 ) -> dict:
-    """Run the full build; returns the committed manifest dict."""
+    """Run the full build; returns the committed manifest dict.
+
+    ``dense_ids``: False (default) assigns ``shard * ID_STRIDE + rank``
+    — id order still equals global (repo, path) order, but NO counting
+    pass is needed, which deletes an entire shuffle of every (repo,
+    path) key (at 10^12 files that exchange alone moves ~10^14 bytes).
+    True restores gapless 0..N-1 ids via a per-shard countDistinct —
+    only worth it when downstream storage wants ids as array indexes.
+    The delta-varbyte codec absorbs the stride as one ~6-byte absolute
+    first-id per (term, shard) list; every later gap is intra-shard.
+    A resumed build must pass the same ``dense_ids`` value as the run
+    that wrote the checkpoints (ids of completed shards are final)."""
     spark = corpus.sparkSession
     os.makedirs(index_dir, exist_ok=True)
     t_start = time.time()
@@ -458,37 +488,50 @@ def build_index(
     # (a resumed build MUST shard identically or completed-shard markers
     # would describe the wrong doc ranges)
     t_sz = time.time()
-    # ONE pruned key projection, cached across the boundary-sample job
-    # and the offset-count job (they are inherently sequential — counts
-    # need the boundaries — but need not scan the source twice)
-    keys = corpus.select("repo", "path").persist()
+    keys = corpus.select("repo", "path")
+    if dense_ids:
+        # cache the pruned keys across the boundary-sample job and the
+        # offset-count job (sequential — counts need the boundaries —
+        # but they need not scan the source twice)
+        keys = keys.persist()
     persisted = ckpt.read_boundaries(index_dir) if resume else None
     if persisted is not None:
         num_shards, bounds = persisted
     else:
         bounds = _compute_boundaries(keys, num_shards)
         ckpt.write_boundaries(index_dir, num_shards, bounds)
+    t_bounds = time.time() - t_sz
     route = _route_tokens(spark, num_shards)
-    # dense deterministic doc-id offsets from a PRUNED key aggregation:
-    # two string columns cross this shuffle, never `content`. Runs over
-    # the full corpus even on resume so offsets reproduce exactly.
     shard_of = _shard_of_udf(bounds)
-    sizes_rows = (
-        keys
-        .withColumn("_pid", shard_of("repo", "path"))
-        .groupBy("_pid")
-        .agg(F.countDistinct("repo", "path").alias("n"))
-        .collect()
-    )
-    keys.unpersist()
-    sizes = {r["_pid"]: r["n"] for r in sizes_rows}
-    n_docs = int(sum(sizes.values()))
-    offsets, acc = {}, 0
-    for pid in sorted(sizes):
-        offsets[pid] = acc
-        acc += sizes[pid]
+    if dense_ids:
+        # gapless deterministic doc-id offsets from a PRUNED key
+        # aggregation: two string columns cross this shuffle, never
+        # `content`. Runs over the full corpus even on resume so
+        # offsets reproduce exactly.
+        sizes_rows = (
+            keys
+            .withColumn("_pid", shard_of("repo", "path"))
+            .groupBy("_pid")
+            .agg(F.countDistinct("repo", "path").alias("n"))
+            .collect()
+        )
+        keys.unpersist()
+        sizes = {r["_pid"]: r["n"] for r in sizes_rows}
+        n_docs = int(sum(sizes.values()))
+        offsets, acc = {}, 0
+        for pid in sorted(sizes):
+            offsets[pid] = acc
+            acc += sizes[pid]
+        id_capacity = None
+        run_stage_a = n_docs > 0
+    else:
+        # stride ids: offsets are a pure function of the shard id — no
+        # counting job, no key shuffle, corpus size learned from stage
+        # A's own lineage markers after the fact
+        offsets = {pid: pid * ID_STRIDE for pid in range(num_shards)}
+        id_capacity = ID_STRIDE
+        run_stage_a = True
     boff = spark.sparkContext.broadcast(offsets)
-    shard_size = max(1, -(-n_docs // num_shards)) if n_docs else 1
     t_sizing = time.time() - t_sz
 
     # ---- stage A ------------------------------------------------------
@@ -586,6 +629,11 @@ def build_index(
             process(pending)
         if pid is None:
             return
+        if id_capacity is not None and counter > id_capacity:
+            raise RuntimeError(
+                f"shard {pid} exceeded its id stride ({counter} > {id_capacity}); "
+                "increase num_shards or build with dense_ids=True"
+            )
         cat = (
             pd.concat(cat_parts, ignore_index=True)
             if cat_parts
@@ -637,7 +685,7 @@ def build_index(
     a_input = _sharded_sorted(pre, bounds, route, skip_pids=sorted(done_a))
     a_metrics = []
     t_a0 = time.time()
-    if n_docs:
+    if run_stage_a:
         a_metrics = a_input.mapInPandas(stage_a, _STAGE_A_SCHEMA).collect()
     t_stage_a = time.time() - t_a0
     total_mismatch = sum(r["sha_mismatches"] for r in a_metrics)
@@ -654,7 +702,9 @@ def build_index(
     avgdl = (total_tokens / n_docs_committed) if n_docs_committed else 0.0
     t_b0 = time.time()
     stats_marker = ckpt.read_marker(index_dir, "stats") if resume else None
-    if n_docs and (stats_marker is None or stats_marker.get("n_docs") != n_docs_committed):
+    if n_docs_committed and (
+        stats_marker is None or stats_marker.get("n_docs") != n_docs_committed
+    ):
         # stage A wrote a per-shard (term, df) PARTIAL alongside each
         # postings shard (map-side combine fused into the tokenize pass),
         # so the stats job scans Σ(per-shard vocab) rows, not one row per
@@ -691,7 +741,7 @@ def build_index(
     # ---- stage C: encode compressed posting lists per shard -----------
     t_c0 = time.time()
     done_c = ckpt.done_shards(index_dir, "lists") if resume else set()
-    todo_c = sorted(set(range(num_shards)) - done_c) if n_docs else []
+    todo_c = sorted(set(range(num_shards)) - done_c) if n_docs_committed else []
     c_metrics = encode_shards(
         spark, index_dir, todo_c,
         n_docs=n_docs_committed, avgdl=avgdl, block_size=block_size,
@@ -699,16 +749,49 @@ def build_index(
     t_stage_c = time.time() - t_c0
 
     # ---- metrics + manifest commit ------------------------------------
+    # metrics rows are already ON the driver (collected stage outputs) —
+    # a driver-side pyarrow write costs zero Spark jobs; a
+    # createDataFrame().write here would spin up a whole job for a few
+    # dozen rows (visible fixed cost in the pinned scaling runs)
     metrics_rows = [r.asDict() for r in a_metrics] + [r.asDict() for r in c_metrics]
     if metrics_rows:
-        spark.createDataFrame(metrics_rows).write.mode("append").parquet(
-            os.path.join(index_dir, METRICS_DIR)
+        import pyarrow as pa
+        import uuid as _uuid
+
+        from text_indexer_spark import storage as _storage
+
+        # explicit UNION schema over the stage-A and stage-C row shapes:
+        # from_pylist would otherwise infer from the first row and drop
+        # the other stage's columns
+        metrics_schema = pa.schema([
+            ("shard_id", pa.int64()),
+            ("n_docs", pa.int64()),
+            ("n_postings", pa.int64()),
+            ("n_tokens", pa.int64()),
+            ("sha_mismatches", pa.int64()),
+            ("tokenize_sec", pa.float64()),
+            ("n_terms", pa.int64()),
+            ("bytes_ids", pa.int64()),
+            ("bytes_tfs", pa.int64()),
+            ("bytes_weights", pa.int64()),
+            ("skew_ratio", pa.float64()),
+            ("encode_sec", pa.float64()),
+            ("postings_per_sec", pa.float64()),
+        ])
+        mdir = os.path.join(index_dir, METRICS_DIR)
+        _storage.makedirs(mdir)
+        _storage.write_parquet_atomic(
+            pa.Table.from_pylist(metrics_rows, schema=metrics_schema),
+            _storage.join(mdir, f"metrics_{_uuid.uuid4().hex}.parquet"),
         )
     manifest = {
         "version": 1,
         "n_docs": n_docs_committed,
         "num_shards": num_shards,
-        "shard_size": shard_size,
+        "shard_size": (
+            max(1, -(-n_docs_committed // num_shards)) if n_docs_committed else 1
+        ),
+        "dense_ids": dense_ids,
         "avgdl": avgdl,
         "total_tokens": total_tokens,
         "block_size": block_size,
@@ -718,6 +801,10 @@ def build_index(
             "tokenize_postings": round(t_stage_a, 3),
             "stats": round(t_stage_b, 3),
             "encode_lists": round(t_stage_c, 3),
+        },
+        "sizing_sec": {
+            "boundary_sample": round(t_bounds, 3),
+            "offset_counts": round(t_sizing - t_bounds, 3),
         },
         "stages": {
             "postings_shards": sorted(ckpt.done_shards(index_dir, "postings")),
