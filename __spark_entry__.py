@@ -11,7 +11,11 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from text_indexer_spark import driver_queries, driver_queries_ext
+from text_indexer_spark import (
+    driver_queries,
+    driver_queries_ext,
+    driver_queries_serving,
+)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -23,8 +27,16 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {**driver_queries.queries(), **driver_queries_ext.queries()}
+    return {
+        **driver_queries.queries(),
+        **driver_queries_ext.queries(),
+        **driver_queries_serving.queries(),
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    return {**driver_queries.oracle_sql(), **driver_queries_ext.oracle_sql()}
+    return {
+        **driver_queries.oracle_sql(),
+        **driver_queries_ext.oracle_sql(),
+        **driver_queries_serving.oracle_sql(),
+    }

@@ -1,0 +1,168 @@
+"""Serving-tier operators: scoped search, facets, msm ranking,
+more-like-this, suggest, n-gram counts, tf·idf vectors.
+
+Crafted-corpus semantics tests + plan guard rails (broadcasts where the
+scale story requires them, no cartesian anywhere).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from text_indexer_spark.operators.cooccur import ngram_counts
+from text_indexer_spark.operators.serving import (
+    bm25_topk_msm,
+    facet_counts,
+    more_like_this,
+    scoped_conjunctive,
+    suggest_terms,
+)
+from text_indexer_spark.operators.textstats import tfidf_topm
+from text_indexer_spark.plans.checks import formatted_plan
+from text_indexer_spark.tokenizer import tokenize_column
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (0, "srcA", "a/x.py", "spark join window fast"),
+        (1, "srcA", "a/y.py", "spark join window slow slow"),
+        (2, "srcB", "b/x.py", "spark join window"),
+        (3, "srcB", "b/y.py", "spark only here"),
+        (4, "srcB", "c/z.py", "join window no first term"),
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id long, source string, path string, text string"
+    )
+
+
+@pytest.fixture(scope="module")
+def postings(corpus):
+    toks = corpus.select(
+        "doc_id", F.explode(tokenize_column("text")).alias("term")
+    )
+    return (
+        toks.groupBy("term", "doc_id")
+        .agg(F.count("*").cast("long").alias("tf"))
+        .cache()
+    )
+
+
+@pytest.fixture(scope="module")
+def catalog(postings):
+    return postings.groupBy("doc_id").agg(
+        F.sum("tf").cast("double").alias("doc_len")
+    )
+
+
+@pytest.fixture(scope="module")
+def stats(postings):
+    return postings.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+
+
+TERMS = ["spark", "join", "window"]
+
+
+def test_scoped_conjunctive_restricts_to_scope(corpus, postings):
+    ids = scoped_conjunctive(postings, corpus, TERMS, source="srcB")
+    assert sorted(r["doc_id"] for r in ids.collect()) == [2]
+    # path-prefix scope
+    ids2 = scoped_conjunctive(postings, corpus, TERMS, path_prefix="a/")
+    assert sorted(r["doc_id"] for r in ids2.collect()) == [0, 1]
+    # empty query short-circuits
+    assert scoped_conjunctive(postings, corpus, [], source="srcA").count() == 0
+
+
+def test_facet_counts(corpus, postings):
+    out = facet_counts(postings, corpus, TERMS, ["source"]).collect()
+    got = {r["source"]: r["n_docs"] for r in out}
+    assert got == {"srcA": 2, "srcB": 1}
+    # the match set must be broadcast into the catalog scan
+    plan = formatted_plan(facet_counts(postings, corpus, TERMS, ["source"]))
+    assert "BroadcastExchange" in plan
+
+
+def test_msm_relaxes_and(postings, catalog, stats):
+    strict = bm25_topk_msm(postings, catalog, stats, TERMS, len(TERMS), k=10)
+    assert sorted(r["doc_id"] for r in strict.collect()) == [0, 1, 2]
+    relaxed = bm25_topk_msm(postings, catalog, stats, TERMS, 2, k=10).collect()
+    assert sorted(r["doc_id"] for r in relaxed) == [0, 1, 2, 4]
+    # nt is reported and the msm predicate held
+    assert all(r["nt"] >= 2 for r in relaxed)
+    # scores descend with tie-break asc doc_id
+    scores = [(r["score"], r["doc_id"]) for r in relaxed]
+    assert scores == sorted(scores, key=lambda t: (-t[0], t[1]))
+    # msm=1 is pure disjunctive: doc 3 (only 'spark') joins
+    loose = bm25_topk_msm(postings, catalog, stats, TERMS, 1, k=10)
+    assert sorted(r["doc_id"] for r in loose.collect()) == [0, 1, 2, 3, 4]
+
+
+def test_more_like_this_excludes_seed(postings, catalog, stats):
+    out = more_like_this(postings, catalog, stats, 0, m=3, k=10).collect()
+    assert 0 not in {r["doc_id"] for r in out}
+    assert len(out) > 0
+    # deterministic across runs
+    again = more_like_this(postings, catalog, stats, 0, m=3, k=10).collect()
+    assert [tuple(r) for r in out] == [tuple(r) for r in again]
+
+
+def test_suggest_terms_orders_by_df(postings, stats):
+    out = suggest_terms(stats, "s", k=10).collect()
+    # 'spark' df=4, 'slow' df=1 — df desc then term asc
+    assert [r["term"] for r in out][0] == "spark"
+    dfs = [r["df"] for r in out]
+    assert dfs == sorted(dfs, reverse=True)
+    assert suggest_terms(stats, "", k=10).count() == 0
+
+
+def test_ngram_counts_exact(spark):
+    docs = spark.createDataFrame(
+        [(0, "a b a b"), (1, "a b c"), (2, "x")],
+        "doc_id long, text string",
+    )
+    out = {r["ngram"]: r["count"] for r in ngram_counts(docs, 2, 1).collect()}
+    # doc0: "a b","b a","a b"; doc1: "a b","b c"; doc2: none (len<2)
+    assert out == {"a b": 3, "b a": 1, "b c": 1}
+    cut = {r["ngram"]: r["count"] for r in ngram_counts(docs, 2, 2).collect()}
+    assert cut == {"a b": 3}
+    tri = {r["ngram"]: r["count"] for r in ngram_counts(docs, 3, 1).collect()}
+    assert tri == {"a b a": 1, "b a b": 1, "a b c": 1}
+
+
+def test_tfidf_topm_rank_and_truncation(postings):
+    out = tfidf_topm(postings, m=2).collect()
+    per_doc: dict[int, list] = {}
+    for r in out:
+        per_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_id, rows in per_doc.items():
+        ranks = sorted(r["rank"] for r in rows)
+        assert ranks == list(range(1, len(rows) + 1))
+        assert len(rows) <= 2
+        ordered = sorted(rows, key=lambda r: r["rank"])
+        vals = [(-r["tfidf"], r["term"]) for r in ordered]
+        assert vals == sorted(vals)
+    # rarer terms outrank stop-word-like ones: doc 3's 'only'/'here'
+    # (df=1) must beat 'spark' (df=4)
+    top3 = [r["term"] for r in sorted(per_doc[3], key=lambda r: r["rank"])]
+    assert "spark" not in top3
+
+
+def test_no_cartesian_anywhere(corpus, postings, catalog, stats):
+    # the scorers crossJoin a SINGLE-ROW broadcast consts frame — that
+    # renders as a BroadcastNestedLoopJoin of one row, which is the
+    # intended cheap plan; a CartesianProduct (non-broadcast) is never OK
+    for df in (
+        scoped_conjunctive(postings, corpus, TERMS, source="srcA"),
+        facet_counts(postings, corpus, TERMS, ["source"]),
+        bm25_topk_msm(postings, catalog, stats, TERMS, 2),
+        more_like_this(postings, catalog, stats, 0, m=3),
+        tfidf_topm(postings, m=2),
+    ):
+        assert "CartesianProduct" not in formatted_plan(df)
+    # operators with no consts crossJoin must be BNLJ-free outright
+    for df in (
+        scoped_conjunctive(postings, corpus, TERMS, source="srcA"),
+        facet_counts(postings, corpus, TERMS, ["source"]),
+    ):
+        assert "BroadcastNestedLoopJoin" not in formatted_plan(df)

@@ -82,3 +82,41 @@ def term_cooccurrence(
             ).alias("pmi"),
         )
     )
+
+
+def ngram_counts(
+    df: DataFrame,
+    n: int = 2,
+    min_count: int = 2,
+    text_col: str = "text",
+) -> DataFrame:
+    """Word n-gram corpus counts → (ngram, count): the LM-training-data
+    staple (count tables feed Kneser-Ney / filtering heuristics).
+
+    Adjacent-token windows over the tokenizer's output — contiguous, so
+    unlike ``term_cooccurrence`` there is no per-doc pair blow-up: a doc
+    of L tokens emits exactly L−n+1 rows. The window expansion is a pure
+    codegen expression (``transform`` over an index ``sequence`` —
+    Catalyst evaluates it inside the scan projection, no Python), and
+    the count is one hash aggregation with map-side combine, so the
+    shuffle carries |distinct n-grams| per partition, not |tokens|.
+    ``min_count`` drops the hapax tail that dominates row count (the
+    standard LM-count cut, applied AFTER the full aggregation so counts
+    stay exact).
+    """
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    toks = tokenize_column(F.coalesce(F.col(text_col), F.lit("")))
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        df.select(F.explode(grams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count("*").cast("long").alias("count"))
+        .filter(F.col("count") >= min_count)
+    )

@@ -253,3 +253,49 @@ def fingerprints(
         .alias("hashes"),
     )
     return sh.select(id_col, F.array_min("hashes").alias("fingerprint"))
+
+
+def tfidf_topm(
+    postings: DataFrame,
+    m: int = 5,
+    round_to: int = 4,
+) -> DataFrame:
+    """Sparse tf·idf document vectors, truncated to each doc's ``m``
+    strongest terms → (doc_id, term, tfidf, rank).
+
+    The featurization step training pipelines put between a corpus and
+    a classical model (quality classifiers, nearest-neighbor pre-filters,
+    weak labelers). Inputs are the postings relation itself — df and N
+    derive from it, so the vectors are consistent with the index by
+    construction.
+
+    Scale shape: df is one vocabulary-sized aggregation (broadcast back
+    onto the postings scan), N is a single-row aggregate, and the top-m
+    cut is a ``row_number`` window partitioned BY doc_id — the window
+    shuffle keys on doc_id, the same co-location the doc-range shard
+    layout already provides, so over a persisted index this executes
+    shuffle-free per shard. Ties break (tfidf desc, term asc):
+    deterministic at any parallelism.
+    """
+    dfreq = postings.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    n_docs_df = postings.agg(
+        F.countDistinct("doc_id").cast("long").alias("n_docs")
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs").cast("double") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    scored = (
+        postings.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n_docs_df))
+        .withColumn("tfidf", F.round(F.col("tf").cast("double") * idf, round_to))
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= m)
+        .select("doc_id", "term", "tfidf", "rank")
+    )
