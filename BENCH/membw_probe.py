@@ -6,9 +6,16 @@ Runs the exact per-task kernels of the two wide build stages —
 (stage C) — in K CONCURRENT CPU-pinned OS processes, no Spark, no JVM,
 no shuffle, no scheduler. Each worker gets the same private input, so
 aggregate throughput should scale perfectly with K on ideal hardware;
-any sublinearity here is the machine (one socket's memory bandwidth /
-shared cache), not the engine. Prints one JSON line per K plus the
-implied 2→8 kernel ceiling.
+any sublinearity here is the machine (one socket's shared memory
+bandwidth / caches / allocator), not the engine.
+
+Measurement protocol: every worker generates its data and warms the
+kernel FIRST, then all workers rendezvous on a barrier and run the
+kernel R times back-to-back; each reports its own kernel-only
+throughput. Aggregate = Σ per-worker throughput while all K run
+concurrently — process spawn, imports and datagen never pollute the
+measured window (the first version measured wall-from-fork, which at
+K=32 was mostly fork/exec + numpy import, not kernel).
 
 Usage: python BENCH/membw_probe.py [docs_per_worker]
 """
@@ -21,6 +28,18 @@ import os
 import sys
 import time
 
+# spawn-mode children re-import this file with sys.path[0] = BENCH/, so
+# the repo root (where text_indexer_spark lives) must be added explicitly
+# or every worker dies on ModuleNotFoundError before its first q.put —
+# which the parent would wait on forever
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
+
+KS = (1, 2, 4, 8, 16, 32)
+PAIRS = ((1, 4), (2, 8), (8, 32))
+REPS = 3
+
 
 def _pin(core: int) -> None:
     try:
@@ -29,7 +48,7 @@ def _pin(core: int) -> None:
         pass
 
 
-def _tokenize_worker(core: int, n_docs: int, out) -> None:
+def _tokenize_worker(core: int, n_docs: int, barrier, out) -> None:
     _pin(core)
     import numpy as np
     import pandas as pd
@@ -41,14 +60,16 @@ def _tokenize_worker(core: int, n_docs: int, out) -> None:
     texts = pd.Series([
         " ".join(vocab[rng.randint(0, 500, 24)]) for _ in range(n_docs)
     ])
-    # warm once (allocators, regex compile), then measure
-    tokenize_postings_arrays(texts.iloc[:1000])
+    # warm (allocators, regex compile) BEFORE the rendezvous
+    n_post = len(tokenize_postings_arrays(texts)[1])
+    barrier.wait()
     t0 = time.time()
-    p_doc, p_term, p_tf, _ = tokenize_postings_arrays(texts)
-    out.put((len(p_term), time.time() - t0))
+    for _ in range(REPS):
+        tokenize_postings_arrays(texts)
+    out.put((n_post * REPS, time.time() - t0))
 
 
-def _encode_worker(core: int, n_docs: int, out) -> None:
+def _encode_worker(core: int, n_docs: int, barrier, out) -> None:
     _pin(core)
     import numpy as np
 
@@ -62,41 +83,45 @@ def _encode_worker(core: int, n_docs: int, out) -> None:
     terms, doc_ids = terms[order], doc_ids[order]
     tfs = rng.randint(1, 5, n_post).astype(np.int64)
     w = rng.rand(n_post)
-    encode_posting_lists_bulk(terms[:5000], doc_ids[:5000], tfs[:5000], w[:5000], 128)
+    encode_posting_lists_bulk(terms, doc_ids, tfs, w, 128)  # warm
+    barrier.wait()
     t0 = time.time()
-    encode_posting_lists_bulk(terms, doc_ids, tfs, w, 128)
-    out.put((n_post, time.time() - t0))
+    for _ in range(REPS):
+        encode_posting_lists_bulk(terms, doc_ids, tfs, w, 128)
+    out.put((n_post * REPS, time.time() - t0))
 
 
 def run(kernel, worker, n_docs: int) -> dict:
     res = {}
-    for k in (1, 2, 4, 8):
+    for k in KS:
         q = mp.Queue()
+        barrier = mp.Barrier(k)
         procs = [
-            mp.Process(target=worker, args=(c, n_docs, q)) for c in range(k)
+            mp.Process(target=worker, args=(c, n_docs, barrier, q))
+            for c in range(k)
         ]
-        t0 = time.time()
         for p in procs:
             p.start()
-        got = [q.get() for _ in procs]
+        # bounded wait: a dead worker must fail the probe, not hang it
+        got = [q.get(timeout=600) for _ in procs]
         for p in procs:
             p.join()
-        wall = time.time() - t0
-        agg = sum(n for n, _ in got) / wall
+        # Σ of per-worker kernel throughput while all K ran concurrently
+        agg = sum(n / t for n, t in got)
         res[k] = agg
         print(json.dumps({
             "kernel": kernel, "workers": k,
             "aggregate_per_sec": round(agg, 1),
-            "per_worker_sec": round(sum(s for _, s in got) / k, 3),
+            "per_worker_sec": round(sum(t for _, t in got) / k, 3),
         }))
-    for k in (2, 4, 8):
-        eff = res[k] / (k * res[1])
+    for k in KS[1:]:
         print(json.dumps({"kernel": kernel, "scaling": f"1->{k}",
-                          "efficiency": round(eff, 3)}))
-    print(json.dumps({
-        "kernel": kernel, "scaling": "2->8",
-        "efficiency": round(res[8] / (4 * res[2]), 3),
-    }))
+                          "efficiency": round(res[k] / (k * res[1]), 3)}))
+    for lo, hi in PAIRS:
+        print(json.dumps({
+            "kernel": kernel, "scaling": f"{lo}->{hi}",
+            "efficiency": round(res[hi] / (hi / lo * res[lo]), 3),
+        }))
     return res
 
 
@@ -105,10 +130,10 @@ if __name__ == "__main__":
     mp.set_start_method("spawn")
     rt = run("tokenize", _tokenize_worker, nd)
     re_ = run("encode", _encode_worker, nd)
-    out = {
-        "tokenize": round(rt[8] / (4 * rt[2]), 3),
-        "encode": round(re_[8] / (4 * re_[2]), 3),
-    }
+    out = {}
+    for name, res in (("tokenize", rt), ("encode", re_)):
+        for lo, hi in PAIRS:
+            out[f"{name} {lo}->{hi}"] = round(res[hi] / (hi / lo * res[lo]), 3)
     with open(os.path.join(os.path.dirname(__file__), "membw.json"), "w") as f:
         json.dump(out, f)
     print(json.dumps({"written": out}))

@@ -64,42 +64,53 @@ def bench_corpus(spark, sf_dir: str, replicas: int):
     )
 
 
-def run_build_subprocess(
-    master: str, sf_dir: str, replicas: int, corpus_dir: str | None = None
-) -> dict:
-    """Run one build in a FRESH interpreter + JVM.
+def _json_subprocess(args: list[str], env: dict, pin_master: str | None = None) -> dict:
+    """Run a bench mode in a FRESH interpreter + JVM and parse its one
+    JSON line.
 
     PySpark keeps the gateway JVM alive across SparkSession.stop(); a
     second session in the same process inherits its heap and python
-    daemons and measures 2-3× slower. Scaling comparisons therefore get
-    one subprocess per run. ``corpus_dir``: pre-materialized corpus
-    parquet to reuse — corpus DATAGEN is not part of the measured build
-    and doesn't need the core pinning, so the scaling suite materializes
-    it once unpinned and every pinned run just reads it."""
+    daemons and measures 2-3× slower — worse, a lingering gateway JVM in
+    the ORCHESTRATING process competes (unpinned!) with every pinned
+    scaling run that follows. So every Spark session of this harness —
+    builds, queries, datagen — lives in its own subprocess and the
+    orchestrator never starts a JVM."""
     import subprocess
 
-    env = dict(os.environ)
-    if corpus_dir:
-        env["SPARK_GRAFT_BENCH_CORPUS"] = corpus_dir
-    cmd = [sys.executable, os.path.abspath(__file__), "--build-once", master, sf_dir, str(replicas)]
+    cmd = [sys.executable, os.path.abspath(__file__)] + args
     # Pin local[N] to exactly N CPUs: otherwise the JVM's shuffle/Arrow
     # threads and the pyspark workers of the "small cluster" spill onto
     # every core of the machine and the scaling comparison is bogus
     # (an honest N-core cluster HAS only N cores).
-    if master.startswith("local[") and master[6:-1].isdigit():
-        n = int(master[6:-1])
+    if pin_master and pin_master.startswith("local[") and pin_master[6:-1].isdigit():
+        n = int(pin_master[6:-1])
         total = os.cpu_count() or n
         if n < total:
             cmd = ["taskset", "-c", f"0-{n - 1}"] + cmd
     out = subprocess.run(
         cmd,
-        capture_output=True, text=True, env=env, timeout=1200,
+        capture_output=True, text=True, env=env, timeout=1800,
         cwd=os.path.dirname(os.path.abspath(__file__)),
     )
     for line in reversed(out.stdout.strip().splitlines()):
         if line.startswith("{"):
             return json.loads(line)
-    raise RuntimeError(f"build subprocess failed: {out.stderr[-2000:]}")
+    raise RuntimeError(f"bench subprocess failed: {out.stderr[-2000:]}")
+
+
+def run_build_subprocess(
+    master: str, sf_dir: str, replicas: int, corpus_dir: str | None = None
+) -> dict:
+    """One build in a fresh pinned interpreter + JVM. ``corpus_dir``:
+    pre-materialized corpus parquet to reuse — corpus DATAGEN is not part
+    of the measured build, so the scaling suite materializes it once
+    (own subprocess) and every pinned run just reads it."""
+    env = dict(os.environ)
+    if corpus_dir:
+        env["SPARK_GRAFT_BENCH_CORPUS"] = corpus_dir
+    return _json_subprocess(
+        ["--build-once", master, sf_dir, str(replicas)], env, pin_master=master
+    )
 
 
 def run_build(master: str, sf_dir: str, replicas: int) -> dict:
@@ -208,14 +219,34 @@ def main() -> None:
         stats = run_build(master, sf_dir, replicas)
         print(json.dumps(stats))
         return
+    if "--queries-once" in sys.argv:
+        i = sys.argv.index("--queries-once")
+        print(json.dumps(run_queries(sys.argv[i + 1], sys.argv[i + 2])))
+        return
+    if "--datagen-once" in sys.argv:
+        i = sys.argv.index("--datagen-once")
+        master, sf_dir, replicas, out_dir = (
+            sys.argv[i + 1], sys.argv[i + 2], int(sys.argv[i + 3]), sys.argv[i + 4]
+        )
+        from text_indexer_spark.session import get_spark as _gs
+
+        _sp = _gs("bench-corpus", master=master)
+        try:
+            bench_corpus(_sp, sf_dir, replicas).write.mode("overwrite").parquet(out_dir)
+        finally:
+            _sp.stop()
+        print(json.dumps({"corpus_dir": out_dir}))
+        return
     scaling = "--scaling" in sys.argv
     sf = 0.1 if "sf0.1" in SF_DIR else (0.01 if "sf0.01" in SF_DIR else 0.001)
 
     t_all = time.time()
-    # build in its own interpreter (fresh JVM), queries in this one —
-    # each measurement is a first-session measurement
+    # every Spark session in a fresh subprocess — the orchestrator stays
+    # JVM-free so nothing unpinned competes with the pinned runs below
     build = run_build_subprocess(f"local[{CPUS}]", SF_DIR, REPLICAS)
-    queries = run_queries(f"local[{CPUS}]", build["index_dir"])
+    queries = _json_subprocess(
+        ["--queries-once", f"local[{CPUS}]", build["index_dir"]], dict(os.environ)
+    )
     total = time.time() - t_all
 
     result = {
@@ -253,19 +284,16 @@ def main() -> None:
             tuple(int(x) for x in p.split(":"))
             for p in os.environ.get("SPARK_GRAFT_SCALING_PAIRS", "1:4,2:8").split(",")
         ]
-        sreps = int(os.environ.get("SPARK_GRAFT_SCALING_REPLICAS", "400"))
+        sreps = int(os.environ.get("SPARK_GRAFT_SCALING_REPLICAS", "800"))
         configs = sorted({n for p in pairs for n in p})
-        # materialize the scaling corpus ONCE at full parallelism —
-        # datagen is not part of the measured build and must not eat
-        # pinned wall-clock
-        from text_indexer_spark.session import get_spark as _gs
-
+        # materialize the scaling corpus ONCE at full parallelism, in its
+        # own subprocess — datagen is not part of the measured build and
+        # its JVM must be GONE before any pinned run starts
         scorpus = tempfile.mkdtemp(prefix="bench_scaling_corpus_")
-        _sp = _gs("bench-corpus", master=f"local[{CPUS}]")
-        try:
-            bench_corpus(_sp, SF_DIR, sreps).write.mode("overwrite").parquet(scorpus)
-        finally:
-            _sp.stop()
+        _json_subprocess(
+            ["--datagen-once", f"local[{CPUS}]", SF_DIR, str(sreps), scorpus],
+            dict(os.environ),
+        )
         best: dict[int, dict] = {}
         for _ in range(2):
             for n in configs:
@@ -305,21 +333,26 @@ def main() -> None:
                 f"{b['postings_per_sec']:,.0f} | "
                 + " | ".join(f"{st.get(s, 0):.1f}" for s in stage_names) + " |"
             )
-        # per-stage efficiency of the WIDEST pair — the substantiation
-        lo, hi = pairs[-1]
-        stage_eff = {
-            s: round(
-                best[lo]["stage_sec"].get(s, 0)
-                / max(best[hi]["stage_sec"].get(s, 1e-9), 1e-9)
-                / (hi / lo), 3,
+        # per-stage efficiency for EVERY pair — the substantiation
+        def stage_table(lo: int, hi: int) -> str:
+            lines = "\n".join(
+                f"| {s} | {best[lo]['stage_sec'].get(s,0):.1f} | "
+                f"{best[hi]['stage_sec'].get(s,0):.1f} | "
+                + "{:.2f} |".format(
+                    best[lo]["stage_sec"].get(s, 0)
+                    / max(best[hi]["stage_sec"].get(s, 1e-9), 1e-9)
+                    / (hi / lo)
+                )
+                for s in stage_names
             )
-            for s in stage_names
-        }
-        eff_lines = "\n".join(
-            f"| {s} | {best[lo]['stage_sec'].get(s,0):.1f} | "
-            f"{best[hi]['stage_sec'].get(s,0):.1f} | {stage_eff[s]:.2f} |"
-            for s in stage_names
-        )
+            return (
+                f"Per-stage efficiency for the local[{lo}]→local[{hi}] pair "
+                "(ideal speedup = 4×):\n\n"
+                f"| stage | sec @{lo}c | sec @{hi}c | efficiency |\n"
+                "|---|---|---|---|\n" + lines
+            )
+
+        eff_tables = "\n\n".join(stage_table(lo, hi) for lo, hi in pairs)
         # optional kernel-ceiling probe (BENCH/membw_probe.py writes it):
         # the SAME tokenize/encode kernels in K pinned OS processes with
         # no Spark — their 2→8 efficiency is the hardware's ceiling for
@@ -334,8 +367,7 @@ def main() -> None:
                 "same tokenize/encode kernels in K CPU-pinned OS processes, "
                 "private inputs, zero shuffle/scheduler/JVM): "
                 + ", ".join(
-                    f"{k} 2→8 efficiency **{v:.3f}**"
-                    for k, v in sorted(mb.items())
+                    f"{k} efficiency **{v:.3f}**" for k, v in sorted(mb.items())
                 )
                 + ". Any Spark-stage efficiency at or above its kernel "
                 "ceiling means the residual is the single socket's shared "
@@ -358,10 +390,7 @@ def main() -> None:
                 "N-vs-4N-cores comparison is the sandbox stand-in for N vs 4N "
                 "executors (driver instruction: no real cluster available "
                 "here).\n\n"
-                f"Per-stage efficiency for the local[{lo}]→local[{hi}] pair "
-                "(ideal speedup = 4×):\n\n"
-                "| stage | sec @" + f"{lo}c | sec @{hi}c | efficiency |\n"
-                "|---|---|---|---|\n" + eff_lines + "\n\n"
+                + eff_tables + "\n\n"
                 "Attribution (what the breakdown shows): the WIDE stage — "
                 "tokenize + the single content shuffle + per-shard postings "
                 "write, i.e. ~all per-byte work at 100 TB — scales near-"
@@ -376,7 +405,13 @@ def main() -> None:
                 "executor count; north-rule clusters add disks as they add "
                 "executors). Neither is a property of the plan: no stage has "
                 "a global barrier, no driver-side per-doc work exists, and "
-                "shard count is a free parameter.\n"
+                "shard count is a free parameter. The 8→32 pair is reported "
+                "for completeness but is hardware-capped on this single-"
+                "socket VM: the kernel-ceiling probe below shows the SAME "
+                "numpy/Arrow kernels in plain OS processes (no Spark at all) "
+                "collapse past ~16 concurrent workers, so no plan could "
+                "scale 8→32 here — a real 4N-executor cluster adds sockets "
+                "and memory bandwidth as it adds executors.\n"
                 + membw_note + "\n"
                 "Query-side IO note: doc-range sharding means every query "
                 "touches every shard file (the standard document-partitioned "

@@ -345,3 +345,69 @@ def test_build_with_null_keys_no_id_collision(spark, tmp_path):
     # normalized keys present
     assert cat.filter((F.col("repo") == "") & (F.col("path") == "orphan/a.txt")).count() == 1
     assert cat.filter((F.col("repo") == "rr/x") & (F.col("path") == "")).count() == 1
+
+
+# ------------------------------------------------------------- scoped serving
+
+def test_scope_ranges_interval_is_exact(spark, built):
+    """Layout invariant: a repo (or repo+path-prefix) scope occupies one
+    contiguous doc-id interval — every catalog id inside the interval
+    belongs to the scope."""
+    from text_indexer_spark.operators.wand import scope_ranges
+
+    corpus, index_dir, manifest = built
+    cat = load_catalog(spark, index_dir)
+    rng = scope_ranges(cat, repo="org/repo-3")
+    assert len(rng) == 1
+    lo, hi = rng[0]
+    inside = cat.filter((F.col("doc_id") >= lo) & (F.col("doc_id") <= hi))
+    assert inside.filter(F.col("repo") != "org/repo-3").count() == 0
+    assert inside.count() == cat.filter(F.col("repo") == "org/repo-3").count()
+    # empty scope → no ranges
+    assert scope_ranges(cat, repo="org/none") == []
+
+
+def test_scope_ranges_rejects_non_contiguous(spark):
+    from text_indexer_spark.operators.wand import scope_ranges
+
+    # repo 'a' at ids 0,1 then a FOREIGN id 2 inside the would-be
+    # interval 0..3 (the synced-in-docs shape)
+    cat = spark.createDataFrame(
+        [(0, "a", "x"), (1, "a", "y"), (2, "b", "z"), (3, "a", "w")],
+        "doc_id long, repo string, path string",
+    )
+    with pytest.raises(ValueError, match="not id-contiguous"):
+        scope_ranges(cat, repo="a")
+
+
+@pytest.mark.parametrize("conjunctive", [True, False])
+def test_wand_scoped_equals_filter_then_rank(spark, built, conjunctive):
+    """Scoped top-k ≡ unscoped candidates filtered to the scope, re-cut
+    — the block-pruned path must change cost, never results."""
+    from text_indexer_spark.operators.wand import scope_ranges
+
+    corpus, index_dir, manifest = built
+    lists = load_posting_lists(spark, index_dir)
+    cat = load_catalog(spark, index_dir)
+    rng = scope_ranges(cat, repo="org/repo-3")
+    lo, hi = rng[0]
+    for terms in (["the", "data"], ["the"], ["spark", "index", "query"]):
+        scoped = wand_topk(
+            lists, terms, k=5, round_to=6, scope=rng, conjunctive=conjunctive
+        ).collect()
+        full = wand_topk(
+            lists, terms, k=10**6, round_to=6, global_topk=False,
+            conjunctive=conjunctive,
+        ).collect()
+        want = sorted(
+            ((r["score"], r["doc_id"]) for r in full if lo <= r["doc_id"] <= hi),
+            key=lambda t: (-t[0], t[1]),
+        )[:5]
+        got = [(r["score"], r["doc_id"]) for r in scoped]
+        assert got == want, f"terms={terms} conjunctive={conjunctive}"
+
+
+def test_wand_scoped_empty_scope(spark, built):
+    corpus, index_dir, manifest = built
+    lists = load_posting_lists(spark, index_dir)
+    assert wand_topk(lists, ["the"], k=5, scope=[]).count() == 0

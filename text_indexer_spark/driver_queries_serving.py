@@ -245,6 +245,66 @@ SELECT doc_id, term, tfidf, "rank" FROM r WHERE "rank" <= {TFIDF_M}
 """
 
 
+# ------------------------------------------------------- scoped wand serving
+
+def q_wand_scoped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scoped BM25 top-10 served from the COMPRESSED persisted index:
+    the scope (repo = 'src1') becomes a doc-id interval via
+    ``scope_ranges`` (layout: id order ≡ (repo, path) order), and the
+    WAND kernel prunes whole blocks against the interval before decode.
+    Scores stay global (weights baked index-wide); only candidates
+    narrow — the oracle mirrors that: global df/avgdl, scope-restricted
+    match set."""
+    from text_indexer_spark.driver_queries_ext import (
+        _engine_id_map,
+        _ensure_wand_index,
+    )
+    from text_indexer_spark.operators.index_build import (
+        load_catalog,
+        load_posting_lists,
+    )
+    from text_indexer_spark.operators.wand import scope_ranges, wand_topk
+
+    idx = _ensure_wand_index(spark, sf_dir)
+    lists = load_posting_lists(spark, idx)
+    rng = scope_ranges(load_catalog(spark, idx), repo=SCOPE_SOURCE)
+    cands = wand_topk(
+        lists, BM25_TERMS, k=10, round_to=ROUND, global_topk=False, scope=rng
+    )
+    return (
+        cands.withColumnRenamed("doc_id", "engine_id")
+        .join(F.broadcast(_engine_id_map(spark, idx)), "engine_id")
+        .select("doc_id", "score")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+def sql_wand_scoped() -> str:
+    k1, b = K1, B
+    return f"""
+WITH {_toks_cte()},
+dl AS (SELECT doc_id, sum(tf)::DOUBLE AS dl FROM tf GROUP BY doc_id),
+consts AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl),
+dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (consts.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+              * tf.tf * {k1 + 1.0}
+              / (tf.tf + {k1} * ({1.0 - b} + {b} * dl.dl / consts.avgdl)) ) AS s,
+         count(DISTINCT tf.term) AS nt
+  FROM tf
+  JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN consts
+  WHERE tf.term IN ({_sql_list(BM25_TERMS)})
+    AND tf.doc_id IN (SELECT doc_id FROM documents WHERE source = '{SCOPE_SOURCE}')
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(s, {ROUND}) AS score FROM scored
+WHERE nt = {len(BM25_TERMS)}
+ORDER BY round(s, {ROUND}) DESC, doc_id ASC LIMIT 10
+"""
+
+
 # ------------------------------------------------------------ registry
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -256,6 +316,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_suggest": q_term_suggest,
         "ngram_counts": q_ngram_counts,
         "tfidf_vectors": q_tfidf_vectors,
+        "wand_bm25_scoped": q_wand_scoped,
     }
 
 
@@ -268,4 +329,5 @@ def oracle_sql() -> dict[str, str]:
         "term_suggest": sql_term_suggest(),
         "ngram_counts": sql_ngram_counts(),
         "tfidf_vectors": sql_tfidf_vectors(),
+        "wand_bm25_scoped": sql_wand_scoped(),
     }

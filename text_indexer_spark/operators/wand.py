@@ -36,6 +36,70 @@ from pyspark.sql import functions as F
 DRIVER_CHUNK_BLOCKS = 64
 
 
+def scope_ranges(
+    catalog: DataFrame,
+    repo: str | None = None,
+    path_prefix: str | None = None,
+) -> list[tuple[int, int]]:
+    """A catalog scope ("search within this repo/dir") as a doc-id
+    INTERVAL — the layout dividend of deterministic rank ids.
+
+    The build assigns doc ids in global (repo, path) sort order (both
+    dense and stride modes), so any order-contiguous scope — a repo, a
+    path prefix within a repo — occupies one id interval [min, max]:
+    every id inside it belongs to the scope, stride gaps hold no docs.
+    One pruned catalog aggregation yields the interval; the scoped query
+    kernel then skips whole blocks by comparing interval bounds against
+    block-last-id skip pointers — no per-doc filter join anywhere.
+
+    A catalog mutated by incremental sync mints ADDED ids above the
+    global max (order no longer equals (repo, path)), which can break
+    interval exactness — so contiguity is VERIFIED here (two tiny aggs)
+    and a non-contiguous scope raises rather than silently over-matching.
+    Rebuild or merge restores contiguity.
+    """
+    scope = catalog
+    if repo is not None:
+        scope = scope.filter(F.col("repo") == repo)
+    if path_prefix is not None:
+        scope = scope.filter(F.col("path").startswith(path_prefix))
+    row = scope.agg(
+        F.min("doc_id").alias("lo"),
+        F.max("doc_id").alias("hi"),
+        F.count("*").alias("n"),
+    ).collect()[0]
+    if row["n"] == 0:
+        return []
+    inside = catalog.filter(
+        (F.col("doc_id") >= row["lo"]) & (F.col("doc_id") <= row["hi"])
+    ).count()
+    if inside != row["n"]:
+        raise ValueError(
+            "scope is not id-contiguous (catalog contains synced-in docs "
+            "whose ids break (repo, path) order); rebuild or merge the "
+            "index before using interval-scoped queries"
+        )
+    return [(int(row["lo"]), int(row["hi"]))]
+
+
+def _ranges_arrays(ranges):
+    """Sorted disjoint [(lo, hi)] → (los, his) int64 arrays (or None)."""
+    if not ranges:
+        return None
+    pairs = sorted((int(lo), int(hi)) for lo, hi in ranges)
+    los = np.array([p[0] for p in pairs], dtype=np.int64)
+    his = np.array([p[1] for p in pairs], dtype=np.int64)
+    return los, his
+
+
+def _ids_in_ranges(ids: np.ndarray, los: np.ndarray, his: np.ndarray) -> np.ndarray:
+    """Boolean mask: which ids fall inside any [lo, hi] interval."""
+    i = np.searchsorted(los, ids, side="right") - 1
+    ok = i >= 0
+    ok[ok] = ids[ok] <= his[i[ok]]
+    return ok
+
+
 def _local_topk(cand: np.ndarray, scores: np.ndarray, k: int,
                 round_to: int | None) -> pd.DataFrame:
     """Tie-INCLUSIVE local top-k: exact duplicates score bit-identically,
@@ -52,10 +116,13 @@ def _local_topk(cand: np.ndarray, scores: np.ndarray, k: int,
     return pd.DataFrame({"doc_id": cand[order], "score": scores[order]})
 
 
-def _shard_or_kernel(terms: list[str], k: int, round_to: int | None = None):
+def _shard_or_kernel(terms: list[str], k: int, round_to: int | None = None,
+                     ranges=None):
     """Disjunctive (true WAND semantics) per-shard kernel: score every
     doc appearing in ANY query-term list — union of the decoded lists,
-    summed by doc id. Fully vectorized (concat + sort + reduceat)."""
+    summed by doc id. Fully vectorized (concat + sort + reduceat).
+    ``ranges``: optional (los, his) scope intervals — out-of-scope ids
+    drop before the union."""
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         from text_indexer_spark.operators.codec import decode_posting_list
@@ -67,6 +134,12 @@ def _shard_or_kernel(terms: list[str], k: int, round_to: int | None = None):
             w_all.append(w)
         ids = np.concatenate(ids_all)
         w = np.concatenate(w_all)
+        if ranges is not None:
+            keep = _ids_in_ranges(ids, *ranges)
+            ids, w = ids[keep], w[keep]
+            if ids.size == 0:
+                return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                                     "score": pd.Series(dtype="float64")})
         order = np.argsort(ids, kind="stable")
         ids, w = ids[order], w[order]
         uniq_mask = np.empty(ids.size, dtype=bool)
@@ -80,10 +153,16 @@ def _shard_or_kernel(terms: list[str], k: int, round_to: int | None = None):
 
 
 def _shard_topk_kernel(terms: list[str], k: int, round_to: int | None = None,
-                       chunk_blocks: int | None = None):
+                       chunk_blocks: int | None = None, ranges=None):
     """Conjunctive per-shard kernel (reference AND semantics,
     DocumentsIndexer.kt:58-67): rarest list drives, other lists probed
-    via block-max skip pointers so only candidate blocks are decoded."""
+    via block-max skip pointers so only candidate blocks are decoded.
+
+    ``ranges``: optional (los, his) scope intervals. Scope pruning acts
+    at BLOCK granularity on the driver list — a block whose id span
+    misses every interval is never decoded (for a narrow path scope
+    that's ~all blocks) — and surviving candidates are interval-filtered
+    before any probe decode."""
     nq = len(set(terms))
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -112,6 +191,22 @@ def _shard_topk_kernel(terms: list[str], k: int, round_to: int | None = None,
         if round_to is not None:
             blk_ub0 = np.round(blk_ub0, round_to)
         nblocks0 = blk_ub0.size
+        blk_allowed = None
+        if ranges is not None:
+            los, his = ranges
+            last0 = np.asarray(r0["block_last_id"], dtype=np.int64)
+            # block i spans (last[i-1], last[i]]; it overlaps the scope
+            # iff the first interval with hi >= block-start also starts
+            # at or before the block's last id
+            starts = np.empty(nblocks0, dtype=np.int64)
+            starts[0] = np.iinfo(np.int64).min
+            starts[1:] = last0[:-1] + 1
+            j = np.searchsorted(his, starts)
+            blk_allowed = (j < los.size) & (
+                los[np.minimum(j, los.size - 1)] <= last0
+            )
+            if not blk_allowed.any():
+                return empty
         rest_w = [np.frombuffer(r["weights_f64"], dtype=np.float64) for r in rest]
         rest_last = [np.asarray(r["block_last_id"], dtype=np.int64) for r in rest]
 
@@ -123,12 +218,21 @@ def _shard_topk_kernel(terms: list[str], k: int, round_to: int | None = None,
         chunk = chunk_blocks or DRIVER_CHUNK_BLOCKS
         for start in range(0, nblocks0, chunk):
             blocks = np.arange(start, min(start + chunk, nblocks0))
+            if blk_allowed is not None:
+                blocks = blocks[blk_allowed[blocks]]
+                if blocks.size == 0:
+                    continue
             if theta is not None:
                 blocks = blocks[blk_ub0[blocks] >= theta]
                 if blocks.size == 0:
                     continue
             cand, pos0 = decode_block_ids(r0, blocks)
             scores = weights0[pos0]
+            if ranges is not None:
+                keep = _ids_in_ranges(cand, *ranges)
+                cand, scores = cand[keep], scores[keep]
+                if cand.size == 0:
+                    continue
             for r, w, lastids in zip(rest, rest_w, rest_last):
                 if cand.size == 0:
                     break
@@ -237,24 +341,33 @@ def wand_topk(
     global_topk: bool = True,
     conjunctive: bool = True,
     driver_chunk_blocks: int | None = None,
+    scope: list[tuple[int, int]] | None = None,
 ) -> DataFrame:
     """Top-k (doc_id, score) over the compressed index; rank-identical
     to ``search.bm25_topk`` (differential-tested). ``conjunctive=True``
     is the reference's AND semantics; ``False`` is classic disjunctive
     WAND (any-term match, summed BM25).
 
+    ``scope``: optional doc-id intervals from ``scope_ranges`` — the
+    "search within this repo/dir" serving feature. Scores stay GLOBAL
+    (weights were baked index-wide); only the candidate set narrows, and
+    it narrows at block granularity before decode, so a narrow scope
+    costs proportionally less, not a post-filter.
+
     ``global_topk=False`` returns all per-shard candidates (tie-inclusive
     local top-k) so the caller can apply its own global cut — e.g. after
     re-mapping doc ids to an external keying with a different tie-break."""
     spark = posting_lists.sparkSession
     terms = list(dict.fromkeys(terms))
-    if not terms:
+    if not terms or (scope is not None and not scope):
         return spark.createDataFrame([], "doc_id long, score double")
     matched = posting_lists.filter(F.col("term").isin(terms))
+    ranges = _ranges_arrays(scope)
     kernel = (
-        _shard_topk_kernel(terms, k, round_to, chunk_blocks=driver_chunk_blocks)
+        _shard_topk_kernel(terms, k, round_to,
+                           chunk_blocks=driver_chunk_blocks, ranges=ranges)
         if conjunctive
-        else _shard_or_kernel(terms, k, round_to)
+        else _shard_or_kernel(terms, k, round_to, ranges=ranges)
     )
 
     def per_partition(batches):
