@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from text_indexer_spark import (
     driver_queries,
+    driver_queries_boolean,
     driver_queries_ext,
     driver_queries_serving,
 )
@@ -31,6 +32,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **driver_queries.queries(),
         **driver_queries_ext.queries(),
         **driver_queries_serving.queries(),
+        **driver_queries_boolean.queries(),
     }
 
 
@@ -39,4 +41,5 @@ def oracle_sql() -> dict[str, str]:
         **driver_queries.oracle_sql(),
         **driver_queries_ext.oracle_sql(),
         **driver_queries_serving.oracle_sql(),
+        **driver_queries_boolean.oracle_sql(),
     }

@@ -1,0 +1,140 @@
+"""Driver gates for boolean query trees (AND / OR / NOT).
+
+Both the Spark evaluation and the DuckDB oracle SQL are derived from
+the SAME parsed AST (``operators/boolean.py``), so the gate checks the
+evaluator, not a hand-transcribed formula.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from text_indexer_spark.driver_queries import (
+    _sql_list,
+    _toks_cte,
+    doc_postings,
+    sql_bm25_topk,
+)
+from text_indexer_spark.operators.boolean import (
+    boolean_bm25_topk,
+    boolean_match,
+    boolean_match_index,
+    leaf_terms,
+    parse_query,
+    to_oracle_sql,
+)
+from text_indexer_spark.sources.tables import load_table
+
+# 'dup' is the one rare term (df 25 at sf0.01) — the NOT leg actually
+# excludes docs; the OR leg actually widens past plain AND.
+BOOL_QUERY = "spark AND (join OR window) AND NOT dup"
+BOOL_NOT_QUERY = "NOT dup"
+ROUND = 4
+
+
+def q_search_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean tree over the postings DataFrame: one IN-scan, per-doc
+    matched-leaf set, codegen'd expression — no catalog touch (the
+    query is unsatisfiable under all-false)."""
+    return boolean_match(doc_postings(spark, sf_dir), BOOL_QUERY)
+
+
+def q_search_boolean_not(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-level NOT: the universe path (catalog left-join) — docs
+    containing none of the query's terms must appear."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return boolean_match(doc_postings(spark, sf_dir), BOOL_NOT_QUERY, catalog=docs)
+
+
+def q_boolean_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same boolean tree served from the COMPRESSED committed index
+    (per-shard decode + vectorized mask evaluation) — must equal the
+    DataFrame path's oracle exactly."""
+    from text_indexer_spark.driver_queries_ext import (
+        _engine_id_map,
+        _ensure_wand_index,
+    )
+    from text_indexer_spark.operators.index_build import load_posting_lists
+
+    idx = _ensure_wand_index(spark, sf_dir)
+    ids = boolean_match_index(load_posting_lists(spark, idx), BOOL_QUERY)
+    return (
+        ids.withColumnRenamed("doc_id", "engine_id")
+        .join(F.broadcast(_engine_id_map(spark, idx)), "engine_id")
+        .select("doc_id")
+    )
+
+
+def q_search_boolean_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean filter + BM25 rank: the expression cuts the candidate
+    set, positive leaves score (a NOT filters, never scores)."""
+    p = doc_postings(spark, sf_dir)
+    cat = p.groupBy("doc_id").agg(F.sum("tf").cast("double").alias("doc_len"))
+    stats = p.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    return boolean_bm25_topk(p, cat, stats, BOOL_QUERY, k=10, round_to=ROUND)
+
+
+# ------------------------------------------------------------- oracles
+
+def _match_cte(query: str, universe: bool) -> str:
+    """``m`` = matching doc_ids for ``query``, rendered from the AST."""
+    node = parse_query(query)
+    leaves = leaf_terms(node)
+    flag_of = {t: f"f{i}" for i, t in enumerate(leaves)}
+    flags_sql = ", ".join(
+        f"bool_or(term = '{t}') AS {flag_of[t]}" for t in leaves
+    )
+    lm = f"lm AS (SELECT doc_id, {flags_sql} FROM tf WHERE term IN ({_sql_list(leaves)}) GROUP BY doc_id)"
+    if not universe:
+        cond = to_oracle_sql(node, flag_of)
+        return f"{lm}, m AS (SELECT doc_id FROM lm WHERE {cond})"
+    cond = to_oracle_sql(
+        node, {t: f"coalesce({flag_of[t]}, false)" for t in leaves}
+    )
+    return (
+        f"{lm}, m AS (SELECT d.doc_id FROM documents d "
+        f"LEFT JOIN lm USING (doc_id) WHERE {cond})"
+    )
+
+
+def sql_search_boolean(query: str = BOOL_QUERY, universe: bool = False) -> str:
+    return (
+        f"WITH {_toks_cte()}, {_match_cte(query, universe)} "
+        "SELECT doc_id FROM m"
+    )
+
+
+def sql_search_boolean_ranked() -> str:
+    node = parse_query(BOOL_QUERY)
+    pos = [t for t in leaf_terms(node) if t != "dup"]
+    base = sql_bm25_topk(conjunctive=False, terms=pos)
+    # splice the boolean match restriction into the scored CTE's WHERE
+    restricted = base.replace(
+        "GROUP BY tf.doc_id",
+        f"AND tf.doc_id IN (SELECT doc_id FROM m)\n  GROUP BY tf.doc_id",
+    ).replace(
+        f"WITH {_toks_cte()},",
+        f"WITH {_toks_cte()}, {_match_cte(BOOL_QUERY, False)},",
+    )
+    return restricted
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        "search_boolean": q_search_boolean,
+        "search_boolean_not": q_search_boolean_not,
+        "boolean_from_index": q_boolean_from_index,
+        "search_boolean_ranked": q_search_boolean_ranked,
+    }
+
+
+def oracle_sql() -> dict[str, str]:
+    return {
+        "search_boolean": sql_search_boolean(),
+        "search_boolean_not": sql_search_boolean(BOOL_NOT_QUERY, universe=True),
+        "boolean_from_index": sql_search_boolean(),
+        "search_boolean_ranked": sql_search_boolean_ranked(),
+    }
