@@ -37,6 +37,7 @@ COSINE_T = 0.4
 ROUND = 4
 
 _WAND_INDEX_CACHE: dict[str, str] = {}
+_POS_INDEX_CACHE: dict[str, str] = {}
 
 
 # ---------------------------------------------------------------- SQL bits
@@ -976,6 +977,97 @@ def _ensure_wand_index(spark: SparkSession, sf_dir: str) -> str:
     return _WAND_INDEX_CACHE[sf_dir]
 
 
+def _ensure_pos_index(spark: SparkSession, sf_dir: str) -> str:
+    """Like :func:`_ensure_wand_index` but built with
+    ``with_positions=True`` — the positional payload enables phrase /
+    proximity serving straight from the committed compressed index."""
+    from text_indexer_spark.operators.index_build import build_index
+    from text_indexer_spark.sources.tables import documents_as_corpus
+
+    if sf_dir not in _POS_INDEX_CACHE:
+        idx = tempfile.mkdtemp(prefix="driver_pos_idx_")
+        corpus = documents_as_corpus(spark, sf_dir)
+        build_index(
+            corpus, idx, num_shards=8, verify_sha=False, resume=False,
+            with_positions=True,
+        )
+        _POS_INDEX_CACHE[sf_dir] = idx
+    return _POS_INDEX_CACHE[sf_dir]
+
+
+def q_phrase_match_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phrase match served from the POSITIONAL committed index (no
+    corpus re-scan) — same oracle as the corpus-level ``phrase_match``,
+    so the gate proves the positional payload survives encode → shard →
+    decode byte-exactly."""
+    from text_indexer_spark.operators.index_build import load_posting_lists
+    from text_indexer_spark.operators.phrase import phrase_match_index
+
+    idx = _ensure_pos_index(spark, sf_dir)
+    m = phrase_match_index(load_posting_lists(spark, idx), PHRASE)
+    return (
+        m.withColumnRenamed("doc_id", "engine_id")
+        .join(F.broadcast(_engine_id_map(spark, idx)), "engine_id")
+        .select("doc_id")
+    )
+
+
+def q_proximity_match_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR/w served from the positional committed index — same oracle
+    as the corpus-level ``proximity_match``."""
+    from text_indexer_spark.operators.index_build import load_posting_lists
+    from text_indexer_spark.operators.phrase import proximity_match_index
+
+    idx = _ensure_pos_index(spark, sf_dir)
+    m = proximity_match_index(
+        load_posting_lists(spark, idx), PROX_TERMS, window=PROX_W
+    )
+    return (
+        m.withColumnRenamed("doc_id", "engine_id")
+        .join(F.broadcast(_engine_id_map(spark, idx)), "engine_id")
+        .select("doc_id")
+    )
+
+
+def q_decoded_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full positional-payload round trip: build(with_positions) →
+    per-posting delta-varbyte → decode must reproduce the exact
+    (term, doc_id, pos) occurrence relation the tokenizer defines."""
+    import numpy as np
+    import pandas as pd
+
+    from text_indexer_spark.operators.index_build import load_posting_lists
+
+    idx = _ensure_pos_index(spark, sf_dir)
+    lists = load_posting_lists(spark, idx)
+
+    def dec(batches):
+        from text_indexer_spark.operators.codec import decode_posting_positions
+
+        for pdf in batches:
+            for _, r in pdf.iterrows():
+                ids, pos, offs = decode_posting_positions(r)
+                if ids.size == 0:
+                    continue
+                yield pd.DataFrame(
+                    {
+                        "engine_id": np.repeat(ids, np.diff(offs)),
+                        "term": r["term"],
+                        "pos": pos,
+                    }
+                )
+
+    decoded = lists.mapInPandas(dec, "engine_id long, term string, pos long")
+    return (
+        decoded.join(F.broadcast(_engine_id_map(spark, idx)), "engine_id")
+        .select("term", "doc_id", "pos")
+    )
+
+
+def sql_decoded_positions() -> str:
+    return f"WITH {_pp_cte()} SELECT term, doc_id, pos FROM pp"
+
+
 def q_decoded_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-trip gate for the WHOLE storage pipeline: build → encode
     (delta-gap + varbyte + block-max) → decode must reproduce the exact
@@ -1130,6 +1222,9 @@ def queries():
         "term_cooccurrence": q_term_cooccurrence,
         "phrase_match": q_phrase_match,
         "proximity_match": q_proximity_match,
+        "phrase_match_index": q_phrase_match_index,
+        "proximity_match_index": q_proximity_match_index,
+        "decoded_positions": q_decoded_positions,
         "sample_hash": q_hash_sample,
         "sample_stratified": q_stratified_sample,
         "split_hash": q_hash_split,
@@ -1171,6 +1266,9 @@ def oracle_sql():
         "term_cooccurrence": sql_term_cooccurrence(),
         "phrase_match": sql_phrase_match(),
         "proximity_match": sql_proximity_match(),
+        "phrase_match_index": sql_phrase_match(),
+        "proximity_match_index": sql_proximity_match(),
+        "decoded_positions": sql_decoded_positions(),
         "sample_hash": sql_hash_sample(),
         "sample_stratified": sql_stratified_sample(),
         "split_hash": sql_hash_split(),

@@ -134,6 +134,7 @@ def encode_posting_lists_bulk(
     tfs: np.ndarray,
     weights: np.ndarray,
     block_size: int = BLOCK_SIZE,
+    pos_bytes: np.ndarray | None = None,
 ) -> "pd.DataFrame":
     """Encode EVERY term of a shard in one vectorized pass.
 
@@ -153,6 +154,8 @@ def encode_posting_lists_bulk(
         "block_last_id", "block_max_tf", "block_max_w", "block_id_off",
         "block_tf_off",
     ]
+    if pos_bytes is not None:
+        cols += ["positions_varbyte", "block_pos_off"]
     n = len(terms)
     if n == 0:
         return pd.DataFrame(columns=cols)
@@ -213,6 +216,22 @@ def encode_posting_lists_bulk(
         "block_id_off": [blk_id_off[a:b].tolist() for a, b in zip(first_blk, last_blk)],
         "block_tf_off": [blk_tf_off[a:b].tolist() for a, b in zip(first_blk, last_blk)],
     }
+    if pos_bytes is not None:
+        # per-posting self-contained encodings: a term's positional
+        # payload is the pure byte concat of its postings' slices, and
+        # a block's skip offset is the cumulative byte count at the
+        # block's first posting (relative to the term start)
+        plens = np.fromiter((len(b) for b in pos_bytes), dtype=np.int64, count=n)
+        p_csum = np.concatenate([[0], np.cumsum(plens)])
+        blk_pos_off = (p_csum[bstart] - p_csum[blk_term_start]).astype(np.int64)
+        joined = b"".join(pos_bytes)
+        p_mv = memoryview(joined)
+        rows["positions_varbyte"] = [
+            bytes(p_mv[p_csum[s]:p_csum[e]]) for s, e in zip(starts, ends)
+        ]
+        rows["block_pos_off"] = [
+            blk_pos_off[a:b].tolist() for a, b in zip(first_blk, last_blk)
+        ]
     return pd.DataFrame(rows, columns=cols)
 
 
@@ -251,3 +270,76 @@ def decode_posting_list(row: dict, block_size: int = BLOCK_SIZE) -> tuple[np.nda
     tfs = varbyte_decode(row["tfs_varbyte"], n).astype(np.int64)
     w = np.frombuffer(row["weights_f64"], dtype=np.float64)
     return ids, tfs, w
+
+
+# ---------------------------------------------------------------------
+# Positional payload (phrase / proximity queries over the committed
+# index). Token positions per posting, delta-encoded WITHIN the posting
+# (first position absolute, then gaps) and varbyte-packed. Because each
+# posting's encoding is self-contained, per-posting byte slices
+# concatenate losslessly — shard chunks splice in the term-major merge
+# exactly like the doc-id stream, and block-granular skip reads work
+# from a byte offset per block (cumulative position-bytes at each
+# block's first posting).
+# ---------------------------------------------------------------------
+
+def encode_positions_grouped(
+    positions: np.ndarray, tfs: np.ndarray
+) -> tuple[bytes, np.ndarray]:
+    """Flattened per-posting position lists → (bytes, bytes-per-posting).
+
+    ``positions``: ascending within each posting, concatenated in
+    posting order; ``tfs``: the posting lengths (Σ tfs == len). Delta
+    restart at every posting boundary, one vectorized varbyte pass.
+    """
+    pos = np.asarray(positions, dtype=np.uint64)
+    tf = np.asarray(tfs, dtype=np.int64)
+    n = pos.size
+    if n == 0:
+        return b"", np.zeros(tf.size, dtype=np.int64)
+    gaps = np.empty_like(pos)
+    gaps[0] = pos[0]
+    np.subtract(pos[1:], pos[:-1], out=gaps[1:])
+    starts = np.concatenate([[0], np.cumsum(tf)[:-1]]).astype(np.int64)
+    gaps[starts] = pos[starts]
+    buf, sizes = varbyte_encode(gaps)
+    csum = np.concatenate([[0], np.cumsum(sizes)])
+    per_posting = (csum[np.cumsum(tf)] - csum[starts]).astype(np.int64)
+    return buf, per_posting
+
+
+def decode_positions(
+    data: bytes | memoryview, tfs: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Inverse of :func:`encode_positions_grouped`.
+
+    Returns (positions, offsets): flattened absolute positions plus the
+    per-posting start offsets (len = len(tfs) + 1), so posting i's
+    positions are ``positions[offsets[i]:offsets[i+1]]``.
+    """
+    tf = np.asarray(tfs, dtype=np.int64)
+    total = int(tf.sum())
+    offsets = np.concatenate([[0], np.cumsum(tf)]).astype(np.int64)
+    if total == 0:
+        return np.empty(0, dtype=np.int64), offsets
+    gaps = varbyte_decode(data, total).astype(np.int64)
+    csum = np.cumsum(gaps)
+    starts = offsets[:-1][tf > 0]
+    # subtract each posting's carried-in prefix so restarts are absolute
+    carry = np.zeros(total, dtype=np.int64)
+    carry[starts] = csum[starts] - gaps[starts]
+    # per-element carry: repeat each posting's carry across its run
+    runs = np.repeat(carry[starts], tf[tf > 0])
+    return csum - runs, offsets
+
+
+def decode_posting_positions(
+    row: dict, block_size: int = BLOCK_SIZE
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Full positional decode of one encoded list row →
+    (doc_ids, positions, offsets): posting i (doc ``doc_ids[i]``) holds
+    ``positions[offsets[i]:offsets[i+1]]``.
+    """
+    ids, tfs, _ = decode_posting_list(row, block_size)
+    pos, offsets = decode_positions(row["positions_varbyte"], tfs)
+    return ids, pos, offsets

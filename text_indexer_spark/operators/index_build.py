@@ -63,7 +63,10 @@ from pyspark.sql import functions as F
 from text_indexer_spark import checkpoint as ckpt
 from text_indexer_spark.functions.bm25 import B, K1
 from text_indexer_spark.operators.codec import BLOCK_SIZE, encode_posting_lists_bulk
-from text_indexer_spark.tokenizer import tokenize_postings_arrays
+from text_indexer_spark.tokenizer import (
+    tokenize_postings_arrays,
+    tokenize_postings_positions,
+)
 
 POSTINGS_DIR = "postings"
 LISTS_DIR = "posting_lists"
@@ -85,7 +88,9 @@ _STAGE_C_SCHEMA = (
 )
 
 
-def _write_shard_parquet(df: pd.DataFrame, directory: str, shard_id: int) -> None:
+def _write_shard_parquet(
+    df: pd.DataFrame, directory: str, shard_id: int, schema=None
+) -> None:
     import pyarrow as pa
 
     from text_indexer_spark import storage
@@ -94,8 +99,10 @@ def _write_shard_parquet(df: pd.DataFrame, directory: str, shard_id: int) -> Non
     final = storage.join(directory, f"shard_{shard_id:05d}.parquet")
     # one row group per shard file: the scan never splits a shard across
     # input partitions, which the shuffle-free query kernel relies on
+    # (``schema``: pin types an EMPTY shard can't infer — e.g. a binary
+    # positions column on a shard with zero postings)
     storage.write_parquet_atomic(
-        pa.Table.from_pandas(df, preserve_index=False), final,
+        pa.Table.from_pandas(df, preserve_index=False, schema=schema), final,
         row_group_size=max(len(df), 1),
     )
 
@@ -316,6 +323,7 @@ def encode_shards(
         tfs: np.ndarray,
         dfs: np.ndarray,
         t0: float,
+        pos_bytes: np.ndarray | None = None,
     ) -> pd.DataFrame:
         """Shared encode kernel: sorted-by-(term, doc_id) numpy arrays →
         encoded shard file + metrics row. Fully vectorized up to the
@@ -326,7 +334,9 @@ def encode_shards(
         _, inv = np.unique(doc_ids, return_inverse=True)
         dl_sums = np.bincount(inv, weights=tf_f)[inv]
         w = idf * tf_f * (K1 + 1.0) / (tf_f + K1 * (1.0 - B + B * dl_sums / avgdl_b))
-        out = encode_posting_lists_bulk(terms, doc_ids, tfs, w, block_size)
+        out = encode_posting_lists_bulk(
+            terms, doc_ids, tfs, w, block_size, pos_bytes=pos_bytes
+        )
         out.insert(0, "shard_id", np.int32(shard_id))
         _write_shard_parquet(out, lists_dir, shard_id)
         secs = time.time() - t0
@@ -386,6 +396,11 @@ def encode_shards(
                     terms = tbl.column("term").to_numpy(zero_copy_only=False)
                     doc_ids = tbl.column("doc_id").to_numpy()
                     tfs = tbl.column("tf").to_numpy()
+                    pos_col = (
+                        tbl.column("positions").to_numpy(zero_copy_only=False)
+                        if "positions" in tbl.column_names
+                        else None
+                    )
                     # int-code sort instead of an object-string lexsort;
                     # df lookup once per unique term
                     codes, uniq_vals = pd.factorize(terms)
@@ -397,7 +412,10 @@ def encode_shards(
                         dtype=np.float64, count=len(uniq_vals),
                     )
                     dfs = df_per_code[codes[idx]]
-                    yield encode_arrays(shard_id, terms, doc_ids, tfs, dfs, t0)
+                    yield encode_arrays(
+                        shard_id, terms, doc_ids, tfs, dfs, t0,
+                        pos_bytes=None if pos_col is None else pos_col[idx],
+                    )
 
         shard_rows = [
             (s, os.path.join(postings_dir, f"shard_{s:05d}.parquet"))
@@ -427,8 +445,14 @@ def encode_shards(
         dfs = pdf["df"].to_numpy(dtype=np.float64)
         codes, _ = pd.factorize(terms)
         idx = np.lexsort((doc_ids, codes))
+        pos = (
+            pdf["positions"].to_numpy()[idx]
+            if "positions" in pdf.columns
+            else None
+        )
         return encode_arrays(
-            shard_id, terms[idx], doc_ids[idx], tfs[idx], dfs[idx], t0
+            shard_id, terms[idx], doc_ids[idx], tfs[idx], dfs[idx], t0,
+            pos_bytes=pos,
         )
 
     return (
@@ -452,8 +476,17 @@ def build_index(
     resume: bool = True,
     block_size: int = BLOCK_SIZE,
     dense_ids: bool = False,
+    with_positions: bool = False,
 ) -> dict:
     """Run the full build; returns the committed manifest dict.
+
+    ``with_positions``: also store token positions per posting
+    (delta-varbyte, self-contained per posting) in the postings shards
+    and the encoded lists — enables phrase / proximity queries served
+    from the committed index (``phrase.phrase_match_index``). Adds ~one
+    varbyte value per token of payload; tf-only builds are unchanged
+    byte-for-byte. A resumed build must pass the same value as the run
+    that wrote the checkpoints.
 
     ``dense_ids``: False (default) assigns ``shard * ID_STRIDE + rank``
     — id order still equals global (repo, path) order, but NO counting
@@ -562,7 +595,12 @@ def build_index(
             sha = content.map(lambda s: hashlib.sha256(s.encode("utf-8")).hexdigest())
             if verify_sha and has_expected:
                 mismatches += int((sha != rows["content_sha256"]).sum())
-            p_doc, p_term, p_tf, doc_lens = tokenize_postings_arrays(content)
+            if with_positions:
+                p_doc, p_term, p_tf, doc_lens, p_pos = (
+                    tokenize_postings_positions(content)
+                )
+            else:
+                p_doc, p_term, p_tf, doc_lens = tokenize_postings_arrays(content)
             doc_ids = np.arange(counter, counter + len(rows), dtype=np.int64) + boff.value[pid]
             counter += len(rows)
             n_tokens += int(doc_lens.sum())
@@ -593,11 +631,19 @@ def build_index(
                 )
             )
             if p_doc.size:
-                post_parts.append(
-                    pd.DataFrame(
-                        {"term": p_term, "doc_id": doc_ids[p_doc], "tf": p_tf}
+                part = {"term": p_term, "doc_id": doc_ids[p_doc], "tf": p_tf}
+                if with_positions:
+                    from text_indexer_spark.operators.codec import (
+                        encode_positions_grouped,
                     )
-                )
+
+                    buf, per = encode_positions_grouped(p_pos, p_tf)
+                    pcs = np.concatenate([[0], np.cumsum(per)])
+                    mv = memoryview(buf)
+                    part["positions"] = [
+                        bytes(mv[s:e]) for s, e in zip(pcs[:-1], pcs[1:])
+                    ]
+                post_parts.append(pd.DataFrame(part))
 
         carry_key = None
         for b in batches:
@@ -642,15 +688,26 @@ def build_index(
                          "content_sha256", "doc_len", "is_nested", "source_root"]
             )
         )
+        empty_post = {"term": pd.Series(dtype="object"),
+                      "doc_id": pd.Series(dtype="int64"),
+                      "tf": pd.Series(dtype="int64")}
+        if with_positions:
+            empty_post["positions"] = pd.Series(dtype="object")
         post = (
             pd.concat(post_parts, ignore_index=True)
             if post_parts
-            else pd.DataFrame({"term": pd.Series(dtype="object"),
-                               "doc_id": pd.Series(dtype="int64"),
-                               "tf": pd.Series(dtype="int64")})
+            else pd.DataFrame(empty_post)
         )
         _write_shard_parquet(cat, catalog_dir, pid)
-        _write_shard_parquet(post, postings_dir, pid)
+        post_schema = None
+        if with_positions:
+            import pyarrow as pa
+
+            post_schema = pa.schema(
+                [("term", pa.string()), ("doc_id", pa.int64()),
+                 ("tf", pa.int64()), ("positions", pa.binary())]
+            )
+        _write_shard_parquet(post, postings_dir, pid, schema=post_schema)
         # per-shard term-df PARTIAL, map-side-combined here so stage B
         # aggregates Σ(per-shard vocab) rows instead of rescanning every
         # posting (at 100 TB: ~shards×|vocab∩shard| vs 10^12 rows)
@@ -792,6 +849,7 @@ def build_index(
             max(1, -(-n_docs_committed // num_shards)) if n_docs_committed else 1
         ),
         "dense_ids": dense_ids,
+        "positional": bool(with_positions),
         "avgdl": avgdl,
         "total_tokens": total_tokens,
         "block_size": block_size,

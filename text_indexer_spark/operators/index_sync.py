@@ -70,6 +70,28 @@ _MERGE_POST_SCHEMA = "shard int, n_docs_removed long, n_postings long"
 _MERGE_CAT_SCHEMA = "shard int, n_docs long, n_tokens long"
 
 
+def _encode_pos_batch(pos_lists: pd.Series) -> pd.Series:
+    """array<int> sorted positions → the per-posting delta-varbyte
+    payload (one self-contained slice per posting — the same encoding
+    the bulk build writes). Arrow-batched: the whole batch encodes in
+    one vectorized pass, then slices per row. Wrapped into a pandas_udf
+    lazily (UDF construction needs an active session — this module also
+    imports inside Python workers)."""
+    from text_indexer_spark.operators.codec import encode_positions_grouped
+
+    tfs = np.fromiter((len(x) for x in pos_lists), dtype=np.int64,
+                      count=len(pos_lists))
+    if tfs.sum() == 0:
+        return pd.Series([b""] * len(pos_lists))
+    flat = np.concatenate([np.asarray(x, dtype=np.int64) for x in pos_lists])
+    buf, per = encode_positions_grouped(flat, tfs)
+    csum = np.concatenate([[0], np.cumsum(per)]).astype(np.int64)
+    mv = memoryview(buf)
+    return pd.Series(
+        [bytes(mv[s:e]) for s, e in zip(csum[:-1], csum[1:])]
+    )
+
+
 def _link_or_copy(src: str, dst: str) -> None:
     """Zero-copy shard carry-over via ``storage.link_or_copy``:
     hard link on local filesystems, stream copy elsewhere. Idempotent —
@@ -136,6 +158,7 @@ def sync_index_dir(
         raise FileNotFoundError(f"no shard boundaries at {index_dir}")
     num_shards, bounds = persisted
     block_size = int(manifest.get("block_size", 128))
+    positional = bool(manifest.get("positional", False))
     os.makedirs(out_dir, exist_ok=True)
 
     catalog = load_catalog(spark, index_dir)
@@ -221,11 +244,32 @@ def sync_index_dir(
             .cache()
         )
         delta_cat = enriched.select("shard", *_CAT_COLS)
-        delta_post = (
-            enriched.select("shard", "doc_id", F.explode("_toks").alias("term"))
-            .groupBy("shard", "doc_id", "term")
-            .agg(F.count("*").cast("long").alias("tf"))
-        )
+        if positional:
+            # positional index: fresh docs carry their per-posting
+            # position payload through the merge (same self-contained
+            # delta-varbyte encoding the build writes)
+            delta_post = (
+                enriched.select(
+                    "shard", "doc_id",
+                    F.posexplode("_toks").alias("pos", "term"),
+                )
+                .groupBy("shard", "doc_id", "term")
+                .agg(
+                    F.count("*").cast("long").alias("tf"),
+                    F.sort_array(F.collect_list("pos")).alias("_pos"),
+                )
+                .withColumn(
+                    "positions",
+                    F.pandas_udf(_encode_pos_batch, "binary")(F.col("_pos")),
+                )
+                .drop("_pos")
+            )
+        else:
+            delta_post = (
+                enriched.select("shard", "doc_id", F.explode("_toks").alias("term"))
+                .groupBy("shard", "doc_id", "term")
+                .agg(F.count("*").cast("long").alias("tf"))
+            )
 
     if not affected:
         # nothing changed: new version is a pure link of the old one
@@ -261,9 +305,12 @@ def sync_index_dir(
     stale = diff.filter(F.col("change").isin("remove", "reindex")).select(
         "shard", "doc_id"
     )
+    pos_cols = (
+        [F.lit(None).cast("binary").alias("positions")] if positional else []
+    )
     post_in = stale.select(
         "shard", "doc_id", F.lit(None).cast("string").alias("term"),
-        F.lit(0).cast("long").alias("tf"), F.lit("del").alias("op"),
+        F.lit(0).cast("long").alias("tf"), F.lit("del").alias("op"), *pos_cols,
     )
     # anchor row per affected shard: a shard whose only change is an
     # empty-content add would otherwise get no merge task (and no
@@ -273,12 +320,15 @@ def sync_index_dir(
             "shard", F.lit(None).cast("long").alias("doc_id"),
             F.lit(None).cast("string").alias("term"),
             F.lit(0).cast("long").alias("tf"), F.lit("noop").alias("op"),
+            *pos_cols,
         )
     )
     if delta_post is not None:
+        add_cols = ["shard", "doc_id", "term", "tf"]
         post_in = post_in.unionByName(
             delta_post.select(
-                "shard", "doc_id", "term", "tf", F.lit("add").alias("op")
+                *add_cols, F.lit("add").alias("op"),
+                *(["positions"] if positional else []),
             )
         )
 
@@ -290,22 +340,37 @@ def sync_index_dir(
             pdf.loc[pdf["op"] == "del", "doc_id"].astype("int64").tolist()
         )
         pdf = pdf[pdf["op"] != "noop"]
-        adds = pdf.loc[pdf["op"] == "add", ["term", "doc_id", "tf"]]
+        post_cols = ["term", "doc_id", "tf"] + (
+            ["positions"] if positional else []
+        )
+        adds = pdf.loc[pdf["op"] == "add", post_cols]
         old_path = _shard_file(index_dir, POSTINGS_DIR, shard)
         if storage.exists(old_path):
             _fs, _fp = storage.resolve(old_path)
             old = pq.read_table(_fp, filesystem=_fs).to_pandas()
         else:
-            old = pd.DataFrame({"term": pd.Series(dtype="object"),
-                                "doc_id": pd.Series(dtype="int64"),
-                                "tf": pd.Series(dtype="int64")})
+            empty = {"term": pd.Series(dtype="object"),
+                     "doc_id": pd.Series(dtype="int64"),
+                     "tf": pd.Series(dtype="int64")}
+            if positional:
+                empty["positions"] = pd.Series(dtype="object")
+            old = pd.DataFrame(empty)
         # drop BOTH removed and reindexed ids, then append the fresh rows
         # of reindexed/added docs (replace semantics, Index.kt:15-23)
         kept = old[~old["doc_id"].isin(dels)] if dels else old
         merged = pd.concat([kept, adds], ignore_index=True)
         merged = merged.sort_values(["doc_id", "term"], kind="stable").reset_index(drop=True)
+        out_schema = None
+        if positional:
+            import pyarrow as pa
+
+            out_schema = pa.schema(
+                [("term", pa.string()), ("doc_id", pa.int64()),
+                 ("tf", pa.int64()), ("positions", pa.binary())]
+            )
         _write_shard_parquet(
-            merged[["term", "doc_id", "tf"]], os.path.join(out_dir, POSTINGS_DIR), shard
+            merged[post_cols], os.path.join(out_dir, POSTINGS_DIR), shard,
+            schema=out_schema,
         )
         return pd.DataFrame(
             [{"shard": shard, "n_docs_removed": len(dels), "n_postings": len(merged)}]
@@ -462,6 +527,8 @@ def sync_index_dir(
         "avgdl": avgdl,
         "total_tokens": total_tokens,
         "block_size": block_size,
+        "positional": positional,
+        "dense_ids": manifest.get("dense_ids"),
         "built_sec": time.time() - t0,
         "synced": {
             "add": int(change_counts.get("add", 0)),
