@@ -32,6 +32,10 @@ from text_indexer_spark.sources.tables import load_table
 # excludes docs; the OR leg actually widens past plain AND.
 BOOL_QUERY = "spark AND (join OR window) AND NOT dup"
 BOOL_NOT_QUERY = "NOT dup"
+# the full DSL: a phrase leaf, a prefix leaf, a wildcard leaf, boolean
+# glue — every leaf kind non-vacuous at sf0.01 ("table hash" phrase: 46
+# docs; qu* → query; s?an → scan; dup rare)
+DSL_QUERY = '"table hash" AND (qu* OR s?an) AND NOT dup'
 ROUND = 4
 
 
@@ -77,6 +81,52 @@ def q_search_boolean_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
     return boolean_bm25_topk(p, cat, stats, BOOL_QUERY, k=10, round_to=ROUND)
 
 
+# ----------------------------------------------------------- query DSL
+
+def q_search_dsl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The unified query DSL (phrase + prefix + wildcard + boolean)
+    over the postings/documents DataFrames — one scan for exact terms,
+    one pruned scan per affix leaf, positional joins for the phrase."""
+    from text_indexer_spark.operators.querylang import match_query
+
+    docs = load_table(spark, sf_dir, "documents")
+    return match_query(doc_postings(spark, sf_dir), DSL_QUERY, docs=docs)
+
+
+def q_search_dsl_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same DSL served from the POSITIONAL compressed index —
+    per-shard decode + vectorized mask evaluation, phrase slots checked
+    against the stored position payload."""
+    from text_indexer_spark.driver_queries_ext import (
+        _engine_id_map,
+        _ensure_pos_index,
+    )
+    from text_indexer_spark.operators.index_build import load_posting_lists
+    from text_indexer_spark.operators.querylang import match_query_index
+
+    idx = _ensure_pos_index(spark, sf_dir)
+    ids = match_query_index(load_posting_lists(spark, idx), DSL_QUERY)
+    return (
+        ids.withColumnRenamed("doc_id", "engine_id")
+        .join(F.broadcast(_engine_id_map(spark, idx)), "engine_id")
+        .select("doc_id")
+    )
+
+
+def q_search_dsl_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSL filter + BM25 rank: the tree cuts the candidate set; the
+    positively-used exact terms (phrase words included) score."""
+    from text_indexer_spark.operators.querylang import dsl_bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    p = doc_postings(spark, sf_dir)
+    cat = p.groupBy("doc_id").agg(F.sum("tf").cast("double").alias("doc_len"))
+    stats = p.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    return dsl_bm25_topk(
+        p, cat, stats, DSL_QUERY, docs=docs, k=10, round_to=ROUND
+    )
+
+
 # ------------------------------------------------------------- oracles
 
 def _match_cte(query: str, universe: bool) -> str:
@@ -97,6 +147,78 @@ def _match_cte(query: str, universe: bool) -> str:
     return (
         f"{lm}, m AS (SELECT d.doc_id FROM documents d "
         f"LEFT JOIN lm USING (doc_id) WHERE {cond})"
+    )
+
+
+def _dsl_match_cte(query: str) -> str:
+    """CTEs (after ``tf``): ``pp`` positional postings, ``lm`` per-doc
+    leaf flags, one ``ph<i>`` per phrase leaf, ``m`` = matching doc_ids
+    — all rendered from the SAME AST the Spark evaluators run."""
+    from text_indexer_spark.driver_queries_ext import _pp_cte
+    from text_indexer_spark.operators import querylang as ql
+
+    node = ql.parse_dsl(query)
+    leaves = ql.leaves_of(node)
+    flag_of: dict = {}
+    lm_flags: list[str] = []
+    phrase_ctes: list[str] = []
+    for i, leaf in enumerate(leaves):
+        if isinstance(leaf, ql.Term):
+            lm_flags.append(f"bool_or(term = '{leaf.term}') AS f{i}")
+            flag_of[leaf] = f"coalesce(f{i}, false)"
+        elif isinstance(leaf, ql.Prefix):
+            lm_flags.append(
+                f"bool_or(starts_with(term, '{leaf.prefix}')) AS f{i}"
+            )
+            flag_of[leaf] = f"coalesce(f{i}, false)"
+        elif isinstance(leaf, ql.Wildcard):
+            rx = ql.wildcard_regex(leaf.pattern).replace("'", "''")
+            lm_flags.append(
+                f"bool_or(regexp_matches(term, '{rx}')) AS f{i}"
+            )
+            flag_of[leaf] = f"coalesce(f{i}, false)"
+        else:  # Phrase
+            joins = " ".join(
+                f"JOIN pp p{j} ON p{j}.doc_id = p0.doc_id "
+                f"AND p{j}.pos = p0.pos + {j}"
+                for j in range(1, len(leaf.terms))
+            )
+            conds = " AND ".join(
+                f"p{j}.term = '{t}'" for j, t in enumerate(leaf.terms)
+            )
+            phrase_ctes.append(
+                f"ph{i} AS (SELECT DISTINCT p0.doc_id "
+                f"FROM pp p0 {joins} WHERE {conds})"
+            )
+            flag_of[leaf] = f"(d.doc_id IN (SELECT doc_id FROM ph{i}))"
+    lm = (
+        "lm AS (SELECT doc_id, "
+        + ", ".join(lm_flags)
+        + " FROM tf GROUP BY doc_id)"
+    )
+    cond = ql.to_oracle_sql(node, flag_of)
+    m = (
+        "m AS (SELECT d.doc_id FROM documents d "
+        "LEFT JOIN lm ON lm.doc_id = d.doc_id WHERE " + cond + ")"
+    )
+    return ", ".join([_pp_cte(), lm, *phrase_ctes, m])
+
+
+def sql_search_dsl(query: str = DSL_QUERY) -> str:
+    return f"WITH {_toks_cte()}, {_dsl_match_cte(query)} SELECT doc_id FROM m"
+
+
+def sql_search_dsl_ranked() -> str:
+    from text_indexer_spark.operators import querylang as ql
+
+    pos = ql.positive_score_terms(ql.parse_dsl(DSL_QUERY))
+    base = sql_bm25_topk(conjunctive=False, terms=pos)
+    return base.replace(
+        "GROUP BY tf.doc_id",
+        "AND tf.doc_id IN (SELECT doc_id FROM m)\n  GROUP BY tf.doc_id",
+    ).replace(
+        f"WITH {_toks_cte()},",
+        f"WITH {_toks_cte()}, {_dsl_match_cte(DSL_QUERY)},",
     )
 
 
@@ -128,6 +250,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_boolean_not": q_search_boolean_not,
         "boolean_from_index": q_boolean_from_index,
         "search_boolean_ranked": q_search_boolean_ranked,
+        "search_dsl": q_search_dsl,
+        "search_dsl_index": q_search_dsl_index,
+        "search_dsl_ranked": q_search_dsl_ranked,
     }
 
 
@@ -137,4 +262,7 @@ def oracle_sql() -> dict[str, str]:
         "search_boolean_not": sql_search_boolean(BOOL_NOT_QUERY, universe=True),
         "boolean_from_index": sql_search_boolean(),
         "search_boolean_ranked": sql_search_boolean_ranked(),
+        "search_dsl": sql_search_dsl(),
+        "search_dsl_index": sql_search_dsl(),
+        "search_dsl_ranked": sql_search_dsl_ranked(),
     }

@@ -228,6 +228,54 @@ def phrase_match_index(posting_lists: DataFrame, phrase: list[str]) -> DataFrame
     return _positional_lists_scan(posting_lists, phrase, kernel)
 
 
+def phrase_ids_from_decoded(decoded: dict, phrase: list[str]):
+    """Decoded positional lists ``{term: (ids, tfs, pos, offs)}`` →
+    doc ids containing the exact consecutive token sequence ``phrase``.
+    Pure numpy (shared by the phrase kernel and the query-DSL
+    evaluator); a term missing from ``decoded`` ⇒ no match. A repeated
+    phrase term is handled exactly: its position set is checked at every
+    slot it occupies (shift differs per slot)."""
+    import numpy as np
+
+    empty = np.empty(0, dtype=np.int64)
+    uniq = list(dict.fromkeys(phrase))
+    if any(t not in decoded for t in uniq):
+        return empty
+    cand = decoded[uniq[0]][0]
+    for t in uniq[1:]:
+        cand = cand[np.isin(cand, decoded[t][0])]
+    if cand.size == 0:
+        return empty
+    local = np.sort(cand)
+    max_pos = 0
+    flat = {}
+    for t in uniq:
+        ids, tfs, pos, offs = decoded[t]
+        pick = np.flatnonzero(np.isin(ids, cand))
+        reps = tfs[pick]
+        docs = np.repeat(ids[pick], reps)
+        total = int(reps.sum())
+        seg = np.repeat(np.cumsum(reps) - reps, reps)
+        idx = np.repeat(offs[pick], reps) + (np.arange(total) - seg)
+        p = pos[idx]
+        flat[t] = (np.searchsorted(local, docs), p)
+        if p.size:
+            max_pos = max(max_pos, int(p.max()))
+    span = np.int64(max_pos + len(phrase) + 2)
+    inter = None
+    for slot, t in enumerate(phrase):
+        li, p = flat[t]
+        q = p - slot
+        ok = q >= 0
+        k = li[ok] * span + q[ok]
+        inter = k if inter is None else np.intersect1d(inter, k)
+        if inter.size == 0:
+            break
+    if inter is None or inter.size == 0:
+        return empty
+    return np.unique(local[(inter // span).astype(np.int64)]).astype(np.int64)
+
+
 def _phrase_slots_kernel(phrase: list[str]):
     import numpy as np
     import pandas as pd
@@ -248,40 +296,8 @@ def _phrase_slots_kernel(phrase: list[str]):
             ids, tfs, _ = decode_posting_list(rows[t])
             pos, offs = decode_positions(rows[t]["positions_varbyte"], tfs)
             decoded[t] = (ids, tfs, pos, offs)
-        cand = decoded[uniq[0]][0]
-        for t in uniq[1:]:
-            cand = cand[np.isin(cand, decoded[t][0])]
-        if cand.size == 0:
-            return pd.DataFrame({"doc_id": pd.Series(dtype="int64")})
-        local = np.sort(cand)
-        max_pos = 0
-        flat = {}
-        for t in uniq:
-            ids, tfs, pos, offs = decoded[t]
-            pick = np.flatnonzero(np.isin(ids, cand))
-            reps = tfs[pick]
-            docs = np.repeat(ids[pick], reps)
-            total = int(reps.sum())
-            seg = np.repeat(np.cumsum(reps) - reps, reps)
-            idx = np.repeat(offs[pick], reps) + (np.arange(total) - seg)
-            p = pos[idx]
-            flat[t] = (np.searchsorted(local, docs), p)
-            if p.size:
-                max_pos = max(max_pos, int(p.max()))
-        span = np.int64(max_pos + len(phrase) + 2)
-        inter = None
-        for slot, t in enumerate(phrase):
-            li, p = flat[t]
-            q = p - slot
-            ok = q >= 0
-            k = li[ok] * span + q[ok]
-            inter = k if inter is None else np.intersect1d(inter, k)
-            if inter.size == 0:
-                break
-        if inter is None or inter.size == 0:
-            return pd.DataFrame({"doc_id": pd.Series(dtype="int64")})
-        out = np.unique(local[(inter // span).astype(np.int64)])
-        return pd.DataFrame({"doc_id": out.astype("int64")})
+        out = phrase_ids_from_decoded(decoded, phrase)
+        return pd.DataFrame({"doc_id": out})
 
     return kernel
 
