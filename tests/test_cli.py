@@ -115,3 +115,27 @@ def test_cli_dedup(spark, tmp_path, capsys):
     kept = spark.read.parquet(out)
     # exactly one of the two identical contents survives
     assert kept.filter(F.col("content") == one["content"]).count() == 1
+
+
+def test_cli_dsl_search(spark, corpus_dir, tmp_path, capsys):
+    idx = str(tmp_path / "idx_pos")
+    rc = cli.main(["--master", "local[4]", "build", "--corpus", corpus_dir,
+                   "--index", idx, "--shards", "2", "--positions"])
+    assert rc == 0
+    capsys.readouterr()
+
+    # ranked: phrase filter + boolean NOT, scored by the stored weights
+    rc = cli.main(["--master", "local[4]", "search", "--index", idx,
+                   "--query", '"be curious" AND NOT tyler', "-k", "5"])
+    assert rc == 0
+    lines = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert [l["path"] for l in lines] == ["temp_file.txt"]
+    assert lines[0]["score"] > 0
+
+    # unranked listing (prefix leaf only -> no score terms)
+    rc = cli.main(["--master", "local[4]", "search", "--index", idx,
+                   "--query", "tyler*", "--unranked"])
+    assert rc == 0
+    lines = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert "fight-club.txt" in {l["path"] for l in lines}
+    assert all("score" not in l for l in lines)

@@ -206,6 +206,74 @@ def test_phrase_requires_positional(spark, corpus, tmp_path):
         match_query_index(load_posting_lists(spark, out), '"quick brown"')
 
 
+def test_dsl_ranked_index_matches_relational(spark, corpus, pos_index):
+    """Index-served ranked DSL ≡ the relational scorer (ids + scores),
+    including phrase filtering and score-term restriction."""
+    from text_indexer_spark.operators.index_build import (
+        load_catalog,
+        load_posting_lists,
+    )
+    from text_indexer_spark.operators.querylang import dsl_bm25_topk_index
+
+    from text_indexer_spark.tokenizer import tokenize_column
+
+    docs, posts = corpus
+    # N and avgdl must include the empty doc — the committed index's
+    # stored weights were computed over the whole corpus
+    cat = docs.select(
+        "doc_id", F.size(tokenize_column("text")).cast("double").alias("doc_len")
+    )
+    stats = posts.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    inv = {
+        r["doc_id"]: int(r["path"][1:3])
+        for r in load_catalog(spark, pos_index).collect()
+    }
+    lists = load_posting_lists(spark, pos_index)
+    for q in ['"quick brown" AND fox', 'fox (br* OR lazy) quick',
+              '"brown fox" OR "brown dog"']:
+        rel = {
+            (r["doc_id"], round(r["score"], 6))
+            for r in dsl_bm25_topk(
+                posts, cat, stats, q, docs=docs, k=20, round_to=6
+            ).collect()
+        }
+        idx = {
+            (inv[r["doc_id"]], round(r["score"], 6))
+            for r in dsl_bm25_topk_index(lists, q, k=20, round_to=6).collect()
+        }
+        assert idx == rel, q
+
+
+def test_dsl_ranked_index_drops_scoreless_matches(spark, pos_index):
+    """A doc matched only via a non-scoring leaf (wildcard arm of an OR)
+    must not appear — same semantics as the relational path."""
+    from text_indexer_spark.operators.index_build import (
+        load_catalog,
+        load_posting_lists,
+    )
+    from text_indexer_spark.operators.querylang import (
+        dsl_bm25_topk_index,
+        match_query_index,
+    )
+
+    inv = {
+        r["doc_id"]: int(r["path"][1:3])
+        for r in load_catalog(spark, pos_index).collect()
+    }
+    lists = load_posting_lists(spark, pos_index)
+    q = '"quick brown" OR sleep*'
+    all_matches = {
+        inv[r["doc_id"]] for r in match_query_index(lists, q).collect()
+    }
+    ranked = {
+        inv[r["doc_id"]]
+        for r in dsl_bm25_topk_index(lists, q, k=50).collect()
+    }
+    assert 7 in all_matches  # "the dog sleeps" matches sleep*
+    assert 7 not in ranked  # ...but has no quick/brown to score by
+    assert ranked == {i for i in all_matches if i != 7}
+
+
 def test_dsl_bm25_topk_rank(spark, corpus):
     docs, posts = corpus
     cat = posts.groupBy("doc_id").agg(

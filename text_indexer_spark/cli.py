@@ -38,6 +38,7 @@ def cmd_build(args) -> int:
         num_shards=args.shards,
         verify_sha=None if not args.no_verify_sha else False,
         resume=not args.no_resume,
+        with_positions=args.positions,
     )
     print(json.dumps(manifest))
     return 0
@@ -61,6 +62,51 @@ def cmd_query(args) -> int:
     )
     for r in rows:
         print(json.dumps({c: r[c] for c in ("doc_id", "repo", "path", "score")}))
+    return 0
+
+
+def cmd_search(args) -> int:
+    """Full query-DSL search over a committed index: quoted phrases
+    (positional build required), ``pre*`` prefixes, wildcards and
+    AND/OR/NOT — ranked by the stored BM25 weights when the query has
+    positively-used terms, else an unranked path listing (the
+    reference's own result shape)."""
+    from text_indexer_spark.operators.index_build import (
+        load_catalog,
+        load_posting_lists,
+    )
+    from text_indexer_spark.operators.querylang import (
+        dsl_bm25_topk_index,
+        match_query_index,
+        parse_dsl,
+        positive_score_terms,
+    )
+
+    spark = _spark(args)
+    node = parse_dsl(args.query)
+    lists = load_posting_lists(spark, args.index)
+    cat = load_catalog(spark, args.index).select("doc_id", "repo", "path")
+    if args.unranked or not positive_score_terms(node):
+        rows = (
+            match_query_index(lists, node)
+            .join(cat, "doc_id", "left")
+            .orderBy("repo", "path")
+            .limit(args.k)
+            .collect()
+        )
+        for r in rows:
+            print(json.dumps({c: r[c] for c in ("doc_id", "repo", "path")}))
+    else:
+        rows = (
+            dsl_bm25_topk_index(lists, node, k=args.k, round_to=4)
+            .join(cat, "doc_id", "left")
+            .orderBy("score", ascending=False)
+            .collect()
+        )
+        for r in rows:
+            print(json.dumps(
+                {c: r[c] for c in ("doc_id", "repo", "path", "score")}
+            ))
     return 0
 
 
@@ -159,6 +205,10 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--shards", type=int, default=None)
     b.add_argument("--no-verify-sha", action="store_true")
     b.add_argument("--no-resume", action="store_true")
+    b.add_argument(
+        "--positions", action="store_true",
+        help="store token positions (enables phrase search)",
+    )
     b.set_defaults(fn=cmd_build)
 
     q = sub.add_parser("query", help="BM25 top-k over a persisted index")
@@ -166,6 +216,16 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--query", required=True)
     q.add_argument("-k", type=int, default=10)
     q.set_defaults(fn=cmd_query)
+
+    se = sub.add_parser(
+        "search",
+        help='query-DSL search: \'"hash table" AND (qu* OR s?an) AND NOT dup\'',
+    )
+    se.add_argument("--index", required=True)
+    se.add_argument("--query", required=True)
+    se.add_argument("-k", type=int, default=10)
+    se.add_argument("--unranked", action="store_true")
+    se.set_defaults(fn=cmd_search)
 
     s = sub.add_parser("sync", help="incremental sync against a new source snapshot")
     s.add_argument("--catalog", required=True)

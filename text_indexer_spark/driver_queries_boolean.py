@@ -127,6 +127,29 @@ def q_search_dsl_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_search_dsl_ranked_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranked DSL search ENTIRELY from the positional compressed index:
+    the tree filters per shard, the stored per-posting BM25 weights
+    score, tie-inclusive local top-k → global TakeOrderedAndProject —
+    must reproduce the relational scorer's oracle exactly."""
+    from text_indexer_spark.driver_queries_ext import (
+        _engine_id_map,
+        _ensure_pos_index,
+    )
+    from text_indexer_spark.operators.index_build import load_posting_lists
+    from text_indexer_spark.operators.querylang import dsl_bm25_topk_index
+
+    idx = _ensure_pos_index(spark, sf_dir)
+    top = dsl_bm25_topk_index(
+        load_posting_lists(spark, idx), DSL_QUERY, k=10, round_to=ROUND
+    )
+    return (
+        top.withColumnRenamed("doc_id", "engine_id")
+        .join(F.broadcast(_engine_id_map(spark, idx)), "engine_id")
+        .select("doc_id", "score")
+    )
+
+
 # ------------------------------------------------------------- oracles
 
 def _match_cte(query: str, universe: bool) -> str:
@@ -253,6 +276,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_dsl": q_search_dsl,
         "search_dsl_index": q_search_dsl_index,
         "search_dsl_ranked": q_search_dsl_ranked,
+        "search_dsl_ranked_index": q_search_dsl_ranked_index,
     }
 
 
@@ -265,4 +289,5 @@ def oracle_sql() -> dict[str, str]:
         "search_dsl": sql_search_dsl(),
         "search_dsl_index": sql_search_dsl(),
         "search_dsl_ranked": sql_search_dsl_ranked(),
+        "search_dsl_ranked_index": sql_search_dsl_ranked(),
     }

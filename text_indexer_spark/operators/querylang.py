@@ -414,16 +414,10 @@ def match_query(
 
 # ------------------------------------------------ committed-index path
 
-def match_query_index(posting_lists: DataFrame, query: str | QNode) -> DataFrame:
-    """The same DSL served from the COMPRESSED committed index →
-    (doc_id). Phrase leaves require a positional build
-    (``build_index(..., with_positions=True)``)."""
-    import re
-
-    import numpy as np
-    import pandas as pd
-
-    node = parse_dsl(query) if isinstance(query, str) else query
+def _prepare_index_query(posting_lists: DataFrame, node: QNode):
+    """Shared front end of the index-serving paths: validates the tree,
+    derives the single pushdown-friendly scan filter covering every
+    leaf, and returns (leaves, scan-filtered lists, phrase-term set)."""
     if satisfiable_all_false(node):
         raise ValueError(
             "query can match documents containing none of its terms; "
@@ -456,8 +450,26 @@ def match_query_index(posting_lists: DataFrame, query: str | QNode) -> DataFrame
     scan_cond = conds[0]
     for c in conds[1:]:
         scan_cond = scan_cond | c
-    matched = posting_lists.filter(scan_cond)
     need_pos = {t for p in phrases for t in p.terms}
+    return leaves, posting_lists.filter(scan_cond), need_pos
+
+
+def _index_kernel(node: QNode, leaves, need_pos, score_terms, k, round_to):
+    """Per-shard evaluator: decode each needed list once, boolean masks
+    over the shard-local leaf-union universe; with ``score_terms`` also
+    sum the STORED per-posting BM25 weights over the match set and emit
+    a tie-inclusive local top-k (global cut = orderBy().limit(k))."""
+    import re
+
+    import numpy as np
+    import pandas as pd
+
+    empty_cols = (
+        {"doc_id": pd.Series(dtype="int64")}
+        if score_terms is None
+        else {"doc_id": pd.Series(dtype="int64"),
+              "score": pd.Series(dtype="float64")}
+    )
 
     def kernel(g: pd.DataFrame) -> pd.DataFrame:
         from text_indexer_spark.operators.codec import (
@@ -467,10 +479,12 @@ def match_query_index(posting_lists: DataFrame, query: str | QNode) -> DataFrame
         from text_indexer_spark.operators.phrase import phrase_ids_from_decoded
 
         ids_by_term: dict[str, np.ndarray] = {}
+        w_by_term: dict[str, np.ndarray] = {}
         pos_by_term: dict[str, tuple] = {}
         for _, r in g.iterrows():
-            ids, tfs, _ = decode_posting_list(r)
+            ids, tfs, w = decode_posting_list(r)
             ids_by_term[r["term"]] = ids
+            w_by_term[r["term"]] = w
             if r["term"] in need_pos:
                 pos, offs = decode_positions(r["positions_varbyte"], tfs)
                 pos_by_term[r["term"]] = (ids, tfs, pos, offs)
@@ -497,7 +511,7 @@ def match_query_index(posting_lists: DataFrame, query: str | QNode) -> DataFrame
         sets = {n: leaf_ids(n) for n in leaves}
         nonempty = [v for v in sets.values() if v.size]
         if not nonempty:
-            return pd.DataFrame({"doc_id": pd.Series(dtype="int64")})
+            return pd.DataFrame(empty_cols)
         universe = np.unique(np.concatenate(nonempty))
 
         def mask_of(n: QNode) -> np.ndarray:
@@ -515,8 +529,44 @@ def match_query_index(posting_lists: DataFrame, query: str | QNode) -> DataFrame
                 out = (out & m) if isinstance(n, And) else (out | m)
             return out
 
-        out = universe[mask_of(node)]
-        return pd.DataFrame({"doc_id": out.astype("int64")})
+        matched = universe[mask_of(node)]
+        if score_terms is None:
+            return pd.DataFrame({"doc_id": matched.astype("int64")})
+        if matched.size == 0:
+            return pd.DataFrame(empty_cols)
+        from text_indexer_spark.operators.wand import _local_topk
+
+        scores = np.zeros(matched.size, dtype=np.float64)
+        hit = np.zeros(matched.size, dtype=bool)
+        for t in score_terms:
+            ids = ids_by_term.get(t)
+            if ids is None or ids.size == 0:
+                continue
+            pos_in = np.searchsorted(matched, ids)
+            clip = np.minimum(pos_in, matched.size - 1)
+            valid = matched[clip] == ids
+            np.add.at(scores, pos_in[valid], w_by_term[t][valid])
+            hit[pos_in[valid]] = True
+        # a doc matched only by non-scoring leaves has no BM25 score —
+        # the relational path (and the oracle) exclude it the same way
+        if not hit.all():
+            matched, scores = matched[hit], scores[hit]
+        if matched.size == 0:
+            return pd.DataFrame(empty_cols)
+        return _local_topk(matched.astype("int64"), scores, k, round_to)
+
+    return kernel
+
+
+def match_query_index(posting_lists: DataFrame, query: str | QNode) -> DataFrame:
+    """The same DSL served from the COMPRESSED committed index →
+    (doc_id). Phrase leaves require a positional build
+    (``build_index(..., with_positions=True)``)."""
+    import pandas as pd
+
+    node = parse_dsl(query) if isinstance(query, str) else query
+    leaves, matched, need_pos = _prepare_index_query(posting_lists, node)
+    kernel = _index_kernel(node, leaves, need_pos, None, None, None)
 
     def per_partition(batches):
         parts = [b for b in batches if not b.empty]
@@ -529,6 +579,41 @@ def match_query_index(posting_lists: DataFrame, query: str | QNode) -> DataFrame
                 yield out
 
     return matched.mapInPandas(per_partition, "doc_id long")
+
+
+def dsl_bm25_topk_index(
+    posting_lists: DataFrame,
+    query: str | QNode,
+    k: int = 10,
+    round_to: int | None = None,
+) -> DataFrame:
+    """Ranked DSL search ENTIRELY from the committed index: the tree
+    filters, the positively-used exact terms score by summing the
+    STORED per-posting BM25 weights (exact — the build wrote the full
+    BM25 value per posting), tie-inclusive per-shard top-k, global
+    ``orderBy().limit(k)`` = TakeOrderedAndProject. One scan, zero
+    shuffles before the final top-k — the same serving shape as WAND."""
+    import pandas as pd
+
+    node = parse_dsl(query) if isinstance(query, str) else query
+    score_terms = positive_score_terms(node)
+    if not score_terms:
+        raise ValueError("query has no positively-used exact terms to rank by")
+    leaves, matched, need_pos = _prepare_index_query(posting_lists, node)
+    kernel = _index_kernel(node, leaves, need_pos, score_terms, k, round_to)
+
+    def per_partition(batches):
+        parts = [b for b in batches if not b.empty]
+        if not parts:
+            return
+        pdf = pd.concat(parts, ignore_index=True)
+        for _, g in pdf.groupby("shard_id", sort=False):
+            out = kernel(g)
+            if len(out):
+                yield out
+
+    ranked = matched.mapInPandas(per_partition, "doc_id long, score double")
+    return ranked.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 
 # ------------------------------------------------------------- ranking
