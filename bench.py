@@ -99,21 +99,26 @@ def _json_subprocess(args: list[str], env: dict, pin_master: str | None = None) 
 
 
 def run_build_subprocess(
-    master: str, sf_dir: str, replicas: int, corpus_dir: str | None = None
+    master: str, sf_dir: str, replicas: int, corpus_dir: str | None = None,
+    positions: bool = False,
 ) -> dict:
     """One build in a fresh pinned interpreter + JVM. ``corpus_dir``:
     pre-materialized corpus parquet to reuse — corpus DATAGEN is not part
     of the measured build, so the scaling suite materializes it once
-    (own subprocess) and every pinned run just reads it."""
+    (own subprocess) and every pinned run just reads it. ``positions``:
+    build the positional variant (phrase-serving payload)."""
     env = dict(os.environ)
     if corpus_dir:
         env["SPARK_GRAFT_BENCH_CORPUS"] = corpus_dir
-    return _json_subprocess(
-        ["--build-once", master, sf_dir, str(replicas)], env, pin_master=master
-    )
+    args = ["--build-once", master, sf_dir, str(replicas)]
+    if positions:
+        args.append("pos")
+    return _json_subprocess(args, env, pin_master=master)
 
 
-def run_build(master: str, sf_dir: str, replicas: int) -> dict:
+def run_build(
+    master: str, sf_dir: str, replicas: int, positions: bool = False
+) -> dict:
     """One full index build in a fresh session; returns timing stats."""
     from text_indexer_spark.operators.index_build import build_index
     from text_indexer_spark.session import get_spark
@@ -135,7 +140,10 @@ def run_build(master: str, sf_dir: str, replicas: int) -> dict:
         t0 = time.time()
         # shard count pinned so different parallelism levels run the
         # identical job (scaling-comparison requirement)
-        manifest = build_index(corpus, idx, num_shards=64, verify_sha=True, resume=False)
+        manifest = build_index(
+            corpus, idx, num_shards=64, verify_sha=True, resume=False,
+            with_positions=positions,
+        )
         build_sec = time.time() - t0
         # postings count from the per-shard lineage markers
         import glob as _glob
@@ -212,16 +220,59 @@ def run_queries(master: str, index_dir: str) -> dict:
         spark.stop()
 
 
+DSL_MIX = [
+    '"table hash"',
+    '"table hash" AND (qu* OR s?an) AND NOT dup',
+    'spark AND (join OR window) AND NOT dup',
+    '"merge vector" OR "vector stream"',
+    '"scan filter" AND batch*',
+]
+
+
+def run_dsl_queries(master: str, index_dir: str) -> dict:
+    """Phrase / DSL serving latency over a warm POSITIONAL index:
+    ranked (stored-weight scoring) where the query has score terms."""
+    from text_indexer_spark.operators.index_build import load_posting_lists
+    from text_indexer_spark.operators.querylang import dsl_bm25_topk_index
+    from text_indexer_spark.session import get_spark
+
+    spark = get_spark("bench-dsl", master=master)
+    try:
+        lists = load_posting_lists(spark, index_dir).coalesce(8).cache()
+        lists.count()
+        dsl_bm25_topk_index(lists, DSL_MIX[0], k=10).collect()  # warm-up
+        lat = []
+        for _ in range(2):  # second pass = warm plans
+            lat = []
+            for q in DSL_MIX:
+                t0 = time.time()
+                dsl_bm25_topk_index(lists, q, k=10).collect()
+                lat.append(time.time() - t0)
+        lat_sorted = sorted(lat)
+        return {
+            "dsl_p50_sec": lat_sorted[len(lat) // 2],
+            "dsl_p95_sec": lat_sorted[min(len(lat) - 1, int(0.95 * len(lat)))],
+            "per_query": {q: round(lat[i], 4) for i, q in enumerate(DSL_MIX)},
+        }
+    finally:
+        spark.stop()
+
+
 def main() -> None:
     if "--build-once" in sys.argv:
         i = sys.argv.index("--build-once")
         master, sf_dir, replicas = sys.argv[i + 1], sys.argv[i + 2], int(sys.argv[i + 3])
-        stats = run_build(master, sf_dir, replicas)
+        positions = len(sys.argv) > i + 4 and sys.argv[i + 4] == "pos"
+        stats = run_build(master, sf_dir, replicas, positions=positions)
         print(json.dumps(stats))
         return
     if "--queries-once" in sys.argv:
         i = sys.argv.index("--queries-once")
         print(json.dumps(run_queries(sys.argv[i + 1], sys.argv[i + 2])))
+        return
+    if "--dsl-once" in sys.argv:
+        i = sys.argv.index("--dsl-once")
+        print(json.dumps(run_dsl_queries(sys.argv[i + 1], sys.argv[i + 2])))
         return
     if "--datagen-once" in sys.argv:
         i = sys.argv.index("--datagen-once")
@@ -242,11 +293,31 @@ def main() -> None:
 
     t_all = time.time()
     # every Spark session in a fresh subprocess — the orchestrator stays
-    # JVM-free so nothing unpinned competes with the pinned runs below
-    build = run_build_subprocess(f"local[{CPUS}]", SF_DIR, REPLICAS)
-    queries = _json_subprocess(
-        ["--queries-once", f"local[{CPUS}]", build["index_dir"]], dict(os.environ)
+    # JVM-free so nothing unpinned competes with the pinned runs below.
+    # One materialized corpus feeds BOTH builds (tf-only headline +
+    # positional variant) so the two throughputs are comparable.
+    corpus_dir = tempfile.mkdtemp(prefix="bench_corpus_shared_")
+    _json_subprocess(
+        ["--datagen-once", f"local[{CPUS}]", SF_DIR, str(REPLICAS), corpus_dir],
+        dict(os.environ),
     )
+    try:
+        build = run_build_subprocess(
+            f"local[{CPUS}]", SF_DIR, REPLICAS, corpus_dir=corpus_dir
+        )
+        queries = _json_subprocess(
+            ["--queries-once", f"local[{CPUS}]", build["index_dir"]], dict(os.environ)
+        )
+        build_pos = run_build_subprocess(
+            f"local[{CPUS}]", SF_DIR, REPLICAS, corpus_dir=corpus_dir,
+            positions=True,
+        )
+        dsl = _json_subprocess(
+            ["--dsl-once", f"local[{CPUS}]", build_pos["index_dir"]],
+            dict(os.environ),
+        )
+    finally:
+        shutil.rmtree(corpus_dir, ignore_errors=True)
     total = time.time() - t_all
 
     result = {
@@ -260,8 +331,16 @@ def main() -> None:
             "bm25_top10_cold_p50": round(queries["cold_p50_sec"], 4),
             "bm25_top10_cold_p95": round(queries["cold_p95_sec"], 4),
             "bm25_top10_batched_per_query": round(queries["batch_sec_per_query"], 4),
+            "index_build_positional": round(build_pos["build_sec"], 3),
+            "dsl_phrase_top10_p50": round(dsl["dsl_p50_sec"], 4),
+            "dsl_phrase_top10_p95": round(dsl["dsl_p95_sec"], 4),
         },
         "per_query_warm_sec": queries["per_query"],
+        "per_dsl_query_warm_sec": dsl["per_query"],
+        "positional_postings_per_sec": round(build_pos["postings_per_sec"], 1),
+        "positional_build_overhead_pct": round(
+            100.0 * (build_pos["build_sec"] / build["build_sec"] - 1.0), 1
+        ) if build["build_sec"] else None,
         "sf": sf,
         "n_docs": build["n_docs"],
         "n_postings": build["n_postings"],

@@ -140,3 +140,31 @@ def test_build_stage_a_single_exchange(spark, tmp_path):
     route = _route_tokens(spark, 4)
     sorted_df = _sharded_sorted(corpus, bounds, route)
     assert count_exchanges(sorted_df) == 1
+
+
+def test_dsl_scan_filter_pushed(spark, tmp_path):
+    """The unified-DSL index path issues ONE scan whose combined leaf
+    filter (term IN ... OR startswith) reaches the parquet source, and
+    a phrase-free query must not read the positional payload column."""
+    from text_indexer_spark.corpus import synthetic_corpus
+    from text_indexer_spark.operators.index_build import (
+        build_index,
+        load_posting_lists,
+    )
+    from text_indexer_spark.operators.querylang import match_query_index
+
+    idx = str(tmp_path / "dsl_idx")
+    build_index(
+        synthetic_corpus(spark, 50, avg_tokens=20), idx, num_shards=2,
+        with_positions=True,
+    )
+    lists = load_posting_lists(spark, idx)
+    q = match_query_index(lists, "data AND (ind* OR query)")
+    # the whole leaf filter is one Or tree -> pushed as one predicate
+    assert has_pushed_filter(q, "term")
+    plan = formatted_plan(q)
+    assert plan.count("PushedFilters") == 1  # exactly one scan
+    assert "positions_varbyte" not in read_schema_columns(q)
+    # a phrase query DOES read the payload
+    q2 = match_query_index(lists, '"data index" OR query')
+    assert "positions_varbyte" in read_schema_columns(q2)

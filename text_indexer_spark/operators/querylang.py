@@ -451,7 +451,16 @@ def _prepare_index_query(posting_lists: DataFrame, node: QNode):
     for c in conds[1:]:
         scan_cond = scan_cond | c
     need_pos = {t for p in phrases for t in p.terms}
-    return leaves, posting_lists.filter(scan_cond), need_pos
+    # column pruning at the scan: a phrase-free query must not read the
+    # positional payload (the fattest column of a positional index)
+    cols = [
+        "shard_id", "term", "df", "doc_ids_delta_varbyte", "tfs_varbyte",
+        "weights_f64",
+    ]
+    if need_pos:
+        cols.append("positions_varbyte")
+    cols.append("block_id_off")
+    return leaves, posting_lists.filter(scan_cond).select(cols), need_pos
 
 
 def _index_kernel(node: QNode, leaves, need_pos, score_terms, k, round_to):

@@ -41,14 +41,30 @@ def has_pushed_filter(df: DataFrame, fragment: str) -> bool:
 
 
 def read_schema_columns(df: DataFrame) -> set[str]:
-    """Columns actually read from the parquet scan (column pruning)."""
+    """Columns actually read from the parquet scan (column pruning).
+    Depth-aware parse: nested types (``array<bigint>``) must not
+    truncate the column list."""
     plan = formatted_plan(df)
     cols: set[str] = set()
-    for m in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
-        for part in m.group(1).split(","):
-            name = part.split(":")[0].strip()
-            if name:
-                cols.add(name)
+    for line in plan.splitlines():
+        line = line.strip()
+        if not line.startswith("ReadSchema: struct<"):
+            continue
+        inner = line[len("ReadSchema: struct<"):line.rfind(">")]
+        depth, token = 0, ""
+        for ch in inner:
+            if ch == "," and depth == 0:
+                if token:
+                    cols.add(token.split(":")[0].strip())
+                token = ""
+                continue
+            if ch == "<":
+                depth += 1
+            elif ch == ">":
+                depth -= 1
+            token += ch
+        if token:
+            cols.add(token.split(":")[0].strip())
     return cols
 
 
