@@ -295,3 +295,20 @@ def test_sync_preserves_positions(spark, tmp_path):
         assert phrase_paths(out, phrase) == phrase_paths(ref, phrase), phrase
     # the synced-in doc is phrase-searchable
     assert ("zz/new", "p/new.txt") in phrase_paths(out, ["alpha", "beta", "gamma"])
+
+
+def test_resume_rejects_layout_flip(spark, tmp_path):
+    """A resumed build must be started with the same layout flags the
+    checkpoint was written with — a silent flip would mix positional and
+    tf-only shard schemas in one index."""
+    corpus = spark.createDataFrame(
+        [("r", p, "c1", "txt", t) for p, t in DOCS],
+        "repo string, path string, commit string, lang string, content string",
+    )
+    out = str(tmp_path / "idx")
+    build_index(corpus, out, num_shards=2, with_positions=True)
+    with pytest.raises(ValueError, match="resume mismatch"):
+        build_index(corpus, out, num_shards=2, with_positions=False)
+    # same flags resume fine (no-op: everything checkpointed)
+    m = build_index(corpus, out, num_shards=2, with_positions=True)
+    assert m["positional"] is True

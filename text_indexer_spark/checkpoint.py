@@ -63,14 +63,19 @@ def done_shards(index_dir: str, stage: str) -> set[int]:
 BOUNDARIES = "_BOUNDARIES.json"
 
 
-def write_boundaries(index_dir: str, num_shards: int, bounds: list[str]) -> None:
+def write_boundaries(
+    index_dir: str, num_shards: int, bounds: list[str],
+    config: dict | None = None,
+) -> None:
     """Persist the shard range boundaries before stage A starts: a
     resumed build must shard identically or completed-shard markers
-    would describe the wrong doc ranges."""
+    would describe the wrong doc ranges. ``config``: the layout-shaping
+    build flags (positional payload, id scheme) — a resumed build must
+    match them or finished shards would mix schemas."""
     storage.makedirs(index_dir)
     atomic_write_json(
         storage.join(index_dir, BOUNDARIES),
-        {"num_shards": num_shards, "bounds": bounds},
+        {"num_shards": num_shards, "bounds": bounds, "config": config or {}},
     )
 
 
@@ -79,6 +84,15 @@ def read_boundaries(index_dir: str) -> tuple[int, list[str]] | None:
     if d is None:
         return None
     return int(d["num_shards"]), list(d["bounds"])
+
+
+def read_build_config(index_dir: str) -> dict | None:
+    """The layout flags the checkpointed build was started with (None if
+    no checkpoint, {} for checkpoints predating the config field)."""
+    d = storage.read_json(storage.join(index_dir, BOUNDARIES))
+    if d is None:
+        return None
+    return dict(d.get("config", {}))
 
 
 def commit_manifest(index_dir: str, manifest: dict) -> None:

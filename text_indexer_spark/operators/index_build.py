@@ -527,12 +527,22 @@ def build_index(
         # offset-count job (sequential — counts need the boundaries —
         # but they need not scan the source twice)
         keys = keys.persist()
+    build_config = {"positional": bool(with_positions), "dense_ids": bool(dense_ids)}
     persisted = ckpt.read_boundaries(index_dir) if resume else None
     if persisted is not None:
         num_shards, bounds = persisted
+        prev_config = ckpt.read_build_config(index_dir) or {}
+        for key, val in build_config.items():
+            if key in prev_config and bool(prev_config[key]) != val:
+                raise ValueError(
+                    f"resume mismatch: checkpointed build has {key}="
+                    f"{prev_config[key]}, this run passed {key}={val} — "
+                    "finished shards would mix layouts; pass resume=False "
+                    "(fresh dir) or the original flags"
+                )
     else:
         bounds = _compute_boundaries(keys, num_shards)
-        ckpt.write_boundaries(index_dir, num_shards, bounds)
+        ckpt.write_boundaries(index_dir, num_shards, bounds, config=build_config)
     t_bounds = time.time() - t_sz
     route = _route_tokens(spark, num_shards)
     shard_of = _shard_of_udf(bounds)
