@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 from text_indexer_spark.operators.boolean import And, Not, Or, Term
 from text_indexer_spark.operators.index_build import build_index, load_posting_lists
 from text_indexer_spark.operators.querylang import (
+    Near,
     Phrase,
     Prefix,
     Wildcard,
@@ -47,6 +48,9 @@ QUERIES = [
     '(fox OR dog) AND NOT "quick brown"',
     'fox*',
     '"the quick" br*n',
+    '"fox dog"~4',
+    '"quick fox"~3 AND NOT lazy',
+    '("brown dog"~2 OR "brown fox"~2) quick',
 ]
 
 
@@ -59,6 +63,17 @@ def _py_eval(node, toks: list[str]) -> bool:
             tuple(toks[i:i + L]) == node.terms
             for i in range(len(toks) - L + 1)
         )
+    if isinstance(node, Near):
+        sets = []
+        for t in dict.fromkeys(node.terms):
+            posl = [i for i, x in enumerate(toks) if x == t]
+            if not posl:
+                return False
+            cov = set()
+            for p in posl:
+                cov.update(range(max(p - node.window + 1, 0), p + 1))
+            sets.append(cov)
+        return bool(set.intersection(*sets))
     if isinstance(node, Prefix):
         return any(t.startswith(node.prefix) for t in toks)
     if isinstance(node, Wildcard):

@@ -36,6 +36,8 @@ BOOL_NOT_QUERY = "NOT dup"
 # glue — every leaf kind non-vacuous at sf0.01 ("table hash" phrase: 46
 # docs; qu* → query; s?an → scan; dup rare)
 DSL_QUERY = '"table hash" AND (qu* OR s?an) AND NOT dup'
+# slop/NEAR leaf: merge & stream within a 6-token span, minus rare docs
+NEAR_QUERY = '"merge stream"~6 AND NOT dup'
 ROUND = 4
 
 
@@ -150,6 +152,25 @@ def q_search_dsl_ranked_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_search_dsl_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slop syntax ("a b"~N → unordered NEAR/N) served from the
+    positional index — the DSL rendering of the proximity operator."""
+    from text_indexer_spark.driver_queries_ext import (
+        _engine_id_map,
+        _ensure_pos_index,
+    )
+    from text_indexer_spark.operators.index_build import load_posting_lists
+    from text_indexer_spark.operators.querylang import match_query_index
+
+    idx = _ensure_pos_index(spark, sf_dir)
+    ids = match_query_index(load_posting_lists(spark, idx), NEAR_QUERY)
+    return (
+        ids.withColumnRenamed("doc_id", "engine_id")
+        .join(F.broadcast(_engine_id_map(spark, idx)), "engine_id")
+        .select("doc_id")
+    )
+
+
 # ------------------------------------------------------------- oracles
 
 def _match_cte(query: str, universe: bool) -> str:
@@ -200,6 +221,24 @@ def _dsl_match_cte(query: str) -> str:
                 f"bool_or(regexp_matches(term, '{rx}')) AS f{i}"
             )
             flag_of[leaf] = f"coalesce(f{i}, false)"
+        elif isinstance(leaf, ql.Near):
+            uniq = list(dict.fromkeys(leaf.terms))
+            joins = " ".join(
+                f"JOIN pp a{j} ON a{j}.doc_id = a0.doc_id"
+                for j in range(1, len(uniq))
+            )
+            conds = " AND ".join(
+                f"a{j}.term = '{t}'" for j, t in enumerate(uniq)
+            )
+            pos_list = ", ".join(f"a{j}.pos" for j in range(len(uniq)))
+            span = (
+                f"greatest({pos_list}) - least({pos_list}) < {leaf.window}"
+            )
+            phrase_ctes.append(
+                f"nr{i} AS (SELECT DISTINCT a0.doc_id "
+                f"FROM pp a0 {joins} WHERE {conds} AND {span})"
+            )
+            flag_of[leaf] = f"(d.doc_id IN (SELECT doc_id FROM nr{i}))"
         else:  # Phrase
             joins = " ".join(
                 f"JOIN pp p{j} ON p{j}.doc_id = p0.doc_id "
@@ -277,6 +316,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_dsl_index": q_search_dsl_index,
         "search_dsl_ranked": q_search_dsl_ranked,
         "search_dsl_ranked_index": q_search_dsl_ranked_index,
+        "search_dsl_near": q_search_dsl_near,
     }
 
 
@@ -290,4 +330,5 @@ def oracle_sql() -> dict[str, str]:
         "search_dsl_index": sql_search_dsl(),
         "search_dsl_ranked": sql_search_dsl_ranked(),
         "search_dsl_ranked_index": sql_search_dsl_ranked(),
+        "search_dsl_near": sql_search_dsl(NEAR_QUERY),
     }

@@ -113,11 +113,71 @@ def proximity_match(
 # evaluation is exact and the union of shard results is global.
 # ---------------------------------------------------------------------
 
-def _proximity_kernel(terms: list[str], window: int):
-    """Per-shard NEAR/w kernel: all terms within some ``window``-token
-    span. Fully vectorized: per-doc work is numpy set algebra over
-    (local-doc, window-start) composite keys."""
+def proximity_ids_from_decoded(decoded: dict, terms: list[str], window: int):
+    """Decoded positional lists ``{term: (ids, tfs, pos, offs)}`` →
+    doc ids where ALL ``terms`` occur within some ``window``-token span
+    (unordered NEAR/w). Pure numpy set algebra over (local-doc,
+    window-start) composite keys; shared by the proximity kernel and the
+    query-DSL evaluator. A term missing from ``decoded`` ⇒ no match."""
     import numpy as np
+
+    empty = np.empty(0, dtype=np.int64)
+    uniq = list(dict.fromkeys(terms))
+    if any(t not in decoded for t in uniq):
+        return empty
+    # candidate docs: in every term's list (cheap pre-cut before any
+    # positional work)
+    cand = decoded[uniq[0]][0]
+    for t in uniq[1:]:
+        cand = cand[np.isin(cand, decoded[t][0])]
+    if cand.size == 0:
+        return empty
+    max_pos = 0
+    sel = {}
+    for t in uniq:
+        ids, tfs, pos, offs = decoded[t]
+        pick = np.flatnonzero(np.isin(ids, cand))
+        # flattened positions of the selected postings + their docs
+        reps = tfs[pick]
+        docs = np.repeat(ids[pick], reps)
+        total = int(reps.sum())
+        # idx enumerates each posting's [start, start+tf) run:
+        # start + (global position - segment start)
+        seg = np.repeat(np.cumsum(reps) - reps, reps)
+        idx = np.repeat(offs[pick], reps) + (np.arange(total) - seg)
+        p = pos[idx]
+        sel[t] = (docs, p)
+        if p.size:
+            max_pos = max(max_pos, int(p.max()))
+    # composite keys on a DENSE local doc index so int64 never
+    # overflows (stride-mode shard doc ids sit at huge offsets)
+    span = np.int64(max_pos + window + 2)
+    local = np.sort(cand)
+
+    def keys(t: str) -> np.ndarray:
+        docs, p = sel[t]
+        li = np.searchsorted(local, docs)
+        # NEAR/w: occurrence at p covers window-starts [p-w+1, p]
+        s0 = np.maximum(p - window + 1, 0)
+        cnt = (p - s0 + 1).astype(np.int64)
+        tot = int(cnt.sum())
+        base = np.repeat(li * span + s0, cnt)
+        off = np.repeat(np.cumsum(cnt) - cnt, cnt)
+        k = base + (np.arange(tot) - off)
+        return np.unique(k)
+
+    inter = keys(uniq[0])
+    for t in uniq[1:]:
+        inter = np.intersect1d(inter, keys(t), assume_unique=True)
+        if inter.size == 0:
+            break
+    if inter.size == 0:
+        return empty
+    return np.unique(local[(inter // span).astype(np.int64)]).astype(np.int64)
+
+
+def _proximity_kernel(terms: list[str], window: int):
+    """Per-shard NEAR/w kernel wrapping :func:`proximity_ids_from_decoded`."""
     import pandas as pd
 
     uniq = list(dict.fromkeys(terms))
@@ -136,56 +196,8 @@ def _proximity_kernel(terms: list[str], window: int):
             ids, tfs, _ = decode_posting_list(rows[t])
             pos, offs = decode_positions(rows[t]["positions_varbyte"], tfs)
             decoded[t] = (ids, tfs, pos, offs)
-        # candidate docs: in every term's list (cheap pre-cut before any
-        # positional work)
-        cand = decoded[uniq[0]][0]
-        for t in uniq[1:]:
-            cand = cand[np.isin(cand, decoded[t][0])]
-        if cand.size == 0:
-            return pd.DataFrame({"doc_id": pd.Series(dtype="int64")})
-        max_pos = 0
-        sel = {}
-        for t in uniq:
-            ids, tfs, pos, offs = decoded[t]
-            pick = np.flatnonzero(np.isin(ids, cand))
-            # flattened positions of the selected postings + their docs
-            reps = tfs[pick]
-            docs = np.repeat(ids[pick], reps)
-            total = int(reps.sum())
-            # idx enumerates each posting's [start, start+tf) run:
-            # start + (global position - segment start)
-            seg = np.repeat(np.cumsum(reps) - reps, reps)
-            idx = np.repeat(offs[pick], reps) + (np.arange(total) - seg)
-            p = pos[idx]
-            sel[t] = (docs, p)
-            if p.size:
-                max_pos = max(max_pos, int(p.max()))
-        # composite keys on a DENSE local doc index so int64 never
-        # overflows (stride-mode shard doc ids sit at huge offsets)
-        span = np.int64(max_pos + window + 2)
-        local = np.sort(cand)
-
-        def keys(t: str) -> np.ndarray:
-            docs, p = sel[t]
-            li = np.searchsorted(local, docs)
-            # NEAR/w: occurrence at p covers window-starts [p-w+1, p]
-            s0 = np.maximum(p - window + 1, 0)
-            cnt = (p - s0 + 1).astype(np.int64)
-            tot = int(cnt.sum())
-            base = np.repeat(li * span + s0, cnt)
-            off = np.repeat(np.cumsum(cnt) - cnt, cnt)
-            k = base + (np.arange(tot) - off)
-            return np.unique(k)
-
-        inter = keys(uniq[0])
-        for t in uniq[1:]:
-            inter = np.intersect1d(inter, keys(t), assume_unique=True)
-            if inter.size == 0:
-                break
-        if inter.size == 0:
-            return pd.DataFrame({"doc_id": pd.Series(dtype="int64")})
-        out = np.unique(local[(inter // span).astype(np.int64)])
-        return pd.DataFrame({"doc_id": out.astype("int64")})
+        out = proximity_ids_from_decoded(decoded, terms, window)
+        return pd.DataFrame({"doc_id": out})
 
     return kernel
 

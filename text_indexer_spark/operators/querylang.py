@@ -12,6 +12,7 @@ grammar (Lucene-style)::
     and    := unary (AND? unary)*          -- adjacency = AND
     unary  := NOT unary | '(' or ')' | leaf
     leaf   := "quoted phrase"              -- consecutive tokens
+            | "a b c"~N                    -- unordered NEAR/N (slop)
             | word*                        -- prefix (trailing * only)
             | wo*rd / wo?rd                -- wildcard (fnmatch-style)
             | word                         -- exact term
@@ -66,6 +67,15 @@ class Phrase:
 
 
 @dataclass(frozen=True)
+class Near:
+    """``"a b c"~N``: all terms within some N-token span (unordered
+    NEAR/N — the span must fit every term, max−min < N)."""
+
+    terms: tuple[str, ...]
+    window: int
+
+
+@dataclass(frozen=True)
 class Prefix:
     prefix: str
 
@@ -75,7 +85,7 @@ class Wildcard:
     pattern: str  # fnmatch-style: * and ?
 
 
-QNode = Node | Phrase | Prefix | Wildcard
+QNode = Node | Phrase | Near | Prefix | Wildcard
 
 
 # -------------------------------------------------------------- parser
@@ -210,6 +220,21 @@ def parse_dsl(query: str) -> QNode:
             terms = tokenize_text(text)
             if not terms:
                 raise ValueError(f"phrase {text!r} tokenizes to nothing")
+            # optional slop suffix: "a b"~N  → unordered NEAR/N
+            nxt = peek()
+            if (
+                nxt is not None
+                and nxt[0] == "word"
+                and nxt[1].startswith("~")
+                and nxt[1][1:].isdigit()
+            ):
+                take()
+                window = int(nxt[1][1:])
+                if window < 1:
+                    raise ValueError(f"slop must be >= 1 in {text!r}~{window}")
+                if len(terms) == 1:
+                    return Term(terms[0])
+                return Near(tuple(terms), window)
             if len(terms) == 1:
                 return Term(terms[0])
             return Phrase(tuple(terms))
@@ -232,7 +257,7 @@ def leaves_of(node: QNode) -> list[QNode]:
     seen: dict[QNode, None] = {}
 
     def walk(n: QNode) -> None:
-        if isinstance(n, (Term, Phrase, Prefix, Wildcard)):
+        if isinstance(n, (Term, Phrase, Near, Prefix, Wildcard)):
             seen.setdefault(n, None)
         elif isinstance(n, Not):
             walk(n.child)
@@ -246,7 +271,7 @@ def leaves_of(node: QNode) -> list[QNode]:
 
 def satisfiable_all_false(node: QNode) -> bool:
     """Does the tree hold for a doc matching NO leaf?"""
-    if isinstance(node, (Term, Phrase, Prefix, Wildcard)):
+    if isinstance(node, (Term, Phrase, Near, Prefix, Wildcard)):
         return False
     if isinstance(node, Not):
         return not satisfiable_all_false(node.child)
@@ -266,7 +291,7 @@ def positive_score_terms(node: QNode) -> list[str]:
         if isinstance(n, Term):
             if not neg:
                 out.setdefault(n.term, None)
-        elif isinstance(n, Phrase):
+        elif isinstance(n, (Phrase, Near)):
             if not neg:
                 for t in n.terms:
                     out.setdefault(t, None)
@@ -325,7 +350,10 @@ def match_query(
     ``catalog`` (doc_id universe) only when the query can be satisfied
     by a doc matching no leaf (top-level NOT).
     """
-    from text_indexer_spark.operators.phrase import phrase_match
+    from text_indexer_spark.operators.phrase import (
+        phrase_match,
+        proximity_match,
+    )
 
     node = parse_dsl(query) if isinstance(query, str) else query
     leaves = leaves_of(node)
@@ -348,6 +376,12 @@ def match_query(
             if docs is None:
                 raise ValueError("phrase leaves need the documents table")
             ids = phrase_match(docs, list(leaf.terms), text_col=text_col)
+        elif isinstance(leaf, Near):
+            if docs is None:
+                raise ValueError("proximity leaves need the documents table")
+            ids = proximity_match(
+                docs, list(leaf.terms), window=leaf.window, text_col=text_col
+            )
         elif isinstance(leaf, Prefix):
             ids = (
                 postings.filter(F.col("term").startswith(leaf.prefix))
@@ -398,7 +432,7 @@ def match_query(
     def col_of(n: QNode) -> Column:
         if isinstance(n, Term):
             return F.array_contains(ts, n.term)
-        if isinstance(n, (Phrase, Prefix, Wildcard)):
+        if isinstance(n, (Phrase, Near, Prefix, Wildcard)):
             i = leaves.index(n)
             return F.coalesce(F.col(f"_f{i}"), F.lit(False))
         if isinstance(n, Not):
@@ -425,11 +459,11 @@ def _prepare_index_query(posting_lists: DataFrame, node: QNode):
             "the leaf union is not a complete universe for it"
         )
     leaves = leaves_of(node)
-    phrases = [n for n in leaves if isinstance(n, Phrase)]
+    phrases = [n for n in leaves if isinstance(n, (Phrase, Near))]
     if phrases and "positions_varbyte" not in posting_lists.columns:
         raise ValueError(
-            "phrase leaves need a positional index; rebuild with "
-            "build_index(..., with_positions=True)"
+            "phrase/proximity leaves need a positional index; rebuild "
+            "with build_index(..., with_positions=True)"
         )
     exact = sorted(
         {n.term for n in leaves if isinstance(n, Term)}
@@ -485,7 +519,10 @@ def _index_kernel(node: QNode, leaves, need_pos, score_terms, k, round_to):
             decode_positions,
             decode_posting_list,
         )
-        from text_indexer_spark.operators.phrase import phrase_ids_from_decoded
+        from text_indexer_spark.operators.phrase import (
+            phrase_ids_from_decoded,
+            proximity_ids_from_decoded,
+        )
 
         ids_by_term: dict[str, np.ndarray] = {}
         w_by_term: dict[str, np.ndarray] = {}
@@ -503,6 +540,10 @@ def _index_kernel(node: QNode, leaves, need_pos, score_terms, k, round_to):
                 return ids_by_term.get(n.term, np.empty(0, dtype=np.int64))
             if isinstance(n, Phrase):
                 return phrase_ids_from_decoded(pos_by_term, list(n.terms))
+            if isinstance(n, Near):
+                return proximity_ids_from_decoded(
+                    pos_by_term, list(n.terms), n.window
+                )
             if isinstance(n, Prefix):
                 parts = [
                     v for t, v in ids_by_term.items()
@@ -524,7 +565,7 @@ def _index_kernel(node: QNode, leaves, need_pos, score_terms, k, round_to):
         universe = np.unique(np.concatenate(nonempty))
 
         def mask_of(n: QNode) -> np.ndarray:
-            if isinstance(n, (Term, Phrase, Prefix, Wildcard)):
+            if isinstance(n, (Term, Phrase, Near, Prefix, Wildcard)):
                 m = np.zeros(universe.size, dtype=bool)
                 ids = sets[n]
                 if ids.size:
@@ -659,7 +700,7 @@ def dsl_bm25_topk(
 
 def to_oracle_sql(node: QNode, flags: dict[QNode, str]) -> str:
     """Tree → SQL over per-leaf boolean expressions."""
-    if isinstance(node, (Term, Phrase, Prefix, Wildcard)):
+    if isinstance(node, (Term, Phrase, Near, Prefix, Wildcard)):
         return flags[node]
     if isinstance(node, Not):
         return f"(NOT {to_oracle_sql(node.child, flags)})"
