@@ -510,6 +510,17 @@ def main() -> None:
                 "dominate single-query latency at this scale; the round-1 "
                 "driver-bench p95 gap was first-execution plan warm-up, now "
                 "reported separately as cold vs warm).\n\n"
+                "Positional index (phrase-serving payload): build overhead "
+                f"{result['positional_build_overhead_pct']}% vs the tf-only "
+                f"build at sf0.1 "
+                f"({result['positional_postings_per_sec']:,.0f} postings/s); "
+                "unified-DSL top-10 latency over the positional compressed "
+                f"index p50 {dsl['dsl_p50_sec']*1000:.0f} ms / p95 "
+                f"{dsl['dsl_p95_sec']*1000:.0f} ms warm across "
+                f"{len(DSL_MIX)} queries mixing quoted phrases, slop NEAR, "
+                "prefixes, wildcards and boolean glue — same serving shape "
+                "as WAND (one pruned scan, per-shard kernels, global "
+                "TakeOrderedAndProject).\n\n"
                 "Reference baseline: the reference (vbutrim/text-indexer) "
                 "publishes no benchmark numbers (no perf tests in the repo; "
                 "its only instrumentation is UI wall-clock text, "

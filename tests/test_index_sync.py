@@ -311,3 +311,67 @@ def test_vacuum_versions_retention_and_safety(tmp_path):
         assert f.read() == b"payload-2"
     # idempotent
     assert vacuum_versions(vdir, keep_last=1) == []
+
+
+# ---------------------------------------------------- positional variant
+
+@pytest.fixture(scope="module")
+def v1p(spark, tmp_path_factory):
+    corpus = synthetic_corpus(spark, n_docs=120, avg_tokens=40, n_repos=12).cache()
+    idx = str(tmp_path_factory.mktemp("sync_idx_pos") / "v1")
+    build_index(corpus, idx, num_shards=8, resume=False, with_positions=True)
+    return corpus, idx
+
+
+def _positions_rel(spark, d):
+    """The COMPLETE positional relation {(path-key, term, positions)} —
+    the strongest cross-index identity (ids differ between sync and
+    rebuild, paths do not)."""
+    from text_indexer_spark.operators.codec import decode_posting_positions
+
+    lists = load_posting_lists(spark, d)
+    cat = {
+        r["doc_id"]: (r["repo"], r["path"])
+        for r in load_catalog(spark, d).collect()
+    }
+    rel = set()
+    for row in lists.collect():
+        ids, pos, offs = decode_posting_positions(row.asDict())
+        for i, did in enumerate(ids):
+            rel.add(
+                (cat[did], row["term"], tuple(pos[offs[i]:offs[i + 1]].tolist()))
+            )
+    return rel
+
+
+@pytest.mark.parametrize("seed", [7, 19])
+def test_randomized_positional_sync_equals_rebuild(spark, v1p, tmp_path, seed):
+    """Positional indexes: a randomized sync must reproduce the EXACT
+    per-posting position lists a fresh positional rebuild produces."""
+    corpus, idx1 = v1p
+    h = F.pmod(F.xxhash64(F.lit(seed), "repo", "path"), F.lit(20))
+    kept = corpus.filter(h != 0)
+    src2 = kept.withColumn(
+        "content",
+        F.when(h == 1, F.concat(F.lit(f"pfx{seed} "), F.col("content"))).otherwise(
+            F.col("content")
+        ),
+    ).withColumn(
+        "commit",
+        F.when(h == 1, F.sha2(F.coalesce(F.col("content"), F.lit("")), 256)).otherwise(
+            F.col("commit")
+        ),
+    ).unionByName(
+        spark.createDataFrame(
+            [(f"mm/added-{seed}", "docs/m.txt", f"c{seed}m", "txt",
+              f"pfx{seed} the pfx{seed} data pfx{seed}")],
+            "repo string, path string, commit string, lang string, content string",
+        )
+    )
+    out = str(tmp_path / f"v2p_{seed}")
+    m2 = sync_index_dir(spark, idx1, src2, out)
+    assert m2["positional"] is True and m2["synced"]["add"] == 1
+
+    ref = str(tmp_path / f"refp_{seed}")
+    build_index(src2, ref, num_shards=8, resume=False, with_positions=True)
+    assert _positions_rel(spark, out) == _positions_rel(spark, ref)
