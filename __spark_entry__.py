@@ -15,6 +15,7 @@ from text_indexer_spark import (
     driver_queries,
     driver_queries_boolean,
     driver_queries_ext,
+    driver_queries_hygiene,
     driver_queries_serving,
 )
 
@@ -33,6 +34,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **driver_queries_ext.queries(),
         **driver_queries_serving.queries(),
         **driver_queries_boolean.queries(),
+        **driver_queries_hygiene.queries(),
     }
 
 
@@ -42,4 +44,5 @@ def oracle_sql() -> dict[str, str]:
         **driver_queries_ext.oracle_sql(),
         **driver_queries_serving.oracle_sql(),
         **driver_queries_boolean.oracle_sql(),
+        **driver_queries_hygiene.oracle_sql(),
     }

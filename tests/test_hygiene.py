@@ -1,0 +1,180 @@
+"""Pipeline-hygiene operators: decontamination, repetition stats,
+fuzzy matching — crafted-input unit tests (the sf0.01 oracle gates live
+in test_driver_contract.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from text_indexer_spark.operators import decontam, fuzzy, textstats
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+# ------------------------------------------------------------- decontam
+def test_contamination_flags_overlapping_doc(spark):
+    corpus = _docs(
+        spark,
+        [
+            (1, "alpha beta gamma delta epsilon"),
+            (2, "unrelated words entirely here now"),
+            (3, "x alpha beta gamma y"),  # shares the eval 3-gram
+        ],
+    )
+    evalset = _docs(spark, [(100, "alpha beta gamma")])
+    ev = decontam.eval_ngrams(evalset, n=3)
+    hits = {
+        r["doc_id"]: r["n_hits"]
+        for r in decontam.contamination_hits(corpus, ev, n=3).collect()
+    }
+    assert hits == {1: 1, 3: 1}
+    kept = decontam.decontaminate(corpus, ev, n=3)
+    assert [r["doc_id"] for r in kept.collect()] == [2]
+
+
+def test_decontam_short_docs_cannot_match(spark):
+    # docs with fewer than n tokens emit no grams -> never contaminated
+    corpus = _docs(spark, [(1, "alpha beta"), (2, "")])
+    ev = decontam.eval_ngrams(_docs(spark, [(9, "alpha beta gamma")]), n=3)
+    assert decontam.contamination_hits(corpus, ev, n=3).count() == 0
+    assert decontam.decontaminate(corpus, ev, n=3).count() == 2
+
+
+def test_decontam_hit_count_is_distinct_grams(spark):
+    # the same eval gram appearing twice in a doc counts once
+    corpus = _docs(spark, [(1, "a b c z a b c")])
+    ev = decontam.eval_ngrams(_docs(spark, [(9, "a b c")]), n=3)
+    [(did, n)] = [
+        (r["doc_id"], r["n_hits"])
+        for r in decontam.contamination_hits(corpus, ev, n=3).collect()
+    ]
+    assert (did, n) == (1, 1)
+
+
+# ------------------------------------------------------------ repetition
+def test_repetition_duplicate_lines(spark):
+    text = "same line\nsame line\nsame line\nunique one"
+    df = _docs(spark, [(1, text)])
+    [r] = textstats.repetition_stats(df).collect()
+    assert r["n_lines"] == 4
+    assert r["dup_line_frac"] == pytest.approx(3 / 4, abs=5e-5)
+    # "same line" = 9 chars * 3 dup copies; total 9*3 + 10
+    assert r["dup_line_char_frac"] == pytest.approx(27 / 37, abs=5e-5)
+
+
+def test_repetition_no_dups_and_empty(spark):
+    df = _docs(spark, [(1, "a\nb\nc"), (2, ""), (3, None), (4, "   \n  ")])
+    rows = {r["doc_id"]: r for r in textstats.repetition_stats(df).collect()}
+    assert rows[1]["dup_line_frac"] == 0.0
+    for did in (2, 3, 4):
+        assert rows[did]["n_lines"] == 0
+        assert rows[did]["dup_line_frac"] == 0.0
+        assert rows[did]["top_2gram"] is None
+        assert rows[did]["top_2gram_frac"] == 0.0
+
+
+def test_repetition_top_2gram_and_tiebreak(spark):
+    # "b c" occurs twice; every other 2-gram once
+    df = _docs(spark, [(1, "a b c d b c")])
+    [r] = textstats.repetition_stats(df).collect()
+    assert r["top_2gram"] == "b c"
+    assert r["top_2gram_frac"] == pytest.approx(2 / 5, abs=5e-5)
+    # all-tied doc -> alphabetically smallest 2-gram wins
+    [r2] = textstats.repetition_stats(_docs(spark, [(1, "z y x w")])).collect()
+    assert r2["top_2gram"] == "x w"
+    assert r2["top_2gram_frac"] == pytest.approx(1 / 3, abs=5e-5)
+
+
+def test_filter_by_repetition(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "boiler plate\nboiler plate\nboiler plate\nboiler plate"),
+            (2, "fresh words here\nwith different lines\nno repeats at all"),
+        ],
+    )
+    kept = textstats.filter_by_repetition(
+        df, max_dup_line_frac=0.5, max_top_2gram_frac=0.5
+    )
+    assert [r["doc_id"] for r in kept.collect()] == [2]
+
+
+def test_repetition_is_zero_shuffle(spark):
+    from text_indexer_spark.plans.checks import count_exchanges
+
+    df = _docs(spark, [(1, "a b\nc d")])
+    assert count_exchanges(textstats.repetition_stats(df)) == 0
+    assert count_exchanges(textstats.filter_by_repetition(df)) == 0
+
+
+# ----------------------------------------------------------------- fuzzy
+def test_delete1_neighborhood():
+    assert fuzzy.delete1_neighborhood("abc") == ["abc", "bc", "ac", "ab"]
+    assert fuzzy.delete1_neighborhood("a") == ["a", ""]
+
+
+def test_fuzzy_terms_kinds_of_edits(spark):
+    corpus = _docs(spark, [(1, "table cable tble tables stable bable")])
+    vocab = fuzzy.vocabulary(corpus)
+    got = {
+        r["term"]: r["dist"]
+        for r in fuzzy.fuzzy_terms(vocab, "table").collect()
+    }
+    # exact, substitution, deletion, insertion — all distance <= 1;
+    # "stable" is insertion at front (dist 1), "bable" substitution
+    assert got == {"table": 0, "cable": 1, "tble": 1, "tables": 1,
+                   "stable": 1, "bable": 1}
+
+
+def test_fuzzy_pigeonhole_false_positive_killed(spark):
+    # "ab" and "ba" share delete-1 variants ({a,b}) but levenshtein = 2:
+    # the verification step must reject it
+    corpus = _docs(spark, [(1, "ba xy")])
+    vocab = fuzzy.vocabulary(corpus)
+    assert fuzzy.fuzzy_terms(vocab, "ab").count() == 0
+
+
+def test_fuzzy_conjunctive_match(spark):
+    corpus = _docs(
+        spark,
+        [
+            (1, "key table other"),   # matches both typos
+            (2, "key window"),        # only one
+            (3, "keys tble"),         # exact typo forms also match
+        ],
+    )
+    got = sorted(
+        r["doc_id"]
+        for r in fuzzy.fuzzy_conjunctive_match(corpus, "keys tble").collect()
+    )
+    assert got == [1, 3]
+
+
+def test_fuzzy_conjunctive_one_term_satisfies_two_tokens(spark):
+    # doc term "cat" is within 1 of both query tokens "cap" and "bat":
+    # one posting must satisfy BOTH conjuncts
+    corpus = _docs(spark, [(1, "cat"), (2, "cap")])
+    got = sorted(
+        r["doc_id"]
+        for r in fuzzy.fuzzy_conjunctive_match(corpus, "cap bat").collect()
+    )
+    assert got == [1]
+
+
+def test_fuzzy_empty_query(spark):
+    corpus = _docs(spark, [(1, "anything")])
+    assert fuzzy.fuzzy_conjunctive_match(corpus, " , ").count() == 0
+
+
+def test_fuzzy_candidate_filter_is_scan_local(spark):
+    # the expansion is a filter over the vocab scan - no join, no
+    # cartesian anywhere in the plan
+    from text_indexer_spark.plans.checks import formatted_plan
+
+    corpus = _docs(spark, [(1, "table cable")])
+    plan = formatted_plan(fuzzy.fuzzy_terms(fuzzy.vocabulary(corpus), "table"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

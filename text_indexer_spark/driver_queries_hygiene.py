@@ -1,0 +1,216 @@
+"""Driver-contract queries, part 5: pipeline-hygiene operators —
+benchmark decontamination, repetition filtering, fuzzy term matching.
+
+Same shape as the other driver_queries modules: each Spark query is a
+thin call into an operator module; each oracle reproduces the math in
+DuckDB exactly (same tokenizer regex, same n-gram construction, same
+tie-breaks, same rounding).
+
+Gate parameters are tuned to be non-vacuous at sf0.01: the "benchmark"
+eval set is every 41st document (13 docs → 23 contaminated at n=4,
+10 of them cross-document), the repetition cut at 0.05 drops 110/500
+docs, and the fuzzy queries are deliberate typos of corpus terms.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from text_indexer_spark.operators import decontam, fuzzy, textstats
+from text_indexer_spark.sources.tables import load_table
+from text_indexer_spark.tokenizer import (
+    duckdb_tokens_sql,
+    duckdb_word_ngrams_sql,
+)
+
+DECONTAM_N = 4
+EVAL_MOD = 41
+TOP2_MAX = 0.05
+FUZZY_TERM = "ag"          # 1 edit from both "a" and "agg"
+FUZZY_QUERY = "keys tble"  # typos of "key" and "table"
+ROUND = 4
+
+
+def _vocab_sql() -> str:
+    toks = f"list_filter({duckdb_tokens_sql('text')}, x -> x <> '')"
+    return f"(SELECT DISTINCT unnest({toks}) AS term FROM documents)"
+
+
+def _pairs_sql() -> str:
+    toks = f"list_filter({duckdb_tokens_sql('text')}, x -> x <> '')"
+    return (
+        f"(SELECT DISTINCT doc_id, unnest({toks}) AS term FROM documents)"
+    )
+
+
+def _contam_ctes(n: int = DECONTAM_N) -> str:
+    g = duckdb_word_ngrams_sql("coalesce(text, '')", n)
+    return (
+        f"ev AS (SELECT DISTINCT unnest({g}) AS gram FROM documents "
+        f"WHERE doc_id % {EVAL_MOD} = 0), "
+        f"cg AS (SELECT DISTINCT doc_id, unnest({g}) AS gram FROM documents)"
+    )
+
+
+# ------------------------------------------------------------- decontam
+def q_decontam_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    ev = decontam.eval_ngrams(
+        docs.filter(F.col("doc_id") % EVAL_MOD == 0), n=DECONTAM_N
+    )
+    return decontam.contamination_hits(docs, ev, n=DECONTAM_N)
+
+
+def sql_decontam_hits() -> str:
+    return (
+        f"WITH {_contam_ctes()} "
+        f"SELECT doc_id, count(*)::BIGINT AS n_hits "
+        f"FROM cg JOIN ev USING (gram) GROUP BY doc_id"
+    )
+
+
+def q_decontam_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    ev = decontam.eval_ngrams(
+        docs.filter(F.col("doc_id") % EVAL_MOD == 0), n=DECONTAM_N
+    )
+    return decontam.decontaminate(docs, ev, n=DECONTAM_N).select(
+        "doc_id", "n_chars"
+    )
+
+
+def sql_decontam_kept() -> str:
+    return (
+        f"WITH {_contam_ctes()} "
+        f"SELECT doc_id, n_chars FROM documents WHERE doc_id NOT IN "
+        f"(SELECT DISTINCT doc_id FROM cg JOIN ev USING (gram))"
+    )
+
+
+# ------------------------------------------------------------ repetition
+def _repetition_ctes() -> str:
+    g2 = duckdb_word_ngrams_sql("coalesce(text, '')", 2)
+    return (
+        "lines AS (SELECT doc_id, trim(x) AS line FROM (SELECT doc_id, "
+        "unnest(regexp_split_to_array(coalesce(text, ''), '\\n')) AS x "
+        "FROM documents) WHERE trim(x) <> ''), "
+        "lc AS (SELECT doc_id, line, count(*) AS c FROM lines "
+        "GROUP BY doc_id, line), "
+        "la AS (SELECT doc_id, sum(c) AS n_lines, "
+        "sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_lines, "
+        "sum(c * strlen(line)) AS line_chars, "
+        "sum(CASE WHEN c > 1 THEN c * strlen(line) ELSE 0 END) AS dup_chars "
+        "FROM lc GROUP BY doc_id), "
+        f"g AS (SELECT doc_id, unnest({g2}) AS gram FROM documents), "
+        "gc AS (SELECT doc_id, gram, count(*) AS c FROM g "
+        "GROUP BY doc_id, gram), "
+        "ga AS (SELECT doc_id, sum(c) AS n_grams FROM gc GROUP BY doc_id), "
+        "gbest AS (SELECT doc_id, gram, c FROM (SELECT doc_id, gram, c, "
+        "row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, gram ASC) "
+        "AS rn FROM gc) WHERE rn = 1)"
+    )
+
+
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.repetition_stats(load_table(spark, sf_dir, "documents"))
+
+
+def sql_repetition() -> str:
+    return (
+        f"WITH {_repetition_ctes()} "
+        "SELECT d.doc_id, "
+        "coalesce(la.n_lines, 0)::BIGINT AS n_lines, "
+        f"round(CASE WHEN coalesce(la.n_lines, 0) > 0 "
+        f"THEN la.dup_lines / la.n_lines ELSE 0 END, {ROUND}) "
+        "AS dup_line_frac, "
+        f"round(CASE WHEN coalesce(la.line_chars, 0) > 0 "
+        f"THEN la.dup_chars / la.line_chars ELSE 0 END, {ROUND}) "
+        "AS dup_line_char_frac, "
+        "gbest.gram AS top_2gram, "
+        f"round(CASE WHEN coalesce(ga.n_grams, 0) > 0 "
+        f"THEN gbest.c / ga.n_grams ELSE 0 END, {ROUND}) AS top_2gram_frac "
+        "FROM documents d "
+        "LEFT JOIN la ON d.doc_id = la.doc_id "
+        "LEFT JOIN ga ON d.doc_id = ga.doc_id "
+        "LEFT JOIN gbest ON d.doc_id = gbest.doc_id"
+    )
+
+
+def q_repetition_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return textstats.filter_by_repetition(
+        docs, max_top_2gram_frac=TOP2_MAX
+    ).select("doc_id", "n_chars")
+
+
+def sql_repetition_kept() -> str:
+    # unrounded fractions on BOTH sides: the filter compares the raw
+    # IEEE quotient, so the oracle must too (rounding first would move
+    # boundary docs across the threshold)
+    return (
+        f"WITH {_repetition_ctes()} "
+        "SELECT d.doc_id, d.n_chars FROM documents d "
+        "LEFT JOIN la ON d.doc_id = la.doc_id "
+        "LEFT JOIN ga ON d.doc_id = ga.doc_id "
+        "LEFT JOIN gbest ON d.doc_id = gbest.doc_id "
+        "WHERE (CASE WHEN coalesce(la.n_lines, 0) > 0 "
+        "THEN la.dup_lines / la.n_lines ELSE 0 END) <= 0.3 "
+        f"AND (CASE WHEN coalesce(ga.n_grams, 0) > 0 "
+        f"THEN gbest.c / ga.n_grams ELSE 0 END) <= {TOP2_MAX}"
+    )
+
+
+# ----------------------------------------------------------------- fuzzy
+def q_fuzzy_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return fuzzy.fuzzy_terms(fuzzy.vocabulary(docs), FUZZY_TERM)
+
+
+def sql_fuzzy_terms() -> str:
+    return (
+        f"SELECT term, levenshtein(term, '{FUZZY_TERM}')::INT AS dist "
+        f"FROM {_vocab_sql()} v "
+        f"WHERE levenshtein(term, '{FUZZY_TERM}') <= 1"
+    )
+
+
+def q_search_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return fuzzy.fuzzy_conjunctive_match(docs, FUZZY_QUERY)
+
+
+def sql_search_fuzzy() -> str:
+    toks = sorted(set(FUZZY_QUERY.split()))
+    branches = " UNION ALL ".join(
+        f"SELECT doc_id, {i} AS qidx FROM pairs "
+        f"WHERE levenshtein(term, '{t}') <= 1"
+        for i, t in enumerate(toks)
+    )
+    return (
+        f"WITH pairs AS (SELECT * FROM {_pairs_sql()} p), m AS ({branches}) "
+        f"SELECT doc_id FROM m GROUP BY doc_id "
+        f"HAVING count(DISTINCT qidx) = {len(toks)}"
+    )
+
+
+def queries():
+    return {
+        "decontam_hits": q_decontam_hits,
+        "decontam_kept_corpus": q_decontam_kept,
+        "repetition_stats": q_repetition,
+        "repetition_kept_corpus": q_repetition_kept,
+        "fuzzy_terms": q_fuzzy_terms,
+        "search_fuzzy": q_search_fuzzy,
+    }
+
+
+def oracle_sql():
+    return {
+        "decontam_hits": sql_decontam_hits(),
+        "decontam_kept_corpus": sql_decontam_kept(),
+        "repetition_stats": sql_repetition(),
+        "repetition_kept_corpus": sql_repetition_kept(),
+        "fuzzy_terms": sql_fuzzy_terms(),
+        "search_fuzzy": sql_search_fuzzy(),
+    }

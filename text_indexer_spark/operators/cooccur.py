@@ -104,16 +104,9 @@ def ngram_counts(
     standard LM-count cut, applied AFTER the full aggregation so counts
     stay exact).
     """
-    if n < 1:
-        raise ValueError("n must be >= 1")
-    toks = tokenize_column(F.coalesce(F.col(text_col), F.lit("")))
-    grams = F.when(
-        F.size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    from text_indexer_spark.tokenizer import word_ngrams_column
+
+    grams = word_ngrams_column(F.coalesce(F.col(text_col), F.lit("")), n)
     return (
         df.select(F.explode(grams).alias("ngram"))
         .groupBy("ngram")

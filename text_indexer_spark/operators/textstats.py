@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from text_indexer_spark.tokenizer import tokenize_column
+from text_indexer_spark.tokenizer import tokenize_column, word_ngrams_column
 
 # n-gram-heuristic language ID: tiny per-language marker lexicons
 # (deterministic stand-in for a real char-n-gram model; the Spark-side
@@ -171,6 +171,166 @@ def pack_chunks(
         "bucket", F.pmod(F.xxhash64(F.col(id_col)), F.lit(buckets)).cast("int")
     )
     return bucketed.groupBy("bucket").applyInPandas(pack, out_schema)
+
+
+def _run_length_stats(sorted_arr):
+    """Run-length scan over a SORTED array — one ``aggregate`` pass,
+    O(L) per row, pure codegen. Returns a struct column with:
+
+    * ``dup_items`` — total elements belonging to runs of length > 1
+    * ``dup_chars`` — total characters of those elements
+    * ``max_run``   — length of the longest run
+    * ``best``      — the element of the longest run (first = smallest
+      in sort order on ties — deterministic)
+
+    This is how per-doc duplicate-line/top-n-gram fractions stay inside
+    the scan projection instead of exploding every line/gram into a
+    per-doc shuffle: sort_array + one fold replaces unnest + groupBy.
+    """
+    zero = F.lit(0).cast("long")
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        zero.alias("run"),
+        zero.alias("dup_items"),
+        zero.alias("dup_chars"),
+        zero.alias("max_run"),
+        F.lit(None).cast("string").alias("best"),
+    )
+
+    def flush(acc):
+        grew = acc["run"] > acc["max_run"]
+        return (
+            acc["dup_items"]
+            + F.when(acc["run"] > 1, acc["run"]).otherwise(zero),
+            acc["dup_chars"]
+            + F.when(acc["run"] > 1, acc["run"] * F.length(acc["prev"]))
+            .otherwise(zero),
+            F.greatest(acc["max_run"], acc["run"]),
+            F.when(grew, acc["prev"]).otherwise(acc["best"]),
+        )
+
+    def merge(acc, x):
+        same = acc["prev"].isNotNull() & (x == acc["prev"])
+        di, dc, mr, best = flush(acc)
+        return F.when(
+            same,
+            F.struct(
+                x.alias("prev"),
+                (acc["run"] + 1).alias("run"),
+                acc["dup_items"].alias("dup_items"),
+                acc["dup_chars"].alias("dup_chars"),
+                acc["max_run"].alias("max_run"),
+                acc["best"].alias("best"),
+            ),
+        ).otherwise(
+            F.struct(
+                x.alias("prev"),
+                F.lit(1).cast("long").alias("run"),
+                di.alias("dup_items"),
+                dc.alias("dup_chars"),
+                mr.alias("max_run"),
+                best.alias("best"),
+            )
+        )
+
+    def finish(acc):
+        di, dc, mr, best = flush(acc)
+        return F.struct(
+            di.alias("dup_items"),
+            dc.alias("dup_chars"),
+            mr.alias("max_run"),
+            best.alias("best"),
+        )
+
+    return F.aggregate(sorted_arr, init, merge, finish)
+
+
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", round_to: int = 4
+) -> DataFrame:
+    """Gopher/C4-style repetition signals per doc:
+
+    * ``n_lines``            — non-empty (post-trim) line count
+    * ``dup_line_frac``      — fraction of lines that belong to a
+      duplicated line (Gopher's duplicate-line filter input)
+    * ``dup_line_char_frac`` — fraction of line characters inside
+      duplicated lines
+    * ``top_2gram``          — most frequent word 2-gram (smallest on
+      ties; NULL if the doc has < 2 tokens)
+    * ``top_2gram_frac``     — its share of all 2-gram occurrences
+      (Gopher's top-n-gram filter input)
+
+    Entirely row-local: lines/grams never leave the row — ``sort_array``
+    + one ``aggregate`` fold per metric (O(L log L) in the row, zero
+    shuffle), so the operator fuses into the corpus scan at any scale.
+    Boilerplate-heavy docs (navigation bars, templated spam) light up
+    both fractions; the thresholds live in
+    :func:`filter_by_repetition`.
+    """
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    lines = F.filter(
+        F.transform(F.split(t, "\n"), lambda x: F.trim(x)),
+        lambda x: F.length(x) > 0,
+    )
+    n_lines = F.size(lines)
+    line_chars = F.aggregate(
+        lines, F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+    )
+    lstats = _run_length_stats(F.sort_array(lines))
+    grams = word_ngrams_column(t, 2)
+    n_grams = F.size(grams)
+    gstats = _run_length_stats(F.sort_array(grams))
+    return df.select(
+        F.col(id_col),
+        n_lines.cast("long").alias("n_lines"),
+        F.round(
+            F.when(n_lines > 0, lstats["dup_items"] / n_lines).otherwise(F.lit(0.0)),
+            round_to,
+        ).alias("dup_line_frac"),
+        F.round(
+            F.when(line_chars > 0, lstats["dup_chars"] / line_chars)
+            .otherwise(F.lit(0.0)),
+            round_to,
+        ).alias("dup_line_char_frac"),
+        gstats["best"].alias("top_2gram"),
+        F.round(
+            F.when(n_grams > 0, gstats["max_run"] / n_grams).otherwise(F.lit(0.0)),
+            round_to,
+        ).alias("top_2gram_frac"),
+    )
+
+
+def filter_by_repetition(
+    df: DataFrame,
+    max_dup_line_frac: float = 0.3,
+    max_top_2gram_frac: float = 0.2,
+    text_col: str = "text",
+) -> DataFrame:
+    """Cleaned-corpus materialization by repetition: drop docs whose
+    duplicate-line or top-2-gram fraction exceeds the (Gopher-flavored)
+    thresholds. Same zero-shuffle shape as :func:`filter_by_quality` —
+    the stats are row-local expressions, so the filter fuses into the
+    scan (no join, no shuffle)."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    lines = F.filter(
+        F.transform(F.split(t, "\n"), lambda x: F.trim(x)),
+        lambda x: F.length(x) > 0,
+    )
+    n_lines = F.size(lines)
+    lstats = _run_length_stats(F.sort_array(lines))
+    dup_line_frac = F.when(
+        n_lines > 0, lstats["dup_items"] / n_lines
+    ).otherwise(F.lit(0.0))
+    grams = word_ngrams_column(t, 2)
+    n_grams = F.size(grams)
+    gstats = _run_length_stats(F.sort_array(grams))
+    top_2gram_frac = F.when(
+        n_grams > 0, gstats["max_run"] / n_grams
+    ).otherwise(F.lit(0.0))
+    return df.filter(
+        (dup_line_frac <= max_dup_line_frac)
+        & (top_2gram_frac <= max_top_2gram_frac)
+    )
 
 
 def quality_expr(text_col: str = "text", round_to: int = 4):

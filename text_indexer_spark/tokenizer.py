@@ -53,6 +53,25 @@ def tokenize_column(text: Column | str) -> Column:
     return F.filter(toks, lambda t: F.length(t) > 0)
 
 
+def word_ngrams_column(text: Column | str, n: int) -> Column:
+    """``text -> array<string>`` of contiguous word ``n``-grams
+    (space-joined tokens). A doc of L tokens yields exactly L−n+1 grams;
+    docs shorter than ``n`` tokens yield an empty array. Pure codegen
+    (``transform`` over an index ``sequence`` inside the scan
+    projection) — shared by n-gram counts, decontamination and
+    repetition stats so every consumer agrees on gram identity."""
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    toks = tokenize_column(text)
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def duckdb_delim_regex_sql() -> str:
     """The same delimiter regex as a single-quoted DuckDB SQL literal."""
     return "'" + TOKEN_DELIM_REGEX.replace("\\", "\\").replace("'", "''") + "'"
@@ -65,6 +84,18 @@ def duckdb_tokens_sql(text_expr: str) -> str:
     regexp split keeps boundary empties just like Spark's).
     """
     return f"regexp_split_to_array(lower({text_expr}), {duckdb_delim_regex_sql()})"
+
+
+def duckdb_word_ngrams_sql(text_expr: str, n: int) -> str:
+    """DuckDB twin of :func:`word_ngrams_column` (same empty-array
+    semantics for docs shorter than ``n`` tokens)."""
+    toks = f"list_filter({duckdb_tokens_sql(text_expr)}, x -> x <> '')"
+    return (
+        f"CASE WHEN len({toks}) >= {n} THEN "
+        f"list_transform(range(1, len({toks}) - {n} + 2), "
+        f"i -> array_to_string(list_slice({toks}, i, i + {n} - 1), ' ')) "
+        f"ELSE []::VARCHAR[] END"
+    )
 
 
 def tokenize_text(text: str) -> list[str]:
