@@ -178,3 +178,27 @@ def test_fuzzy_candidate_filter_is_scan_local(spark):
     plan = formatted_plan(fuzzy.fuzzy_terms(fuzzy.vocabulary(corpus), "table"))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_within_one_edit_matches_levenshtein():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from text_indexer_spark.operators.fuzzy import within_one_edit
+
+    def lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.text("abc", max_size=6), st.text("abc", max_size=6))
+    def check(a, b):
+        assert within_one_edit(a, b) == (lev(a, b) <= 1)
+
+    check()

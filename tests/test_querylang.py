@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 from text_indexer_spark.operators.boolean import And, Not, Or, Term
 from text_indexer_spark.operators.index_build import build_index, load_posting_lists
 from text_indexer_spark.operators.querylang import (
+    Fuzzy,
     Near,
     Phrase,
     Prefix,
@@ -51,6 +52,10 @@ QUERIES = [
     '"fox dog"~4',
     '"quick fox"~3 AND NOT lazy',
     '("brown dog"~2 OR "brown fox"~2) quick',
+    "quik~ AND brown",
+    "foxx~1 AND NOT dog",
+    '"quick brown" OR dg~',
+    "lazi~ lazy~0",
 ]
 
 
@@ -79,6 +84,10 @@ def _py_eval(node, toks: list[str]) -> bool:
     if isinstance(node, Wildcard):
         rx = re.compile(wildcard_regex(node.pattern))
         return any(rx.match(t) for t in toks)
+    if isinstance(node, Fuzzy):
+        from text_indexer_spark.operators.fuzzy import within_one_edit
+
+        return any(within_one_edit(t, node.term) for t in toks)
     if isinstance(node, Not):
         return not _py_eval(node.child, toks)
     if isinstance(node, And):
@@ -130,6 +139,19 @@ def test_parse_errors():
         parse_dsl("a.b*")
     # inner * is a wildcard, not a prefix
     assert parse_dsl("qu*ck*") == Wildcard("qu*ck*")
+    # fuzzy: only radius <= 1; no wildcard chars in the stem
+    with pytest.raises(ValueError):
+        parse_dsl("fox~2")
+    with pytest.raises(ValueError):
+        parse_dsl("fo*~")
+
+
+def test_parse_fuzzy():
+    assert parse_dsl("Fox~") == Fuzzy("fox")
+    assert parse_dsl("fox~1") == Fuzzy("fox")
+    assert parse_dsl("fox~0") == Term("fox")
+    # fuzzy leaves filter but never rank
+    assert positive_score_terms(parse_dsl("fox~ AND dog")) == ["dog"]
 
 
 def test_satisfiable_all_false_and_score_terms():

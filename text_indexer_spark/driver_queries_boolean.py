@@ -38,6 +38,9 @@ BOOL_NOT_QUERY = "NOT dup"
 DSL_QUERY = '"table hash" AND (qu* OR s?an) AND NOT dup'
 # slop/NEAR leaf: merge & stream within a 6-token span, minus rare docs
 NEAR_QUERY = '"merge stream"~6 AND NOT dup'
+# fuzzy leaf: "tble~" is a deliberate typo one edit from "table";
+# boolean glue keeps the whole grammar in play
+FUZZY_QUERY = "tble~ AND (quer* OR dup)"
 ROUND = 4
 
 
@@ -221,6 +224,11 @@ def _dsl_match_cte(query: str) -> str:
                 f"bool_or(regexp_matches(term, '{rx}')) AS f{i}"
             )
             flag_of[leaf] = f"coalesce(f{i}, false)"
+        elif isinstance(leaf, ql.Fuzzy):
+            lm_flags.append(
+                f"bool_or(levenshtein(term, '{leaf.term}') <= 1) AS f{i}"
+            )
+            flag_of[leaf] = f"coalesce(f{i}, false)"
         elif isinstance(leaf, ql.Near):
             uniq = list(dict.fromkeys(leaf.terms))
             joins = " ".join(
@@ -306,6 +314,35 @@ def sql_search_boolean_ranked() -> str:
     return restricted
 
 
+def q_search_dsl_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy leaf (``tble~``) in the DSL over the postings DataFrame:
+    deletion-neighborhood candidate filter + levenshtein verify, fused
+    into the same one-scan leaf evaluation as prefix/wildcard."""
+    from text_indexer_spark.operators.querylang import match_query
+
+    return match_query(doc_postings(spark, sf_dir), FUZZY_QUERY)
+
+
+def q_search_dsl_fuzzy_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same fuzzy query served from the COMPRESSED committed index
+    (per-shard decoded vocabulary checked with the O(len) radius-1
+    kernel) — must equal the relational path's oracle exactly."""
+    from text_indexer_spark.driver_queries_ext import (
+        _engine_id_map,
+        _ensure_wand_index,
+    )
+    from text_indexer_spark.operators.index_build import load_posting_lists
+    from text_indexer_spark.operators.querylang import match_query_index
+
+    idx = _ensure_wand_index(spark, sf_dir)
+    ids = match_query_index(load_posting_lists(spark, idx), FUZZY_QUERY)
+    return (
+        ids.withColumnRenamed("doc_id", "engine_id")
+        .join(F.broadcast(_engine_id_map(spark, idx)), "engine_id")
+        .select("doc_id")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "search_boolean": q_search_boolean,
@@ -317,6 +354,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_dsl_ranked": q_search_dsl_ranked,
         "search_dsl_ranked_index": q_search_dsl_ranked_index,
         "search_dsl_near": q_search_dsl_near,
+        "search_dsl_fuzzy": q_search_dsl_fuzzy,
+        "search_dsl_fuzzy_index": q_search_dsl_fuzzy_index,
     }
 
 
@@ -331,4 +370,6 @@ def oracle_sql() -> dict[str, str]:
         "search_dsl_ranked": sql_search_dsl_ranked(),
         "search_dsl_ranked_index": sql_search_dsl_ranked(),
         "search_dsl_near": sql_search_dsl(NEAR_QUERY),
+        "search_dsl_fuzzy": sql_search_dsl(FUZZY_QUERY),
+        "search_dsl_fuzzy_index": sql_search_dsl(FUZZY_QUERY),
     }

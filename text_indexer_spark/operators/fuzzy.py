@@ -51,6 +51,37 @@ def _deletes_column(term: Column) -> Column:
     )
 
 
+def within_one_edit(a: str, b: str) -> bool:
+    """Pure-Python ``levenshtein(a, b) <= 1`` in O(len) — used by the
+    committed-index DSL kernel where candidates are already decoded
+    shard-locally (no DP table needed for radius 1)."""
+    if a == b:
+        return True
+    la, lb = len(a), len(b)
+    if abs(la - lb) > 1:
+        return False
+    if la > lb:
+        a, b, la, lb = b, a, lb, la
+    i = 0
+    while i < la and a[i] == b[i]:
+        i += 1
+    if la == lb:
+        return a[i + 1 :] == b[i + 1 :]  # one substitution
+    return a[i:] == b[i + 1 :]  # one insertion in the longer string
+
+
+def fuzzy_candidate_cond(term: Column, query_term: str) -> Column:
+    """Boolean Column: ``term`` is within edit distance 1 of
+    ``query_term`` — deletion-neighborhood overlap (scan-local codegen
+    candidate cut) AND exact ``levenshtein`` verification. Shared by
+    :func:`fuzzy_terms` and the query-DSL ``term~`` leaf."""
+    q = query_term.lower()
+    qn = F.lit(delete1_neighborhood(q)) if q else F.lit([""])
+    return F.arrays_overlap(_deletes_column(term), qn) & (
+        F.levenshtein(term, F.lit(q)) <= 1
+    )
+
+
 def vocabulary(
     corpus: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -15,6 +15,7 @@ grammar (Lucene-style)::
             | "a b c"~N                    -- unordered NEAR/N (slop)
             | word*                        -- prefix (trailing * only)
             | wo*rd / wo?rd                -- wildcard (fnmatch-style)
+            | word~ / word~1               -- fuzzy (edit distance <= 1)
             | word                         -- exact term
 
 Leaves run through the SAME tokenizer as indexing, so ``"Hash-Table"``
@@ -50,6 +51,7 @@ the only wide operation in the DataFrame path is the one groupBy
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass
 
 from pyspark.sql import Column, DataFrame
@@ -59,6 +61,10 @@ from text_indexer_spark.operators.boolean import And, Node, Not, Or, Term
 from text_indexer_spark.tokenizer import tokenize_text
 
 _KEYWORDS = {"and", "or", "not"}
+
+# trailing fuzzy operator: word~ or word~N (N one digit); the stem must
+# be non-empty and contain no further '~'
+_FUZZY_SUFFIX = re.compile(r"([^~\s]+)~(\d?)")
 
 
 @dataclass(frozen=True)
@@ -85,7 +91,17 @@ class Wildcard:
     pattern: str  # fnmatch-style: * and ?
 
 
-QNode = Node | Phrase | Near | Prefix | Wildcard
+@dataclass(frozen=True)
+class Fuzzy:
+    """``term~`` / ``term~1``: terms within edit distance 1 (SymSpell
+    deletion-neighborhood candidates + levenshtein verify — see
+    ``operators/fuzzy.py``). Like Prefix/Wildcard it filters but does
+    not score (Lucene convention for multi-term expansions)."""
+
+    term: str
+
+
+QNode = Node | Phrase | Near | Prefix | Wildcard | Fuzzy
 
 
 # -------------------------------------------------------------- parser
@@ -126,7 +142,25 @@ def _lex(query: str) -> list[tuple[str, str]]:
 
 
 def _word_leaf(word: str) -> QNode:
-    """Classify a bare word: exact term(s), prefix, or wildcard."""
+    """Classify a bare word: exact term(s), prefix, wildcard, or fuzzy
+    (trailing ``~`` or ``~1`` — Lucene fuzzy syntax; a ``~`` anywhere
+    else stays a literal term character)."""
+    m = _FUZZY_SUFFIX.fullmatch(word)
+    if m is not None:
+        stem, edits = m.group(1).lower(), m.group(2)
+        if "*" in stem or "?" in stem:
+            raise ValueError(f"fuzzy {word!r} cannot also be a wildcard")
+        if tokenize_text(stem) != [stem]:
+            raise ValueError(
+                f"fuzzy {word!r} must be a single indexable token stem"
+            )
+        if edits in ("", "1"):
+            return Fuzzy(stem)
+        if edits == "0":
+            return Term(stem)
+        raise ValueError(
+            f"fuzzy {word!r}: only edit distance <= 1 is supported"
+        )
     if "*" in word or "?" in word:
         if (
             word.endswith("*")
@@ -257,7 +291,7 @@ def leaves_of(node: QNode) -> list[QNode]:
     seen: dict[QNode, None] = {}
 
     def walk(n: QNode) -> None:
-        if isinstance(n, (Term, Phrase, Near, Prefix, Wildcard)):
+        if isinstance(n, (Term, Phrase, Near, Prefix, Wildcard, Fuzzy)):
             seen.setdefault(n, None)
         elif isinstance(n, Not):
             walk(n.child)
@@ -271,7 +305,7 @@ def leaves_of(node: QNode) -> list[QNode]:
 
 def satisfiable_all_false(node: QNode) -> bool:
     """Does the tree hold for a doc matching NO leaf?"""
-    if isinstance(node, (Term, Phrase, Near, Prefix, Wildcard)):
+    if isinstance(node, (Term, Phrase, Near, Prefix, Wildcard, Fuzzy)):
         return False
     if isinstance(node, Not):
         return not satisfiable_all_false(node.child)
@@ -388,6 +422,16 @@ def match_query(
                 .select("doc_id")
                 .distinct()
             )
+        elif isinstance(leaf, Fuzzy):
+            from text_indexer_spark.operators.fuzzy import (
+                fuzzy_candidate_cond,
+            )
+
+            ids = (
+                postings.filter(fuzzy_candidate_cond(F.col("term"), leaf.term))
+                .select("doc_id")
+                .distinct()
+            )
         else:  # Wildcard
             m = postings
             lit = _literal_prefix(leaf.pattern)
@@ -432,7 +476,7 @@ def match_query(
     def col_of(n: QNode) -> Column:
         if isinstance(n, Term):
             return F.array_contains(ts, n.term)
-        if isinstance(n, (Phrase, Near, Prefix, Wildcard)):
+        if isinstance(n, (Phrase, Near, Prefix, Wildcard, Fuzzy)):
             i = leaves.index(n)
             return F.coalesce(F.col(f"_f{i}"), F.lit(False))
         if isinstance(n, Not):
@@ -481,6 +525,12 @@ def _prepare_index_query(posting_lists: DataFrame, node: QNode):
             conds.append(
                 (F.col("term").startswith(lit) & c) if lit else c
             )
+        elif isinstance(n, Fuzzy):
+            from text_indexer_spark.operators.fuzzy import (
+                fuzzy_candidate_cond,
+            )
+
+            conds.append(fuzzy_candidate_cond(F.col("term"), n.term))
     scan_cond = conds[0]
     for c in conds[1:]:
         scan_cond = scan_cond | c
@@ -549,6 +599,15 @@ def _index_kernel(node: QNode, leaves, need_pos, score_terms, k, round_to):
                     v for t, v in ids_by_term.items()
                     if t.startswith(n.prefix)
                 ]
+            elif isinstance(n, Fuzzy):
+                from text_indexer_spark.operators.fuzzy import (
+                    within_one_edit,
+                )
+
+                parts = [
+                    v for t, v in ids_by_term.items()
+                    if within_one_edit(t, n.term)
+                ]
             else:  # Wildcard
                 rx = re.compile(wildcard_regex(n.pattern))
                 parts = [
@@ -565,7 +624,7 @@ def _index_kernel(node: QNode, leaves, need_pos, score_terms, k, round_to):
         universe = np.unique(np.concatenate(nonempty))
 
         def mask_of(n: QNode) -> np.ndarray:
-            if isinstance(n, (Term, Phrase, Near, Prefix, Wildcard)):
+            if isinstance(n, (Term, Phrase, Near, Prefix, Wildcard, Fuzzy)):
                 m = np.zeros(universe.size, dtype=bool)
                 ids = sets[n]
                 if ids.size:
@@ -700,7 +759,7 @@ def dsl_bm25_topk(
 
 def to_oracle_sql(node: QNode, flags: dict[QNode, str]) -> str:
     """Tree → SQL over per-leaf boolean expressions."""
-    if isinstance(node, (Term, Phrase, Near, Prefix, Wildcard)):
+    if isinstance(node, (Term, Phrase, Near, Prefix, Wildcard, Fuzzy)):
         return flags[node]
     if isinstance(node, Not):
         return f"(NOT {to_oracle_sql(node.child, flags)})"
