@@ -166,3 +166,50 @@ def test_no_cartesian_anywhere(corpus, postings, catalog, stats):
         facet_counts(postings, corpus, TERMS, ["source"]),
     ):
         assert "BroadcastNestedLoopJoin" not in formatted_plan(df)
+
+
+# ----------------------------------------------------------------- BM25F
+def test_field_postings_shape(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b a", "t1"), (2, "b c", None)],
+        "doc_id long, body string, title string",
+    )
+    from text_indexer_spark.operators.serving import field_postings
+
+    fps = field_postings(docs, {"title": "title", "body": "body"})
+    got = {(r["doc_id"], r["field"], r["term"]): r["tf"] for r in fps.collect()}
+    assert got == {
+        (1, "body", "a"): 2, (1, "body", "b"): 1, (1, "title", "t1"): 1,
+        (2, "body", "b"): 1, (2, "body", "c"): 1,
+    }
+
+
+def test_bm25f_field_weight_changes_rank(spark):
+    # doc 1 matches in the (short, boosted) title; doc 2 matches in the
+    # body with equal tf — title weight must put doc 1 first, and with
+    # the weights flipped doc 2 must win
+    from text_indexer_spark.operators.serving import bm25f_topk, field_postings
+
+    docs = spark.createDataFrame(
+        [
+            (1, "filler words here only", "needle"),
+            (2, "needle filler words here", "other"),
+        ],
+        "doc_id long, body string, title string",
+    )
+    fps = field_postings(docs, {"title": "title", "body": "body"})
+    top = bm25f_topk(fps, ["needle"], {"title": 5.0, "body": 1.0}, k=2).collect()
+    assert [r["doc_id"] for r in top] == [1, 2]
+    flipped = bm25f_topk(fps, ["needle"], {"title": 0.1, "body": 5.0}, k=2).collect()
+    assert [r["doc_id"] for r in flipped] == [2, 1]
+
+
+def test_bm25f_empty_inputs(spark):
+    from text_indexer_spark.operators.serving import bm25f_topk, field_postings
+
+    docs = spark.createDataFrame([(1, "a", "b")], "doc_id long, body string, title string")
+    fps = field_postings(docs, {"title": "title", "body": "body"})
+    assert bm25f_topk(fps, [], {"body": 1.0}).count() == 0
+    assert bm25f_topk(fps, ["a"], {}).count() == 0
+    # unknown field weight key simply matches nothing
+    assert bm25f_topk(fps, ["a"], {"nope": 1.0}).count() == 0

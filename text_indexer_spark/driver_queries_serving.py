@@ -305,6 +305,69 @@ ORDER BY round(s, {ROUND}) DESC, doc_id ASC LIMIT 10
 """
 
 
+# ------------------------------------------------------------- BM25F
+
+BM25F_TERMS = ["spark", "src3"]          # "src3" lives ONLY in `source`
+BM25F_WEIGHTS = {"source": 3.0, "text": 1.0}
+
+
+def q_bm25f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Field-weighted BM25F over (source, text) as a title/body pair:
+    the `source` field carries 3x weight, so a doc whose short source
+    field matches outranks body-only matches."""
+    from text_indexer_spark.operators.serving import bm25f_topk, field_postings
+
+    docs = load_table(spark, sf_dir, "documents")
+    fps = field_postings(docs, {"source": "source", "text": "text"})
+    return bm25f_topk(
+        fps, BM25F_TERMS, BM25F_WEIGHTS, k=10, round_to=ROUND
+    )
+
+
+def sql_bm25f() -> str:
+    from text_indexer_spark.tokenizer import duckdb_tokens_sql
+
+    terms = _sql_list(BM25F_TERMS)
+    w = "CASE WHEN field = 'source' THEN 3.0 ELSE 1.0 END"
+
+    def toks(col):
+        return (
+            f"SELECT doc_id, unnest(list_filter({duckdb_tokens_sql(col)}, "
+            f"x -> x <> '')) AS term FROM documents"
+        )
+
+    return f"""
+WITH fp AS (
+  SELECT doc_id, field, term, count(*)::DOUBLE AS tf FROM (
+    SELECT doc_id, 'source' AS field, term FROM ({toks('source')})
+    UNION ALL
+    SELECT doc_id, 'text' AS field, term FROM ({toks('text')})
+  ) GROUP BY doc_id, field, term
+),
+flen AS (SELECT doc_id, field, sum(tf) AS flen FROM fp GROUP BY doc_id, field),
+nn AS (SELECT count(DISTINCT doc_id)::DOUBLE AS n FROM fp),
+av AS (SELECT field, sum(flen) / (SELECT n FROM nn) AS avgdl
+       FROM flen GROUP BY field),
+dfq AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM fp
+        WHERE term IN ({terms}) GROUP BY term),
+tfd AS (
+  SELECT fp.doc_id, fp.term,
+         sum({w} * fp.tf / ({1.0 - B} + {B} * flen.flen / av.avgdl)) AS tfd
+  FROM fp JOIN flen USING (doc_id, field) JOIN av USING (field)
+  WHERE fp.term IN ({terms})
+  GROUP BY fp.doc_id, fp.term
+),
+scored AS (
+  SELECT doc_id,
+         sum( ln(1 + ((SELECT n FROM nn) - df + 0.5) / (df + 0.5))
+              * tfd * {K1 + 1.0} / (tfd + {K1}) ) AS s
+  FROM tfd JOIN dfq USING (term) GROUP BY doc_id
+)
+SELECT doc_id, round(s, {ROUND}) AS score FROM scored
+ORDER BY round(s, {ROUND}) DESC, doc_id ASC LIMIT 10
+"""
+
+
 # ------------------------------------------------------------ registry
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -317,6 +380,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_counts": q_ngram_counts,
         "tfidf_vectors": q_tfidf_vectors,
         "wand_bm25_scoped": q_wand_scoped,
+        "bm25f_topk": q_bm25f,
     }
 
 
@@ -330,4 +394,5 @@ def oracle_sql() -> dict[str, str]:
         "ngram_counts": sql_ngram_counts(),
         "tfidf_vectors": sql_tfidf_vectors(),
         "wand_bm25_scoped": sql_wand_scoped(),
+        "bm25f_topk": sql_bm25f(),
     }

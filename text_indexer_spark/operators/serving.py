@@ -252,3 +252,136 @@ def suggest_terms(stats: DataFrame, prefix: str, k: int = 10) -> DataFrame:
         .orderBy(F.desc("df"), F.asc("term"))
         .limit(k)
     )
+
+
+def field_postings(
+    docs: DataFrame, fields: dict[str, str], id_col: str = "doc_id"
+) -> DataFrame:
+    """Multi-field postings: ``(doc_id, field, term, tf)``.
+
+    ``fields`` maps field name → source column (e.g. ``{"title":
+    "source", "body": "text"}``). ONE scan of the document table emits
+    every field's tokens (per-field token arrays are built in the scan
+    projection and flattened as tagged structs — pure codegen), then
+    one hash agg produces per-(doc, field, term) frequencies. The
+    building block of field-weighted ranking (:func:`bm25f_topk`).
+    """
+    from text_indexer_spark.tokenizer import tokenize_column
+
+    def _tagger(name):
+        # NB: must be a ONE-arg lambda — F.transform passes the element
+        # index as a second argument when the callable accepts two
+        return lambda t: F.struct(F.lit(name).alias("field"), t.alias("term"))
+
+    tagged = F.flatten(
+        F.array(
+            *[
+                F.transform(
+                    tokenize_column(F.coalesce(F.col(col), F.lit(""))),
+                    _tagger(name),
+                )
+                for name, col in sorted(fields.items())
+            ]
+        )
+    )
+    return (
+        docs.select(F.col(id_col), F.explode(tagged).alias("ft"))
+        .select(id_col, F.col("ft.field").alias("field"), F.col("ft.term").alias("term"))
+        .groupBy(id_col, "field", "term")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+
+
+def bm25f_topk(
+    fps: DataFrame,
+    terms: list[str],
+    weights: dict[str, float],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    round_to: int | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Field-weighted BM25F top-k over :func:`field_postings` output →
+    ``(doc_id, score)``.
+
+    The simplified-Robertson BM25F: per-field tf is length-normalized
+    against that FIELD's average length, boosted by the field weight,
+    and summed into one pseudo-frequency before a single saturation::
+
+        tf~(t,d) = Σ_f  w_f · tf(t,d,f) / ((1-b) + b · len(d,f)/avgdl_f)
+        score(d) = Σ_t  idf(t) · tf~ · (k1+1) / (tf~ + k1)
+
+    idf is document-level (term in ANY field), matching the engine's
+    single-field Robertson idf. ``avgdl_f = Σ_d len(d,f) / N`` with N =
+    all docs — a field a doc lacks contributes length 0, so sparse
+    fields get shorter average lengths rather than skewed ones.
+
+    Scale shape: the postings scan is term-IN pruned before anything
+    joins; per-field doc lengths are computed once and joined only for
+    matched docs (semi-join on the tiny match set); field averages and
+    per-term dfs broadcast. One shuffle keyed on doc_id does the
+    (doc, term) fold AND the final per-doc sum; global cut =
+    TakeOrderedAndProject.
+    """
+    spark = fps.sparkSession
+    terms = list(dict.fromkeys(terms))
+    if not terms or not weights:
+        return spark.createDataFrame([], f"{id_col} long, score double")
+    matched = fps.filter(
+        F.col("term").isin(terms) & F.col("field").isin(list(weights))
+    )
+    flen = fps.groupBy(id_col, "field").agg(
+        F.sum("tf").cast("double").alias("flen")
+    )
+    n_docs = float(fps.select(id_col).distinct().count())
+    avg = flen.groupBy("field").agg(
+        (F.sum("flen") / F.lit(n_docs)).alias("avgdl")
+    )
+    dfreq = (
+        fps.filter(F.col("term").isin(terms))
+        .select("term", id_col)
+        .distinct()
+        .groupBy("term")
+        .agg(F.count("*").cast("double").alias("df"))
+    )
+    ids = matched.select(id_col).distinct()
+    flen_m = flen.join(ids, id_col, "left_semi")
+    w_col = F.lit(None).cast("double")
+    for name, w in weights.items():
+        w_col = F.when(F.col("field") == name, F.lit(float(w))).otherwise(w_col)
+    tfd = (
+        matched.join(flen_m, [id_col, "field"])
+        .join(F.broadcast(avg), "field")
+        .select(
+            id_col,
+            "term",
+            (
+                w_col
+                * F.col("tf").cast("double")
+                / (
+                    F.lit(1.0 - b)
+                    + F.lit(b) * F.col("flen") / F.col("avgdl")
+                )
+            ).alias("wtf"),
+        )
+        .groupBy(id_col, "term")
+        .agg(F.sum("wtf").alias("tfd"))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(n_docs) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    scored = (
+        tfd.join(F.broadcast(dfreq), "term")
+        .select(
+            id_col,
+            (idf * F.col("tfd") * F.lit(k1 + 1.0) / (F.col("tfd") + F.lit(k1)))
+            .alias("c"),
+        )
+        .groupBy(id_col)
+        .agg(F.sum("c").alias("score"))
+    )
+    if round_to is not None:
+        scored = scored.withColumn("score", F.round("score", round_to))
+    return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
