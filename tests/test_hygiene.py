@@ -202,3 +202,65 @@ def test_within_one_edit_matches_levenshtein():
         assert within_one_edit(a, b) == (lev(a, b) <= 1)
 
     check()
+
+
+# ------------------------------------------------------------ lang routing
+def test_char_bigram_tokenize():
+    import pandas as pd
+
+    from text_indexer_spark.operators.langroute import char_bigram_tokenize
+
+    got = char_bigram_tokenize(pd.Series(["window a", "", None])).tolist()
+    assert got == [["wi", "in", "nd", "do", "ow", "a"], [], []]
+
+
+def test_tokenize_by_lang_routes(spark):
+    from text_indexer_spark.operators.langroute import (
+        tokenize_postings_by_lang,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "abc de", "zh"),
+            (2, "abc de", "en"),
+            (3, "abc de", None),   # unknown lang -> default tokenizer
+        ],
+        "doc_id long, text string, lang string",
+    )
+    got = {
+        (r["doc_id"], r["term"]): r["tf"]
+        for r in tokenize_postings_by_lang(docs).collect()
+    }
+    assert got == {
+        (1, "ab"): 1, (1, "bc"): 1, (1, "de"): 1,
+        (2, "abc"): 1, (2, "de"): 1,
+        (3, "abc"): 1, (3, "de"): 1,
+    }
+
+
+def test_tokenize_by_lang_default_registry_equivalence(spark):
+    # with an empty registry the routed tokenizer must reproduce the
+    # expression tokenizer exactly (differential over the sf0.001 docs)
+    from pyspark.sql import functions as F
+
+    from text_indexer_spark.operators.langroute import (
+        tokenize_postings_by_lang,
+    )
+    from text_indexer_spark.sources.tables import load_table
+    from text_indexer_spark.tokenizer import tokenize_column
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    routed = {
+        (r["doc_id"], r["term"]): r["tf"]
+        for r in tokenize_postings_by_lang(docs, registry={}).collect()
+    }
+    expr = {
+        (r["doc_id"], r["term"]): r["tf"]
+        for r in docs.select(
+            "doc_id", F.explode(tokenize_column("text")).alias("term")
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("long").alias("tf"))
+        .collect()
+    }
+    assert routed == expr

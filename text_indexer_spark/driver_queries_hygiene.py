@@ -1,5 +1,6 @@
-"""Driver-contract queries, part 5: pipeline-hygiene operators —
-benchmark decontamination, repetition filtering, fuzzy term matching.
+"""Driver-contract queries, part 5: pipeline-hygiene + multilingual
+operators — benchmark decontamination, repetition filtering, fuzzy
+term matching, per-language tokenizer routing.
 
 Same shape as the other driver_queries modules: each Spark query is a
 thin call into an operator module; each oracle reproduces the math in
@@ -161,6 +162,41 @@ def sql_repetition_kept() -> str:
     )
 
 
+# ---------------------------------------------------------- lang routing
+def q_tokenize_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language tokenizer dispatch inside one mapInPandas pass:
+    zh docs segment as character bigrams, everything else uses the
+    delimiter tokenizer."""
+    from text_indexer_spark.operators.langroute import (
+        tokenize_postings_by_lang,
+    )
+
+    return tokenize_postings_by_lang(load_table(spark, sf_dir, "documents"))
+
+
+def sql_tokenize_by_lang() -> str:
+    toks = f"list_filter({duckdb_tokens_sql('text')}, x -> x <> '')"
+    return f"""
+WITH zh_base AS (
+  SELECT doc_id, unnest({toks}) AS tok FROM documents WHERE lang = 'zh'
+),
+zh AS (
+  SELECT doc_id, unnest(
+    CASE WHEN strlen(tok) < 2 THEN [tok]
+         ELSE list_transform(range(1, strlen(tok)), i -> substr(tok, i, 2))
+    END) AS term
+  FROM zh_base
+),
+std AS (
+  SELECT doc_id, unnest({toks}) AS term FROM documents
+  WHERE lang IS DISTINCT FROM 'zh'
+),
+allt AS (SELECT * FROM zh UNION ALL SELECT * FROM std)
+SELECT doc_id, term, count(*)::BIGINT AS tf
+FROM allt GROUP BY doc_id, term
+"""
+
+
 # ----------------------------------------------------------------- fuzzy
 def q_fuzzy_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -202,6 +238,7 @@ def queries():
         "repetition_kept_corpus": q_repetition_kept,
         "fuzzy_terms": q_fuzzy_terms,
         "search_fuzzy": q_search_fuzzy,
+        "tokenize_by_lang": q_tokenize_by_lang,
     }
 
 
@@ -213,4 +250,5 @@ def oracle_sql():
         "repetition_kept_corpus": sql_repetition_kept(),
         "fuzzy_terms": sql_fuzzy_terms(),
         "search_fuzzy": sql_search_fuzzy(),
+        "tokenize_by_lang": sql_tokenize_by_lang(),
     }
