@@ -139,3 +139,36 @@ def test_cli_dsl_search(spark, corpus_dir, tmp_path, capsys):
     lines = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
     assert "fight-club.txt" in {l["path"] for l in lines}
     assert all("score" not in l for l in lines)
+
+
+def test_cli_clean(spark, tmp_path, capsys):
+    src = str(tmp_path / "dirty")
+    rows = [
+        (1, "a solid paragraph of reasonable natural language text that "
+            "keeps going long enough to clear the quality length gate and "
+            "mentions nothing from any benchmark at all " * 3, "en"),
+        (2, "boiler plate\nboiler plate\nboiler plate\nboiler plate", "en"),
+        (3, "!!!! ???? ,,,, ....", "en"),  # junk -> quality filter
+        (4, "the secret benchmark sentence appears here verbatim today "
+            "surrounded by plenty of otherwise fine filler words that "
+            "easily clear every quality and repetition threshold " * 3, "en"),
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string, lang string").write.parquet(src)
+    ev = str(tmp_path / "eval")
+    spark.createDataFrame(
+        [(100, "the secret benchmark sentence appears here verbatim today")],
+        "doc_id long, text string",
+    ).write.parquet(ev)
+
+    out = str(tmp_path / "cleaned")
+    rc = cli.main([
+        "--master", "local[4]", "clean", "--corpus", src, "--out", out,
+        "--evalset", ev, "--decontam-n", "6",
+        "--max-dup-line-frac", "0.5",
+    ])
+    assert rc == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["rows_in"] == 4
+    assert stats["contaminated"] == 1
+    kept = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert kept == {1}

@@ -328,3 +328,67 @@ def test_dsl_bm25_topk_rank(spark, corpus):
     assert scores == sorted(scores, reverse=True)
     with pytest.raises(ValueError):
         dsl_bm25_topk(posts, cat, stats, "qu* AND NOT dog", docs=docs)
+
+
+# ----------------------------------------------- randomized differential
+
+def _random_tree(rng, depth=0):
+    """Seeded random query AST over the fixture vocabulary — exercises
+    operator nesting the hand-written QUERIES list can't cover."""
+    vocab = ["quick", "brown", "fox", "dog", "lazy", "the"]
+    typos = ["quik", "foxx", "dg", "brwn"]
+    r = rng.random()
+    if depth >= 3 or r < 0.45:
+        kind = rng.randrange(5)
+        if kind == 0:
+            return Term(rng.choice(vocab))
+        if kind == 1:
+            return Prefix(rng.choice(["qu", "bro", "fo", "d"]))
+        if kind == 2:
+            return Wildcard(rng.choice(["f?x", "qu*k", "br*n", "*og"]))
+        if kind == 3:
+            return Fuzzy(rng.choice(typos))
+        return Phrase(tuple(rng.choice([["quick", "brown"], ["brown", "fox"],
+                                        ["the", "lazy", "dog"]])))
+    if r < 0.6:
+        return Not(_random_tree(rng, depth + 1))
+    kids = tuple(_random_tree(rng, depth + 1) for _ in range(rng.randrange(2, 4)))
+    return And(kids) if r < 0.8 else Or(kids)
+
+
+def test_random_trees_match_python_oracle(spark, corpus):
+    import random
+
+    from text_indexer_spark.tokenizer import tokenize_text as tt
+
+    docs, posts = corpus
+    rng = random.Random(20260817)
+    cat = docs.select("doc_id")
+    for _ in range(12):
+        node = _random_tree(rng)
+        expected = {i for i, text in DOCS if _py_eval(node, tt(text))}
+        got = {
+            r["doc_id"]
+            for r in match_query(posts, node, docs=docs, catalog=cat).collect()
+        }
+        assert got == expected, node
+
+
+def test_snippets_for_query(spark, corpus):
+    from text_indexer_spark.operators.highlight import snippets_for_query
+
+    docs, posts = corpus
+    got = {
+        r["doc_id"]: r["snippet"]
+        for r in snippets_for_query(
+            docs, posts, '"quick brown" AND NOT dog', window=1
+        ).collect()
+    }
+    # docs 0,1,2,5 contain the phrase (delimiters collapse in doc 2);
+    # 0 and 1 also contain "dog" -> {2, 5}
+    assert set(got) == {2, 5}
+    # earliest positive-term hit: doc 2 "brown"@4, doc 5 "quick"@2
+    assert got[2] == "the brown quick"
+    assert got[5] == "fox quick brown"
+    # no positively-used exact terms -> nothing to highlight
+    assert snippets_for_query(docs, posts, "qu* OR f?x", window=1).count() == 0

@@ -213,3 +213,20 @@ def test_bm25f_empty_inputs(spark):
     assert bm25f_topk(fps, ["a"], {}).count() == 0
     # unknown field weight key simply matches nothing
     assert bm25f_topk(fps, ["a"], {"nope": 1.0}).count() == 0
+
+
+def test_suggest_terms_fuzzy(spark):
+    from text_indexer_spark.operators.serving import suggest_terms_fuzzy
+
+    stats = spark.createDataFrame(
+        [("table", 90), ("tables", 40), ("cable", 30), ("chair", 5), ("tbl", 2)],
+        "term string, df long",
+    )
+    # "tble": no prefix hit; fuzzy reaches table (del), tbl (ins) — NOT
+    # tables (dist 2) or cable (dist 2)
+    got = [(r["term"], r["df"]) for r in suggest_terms_fuzzy(stats, "tble").collect()]
+    assert got == [("table", 90), ("tbl", 2)]
+    # "tab": prefix hits dominate; fuzzy adds nothing in range
+    got2 = [r["term"] for r in suggest_terms_fuzzy(stats, "tab").collect()]
+    assert got2 == ["table", "tables"]
+    assert suggest_terms_fuzzy(stats, "").count() == 0

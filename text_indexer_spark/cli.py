@@ -184,6 +184,68 @@ def cmd_dedup(args) -> int:
     return 0
 
 
+def cmd_clean(args) -> int:
+    """The full pre-training hygiene pipeline in one pass order:
+    quality filter → repetition filter → (optional) benchmark
+    decontamination → cleaned corpus written out. The two filters are
+    row-local (fuse into the scan); decontamination adds one broadcast
+    of the eval n-gram set. Dedup is its own command (`dedup`) because
+    its cluster step is iterative."""
+    from pyspark.sql import functions as F
+
+    from text_indexer_spark.operators import decontam, textstats
+
+    spark = _spark(args)
+    corpus = spark.read.parquet(args.corpus)
+    text_col = "content" if "content" in corpus.columns else "text"
+    n_in = corpus.count()
+    kept = textstats.filter_by_quality(
+        corpus, min_quality=args.min_quality, text_col=text_col
+    )
+    kept = textstats.filter_by_repetition(
+        kept,
+        max_dup_line_frac=args.max_dup_line_frac,
+        max_top_2gram_frac=args.max_top_2gram_frac,
+        text_col=text_col,
+    )
+    n_contaminated = 0
+    if args.evalset:
+        ev_df = spark.read.parquet(args.evalset)
+        ev_text = "content" if "content" in ev_df.columns else "text"
+        ev = decontam.eval_ngrams(ev_df, n=args.decontam_n, text_col=ev_text)
+        id_col = "doc_id" if "doc_id" in kept.columns else None
+        if id_col is None:
+            kept = kept.withColumn(
+                "doc_id",
+                F.xxhash64(
+                    F.coalesce(F.col("repo"), F.lit("")),
+                    F.coalesce(F.col("path"), F.lit("")),
+                ),
+            )
+        hits = decontam.contamination_hits(
+            kept, ev, n=args.decontam_n, text_col=text_col
+        )
+        n_contaminated = hits.count()
+        kept = decontam.decontaminate(
+            kept, ev, n=args.decontam_n, text_col=text_col
+        )
+        if id_col is None:
+            kept = kept.drop("doc_id")
+    kept.write.mode("overwrite").parquet(args.out)
+    n_out = spark.read.parquet(args.out).count()
+    print(
+        json.dumps(
+            {
+                "rows_in": n_in,
+                "rows_kept": n_out,
+                "rows_dropped": n_in - n_out,
+                "contaminated": n_contaminated,
+            }
+        )
+    )
+    return 0
+
+
 def cmd_vacuum(args) -> int:
     """Retention over the immutable version chain (streaming sync
     output): drop all but the newest N committed versions."""
@@ -262,6 +324,19 @@ def main(argv: list[str] | None = None) -> int:
     d.add_argument("--bands", type=int, default=4)
     d.add_argument("--shingle-n", type=int, default=3)
     d.set_defaults(fn=cmd_dedup)
+
+    cl = sub.add_parser(
+        "clean",
+        help="quality + repetition filters (+ optional decontamination) -> cleaned corpus",
+    )
+    cl.add_argument("--corpus", required=True)
+    cl.add_argument("--out", required=True)
+    cl.add_argument("--min-quality", type=float, default=0.4)
+    cl.add_argument("--max-dup-line-frac", type=float, default=0.3)
+    cl.add_argument("--max-top-2gram-frac", type=float, default=0.2)
+    cl.add_argument("--evalset", default=None, help="parquet of benchmark docs")
+    cl.add_argument("--decontam-n", type=int, default=8)
+    cl.set_defaults(fn=cmd_clean)
 
     v = sub.add_parser(
         "vacuum", help="delete all but the newest N committed index versions"

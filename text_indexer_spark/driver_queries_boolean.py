@@ -343,6 +343,39 @@ def q_search_dsl_fuzzy_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_search_dsl_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Result-page snippets for the full DSL query: the tree selects the
+    docs, the positively-used phrase terms highlight."""
+    from text_indexer_spark.operators.highlight import snippets_for_query
+
+    docs = load_table(spark, sf_dir, "documents")
+    return snippets_for_query(
+        docs, doc_postings(spark, sf_dir), DSL_QUERY, window=4
+    )
+
+
+def sql_search_dsl_snippets() -> str:
+    from text_indexer_spark.driver_queries import duckdb_tokens_sql
+    from text_indexer_spark.operators import querylang as ql
+    from text_indexer_spark.operators.highlight import NO_MATCH
+
+    terms = ql.positive_score_terms(ql.parse_dsl(DSL_QUERY))
+    toks = duckdb_tokens_sql("text")
+    pos_terms = ", ".join(
+        f"coalesce(nullif(list_position(toks, '{t}'), 0), {NO_MATCH})"
+        for t in terms
+    )
+    return f"""
+WITH {_toks_cte()}, {_dsl_match_cte(DSL_QUERY)},
+t AS (SELECT doc_id, list_filter({toks}, x -> x <> '') AS toks FROM documents
+      WHERE doc_id IN (SELECT doc_id FROM m)),
+p AS (SELECT doc_id, toks, least({pos_terms}) AS fp FROM t)
+SELECT doc_id, fp::INT AS first_pos,
+       array_to_string(list_slice(toks, greatest(1, fp - 4), fp + 4), ' ') AS snippet
+FROM p WHERE fp <> {NO_MATCH}
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "search_boolean": q_search_boolean,
@@ -356,6 +389,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_dsl_near": q_search_dsl_near,
         "search_dsl_fuzzy": q_search_dsl_fuzzy,
         "search_dsl_fuzzy_index": q_search_dsl_fuzzy_index,
+        "search_dsl_snippets": q_search_dsl_snippets,
     }
 
 
@@ -372,4 +406,5 @@ def oracle_sql() -> dict[str, str]:
         "search_dsl_near": sql_search_dsl(NEAR_QUERY),
         "search_dsl_fuzzy": sql_search_dsl(FUZZY_QUERY),
         "search_dsl_fuzzy_index": sql_search_dsl(FUZZY_QUERY),
+        "search_dsl_snippets": sql_search_dsl_snippets(),
     }

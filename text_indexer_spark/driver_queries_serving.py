@@ -305,6 +305,31 @@ ORDER BY round(s, {ROUND}) DESC, doc_id ASC LIMIT 10
 """
 
 
+# --------------------------------------------------- fuzzy autocomplete
+
+SUGGEST_TYPO = "tble"        # no vocabulary term extends it; "table" is 1 edit
+
+
+def q_term_suggest_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typo-tolerant autocomplete: prefix OR edit-distance-1 over the
+    vocabulary in one scan."""
+    from text_indexer_spark.operators.serving import suggest_terms_fuzzy
+
+    _, _, stats = _postings_catalog(spark, sf_dir)
+    return suggest_terms_fuzzy(stats, SUGGEST_TYPO, k=10)
+
+
+def sql_term_suggest_fuzzy() -> str:
+    return f"""
+WITH {_toks_cte()},
+v AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tf GROUP BY term)
+SELECT term, df FROM v
+WHERE starts_with(term, '{SUGGEST_TYPO}')
+   OR levenshtein(term, '{SUGGEST_TYPO}') <= 1
+ORDER BY df DESC, term ASC LIMIT 10
+"""
+
+
 # ------------------------------------------------------------- BM25F
 
 BM25F_TERMS = ["spark", "src3"]          # "src3" lives ONLY in `source`
@@ -381,6 +406,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_vectors": q_tfidf_vectors,
         "wand_bm25_scoped": q_wand_scoped,
         "bm25f_topk": q_bm25f,
+        "term_suggest_fuzzy": q_term_suggest_fuzzy,
     }
 
 
@@ -395,4 +421,5 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_vectors": sql_tfidf_vectors(),
         "wand_bm25_scoped": sql_wand_scoped(),
         "bm25f_topk": sql_bm25f(),
+        "term_suggest_fuzzy": sql_term_suggest_fuzzy(),
     }

@@ -99,3 +99,45 @@ def regex_grep(
         )
         .filter(F.col("n_matches") > 0)
     )
+
+
+def snippets_for_query(
+    corpus: DataFrame,
+    postings: DataFrame,
+    query,
+    window: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    catalog: DataFrame | None = None,
+) -> DataFrame:
+    """Result-page snippets for a full DSL query: docs matching the
+    WHOLE tree (phrases, prefixes, wildcards, fuzzy, NOT — evaluated by
+    ``querylang.match_query``), highlighted around the earliest
+    positively-used exact/phrase term → (id, first_pos, snippet).
+
+    The match set rides back as a broadcast semi-join into the corpus
+    scan, so the snippet projection touches matched rows only. Docs the
+    tree admits WITHOUT any scoreable term (e.g. via a wildcard-only
+    branch) have nothing to highlight and are omitted — the same
+    convention as the ranked DSL path (scoreless matches drop).
+    """
+    from text_indexer_spark.operators.querylang import (
+        match_query,
+        parse_dsl,
+        positive_score_terms,
+    )
+
+    node = parse_dsl(query) if isinstance(query, str) else query
+    terms = positive_score_terms(node)
+    spark = corpus.sparkSession
+    if not terms:
+        return spark.createDataFrame(
+            [], f"{id_col} long, first_pos int, snippet string"
+        )
+    ids = match_query(
+        postings, node, docs=corpus, catalog=catalog, text_col=text_col
+    )
+    sliced = corpus.join(F.broadcast(ids), id_col, "left_semi")
+    return snippets(
+        sliced, terms, window=window, text_col=text_col, id_col=id_col
+    )

@@ -385,3 +385,31 @@ def bm25f_topk(
     if round_to is not None:
         scored = scored.withColumn("score", F.round("score", round_to))
     return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
+
+
+def suggest_terms_fuzzy(stats: DataFrame, text: str, k: int = 10) -> DataFrame:
+    """Typo-tolerant autocomplete ("did you mean"): the k most frequent
+    vocabulary terms that either EXTEND the input as a prefix or sit
+    within edit distance 1 of it → (term, df), by (df desc, term asc).
+
+    One predicate over one vocabulary scan: ``startswith`` (pushes as a
+    string-range filter) OR the deletion-neighborhood+levenshtein
+    radius-1 check (codegen expressions — see ``operators/fuzzy.py``).
+    Still TakeOrderedAndProject on vocabulary-sized input; covers the
+    "user typed tble" case plain prefix autocomplete silently drops.
+    """
+    from text_indexer_spark.operators.fuzzy import fuzzy_candidate_cond
+
+    spark = stats.sparkSession
+    q = text.lower()
+    if not q:
+        return spark.createDataFrame([], "term string, df long")
+    return (
+        stats.filter(
+            F.col("term").startswith(q)
+            | fuzzy_candidate_cond(F.col("term"), q)
+        )
+        .select("term", F.col("df").cast("long").alias("df"))
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(k)
+    )
