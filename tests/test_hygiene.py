@@ -264,3 +264,41 @@ def test_tokenize_by_lang_default_registry_equivalence(spark):
         .collect()
     }
     assert routed == expr
+
+
+# ------------------------------------------------------------- PII scrub
+def test_redact_pii_order_and_counts(spark):
+    from text_indexer_spark.operators.redact import pii_stats, redact_pii
+
+    docs = _docs(
+        spark,
+        [
+            (1, "write to alice@corp.io or see https://ex.org/a?user=bob@corp.io end"),
+            (2, "server at 10.1.2.3 and 192.168.0.255 but not 1234.5"),
+            (3, "clean text with no contact info"),
+            (4, None),
+        ],
+    )
+    red = {r["doc_id"]: r["text"] for r in redact_pii(docs).collect()}
+    # the email inside the URL query string is swallowed by the URL
+    # redaction (URL pass runs first)
+    assert red[1] == "write to <EMAIL> or see <URL> end"
+    assert red[2] == "server at <IP> and <IP> but not 1234.5"
+    assert red[3] == "clean text with no contact info"
+    assert red[4] == ""
+
+    stats = {r["doc_id"]: r for r in pii_stats(docs).collect()}
+    assert (stats[1]["n_url"], stats[1]["n_email"]) == (1, 2)
+    assert stats[2]["n_ipv4"] == 2
+    assert stats[3]["n_url"] == stats[3]["n_email"] == stats[3]["n_ipv4"] == 0
+
+
+def test_redact_pii_idempotent_and_zero_shuffle(spark):
+    from text_indexer_spark.operators.redact import redact_pii
+    from text_indexer_spark.plans.checks import count_exchanges
+
+    docs = _docs(spark, [(1, "mail x@y.zz at http://a.bc/d from 1.2.3.4")])
+    once = redact_pii(docs)
+    twice = redact_pii(once)
+    assert once.collect() == twice.collect()
+    assert count_exchanges(once) == 0

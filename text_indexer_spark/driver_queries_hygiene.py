@@ -197,6 +197,47 @@ FROM allt GROUP BY doc_id, term
 """
 
 
+# ------------------------------------------------------------- PII scrub
+# the synthetic corpus carries no PII, so the gate PLANTS a deterministic
+# contact block on every 7th doc — the redaction is then genuinely
+# exercised and hash-compared (counts on original, md5 on scrubbed)
+PII_SUFFIX = " contact bob@example.com via https://ex.org/x?a=1 from 10.1.2.3"
+
+
+def q_pii_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from text_indexer_spark.operators.redact import pii_stats
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.when(F.col("doc_id") % 7 == 0, F.lit(PII_SUFFIX)).otherwise(
+                F.lit("")
+            ),
+        ),
+    )
+    return pii_stats(docs)
+
+
+def sql_pii_stats() -> str:
+    from text_indexer_spark.operators.redact import PII_PATTERNS
+
+    t = (
+        "coalesce(text, '') || CASE WHEN doc_id % 7 = 0 "
+        f"THEN '{PII_SUFFIX}' ELSE '' END"
+    )
+    counts = ", ".join(
+        f"length(regexp_extract_all({t}, '{pat}'))::BIGINT AS n_{name}"
+        for name, pat, _ in PII_PATTERNS
+    )
+    red = t
+    for _, pat, token in PII_PATTERNS:
+        red = f"regexp_replace({red}, '{pat}', '{token}', 'g')"
+    return (
+        f"SELECT doc_id, {counts}, md5({red}) AS redacted_md5 FROM documents"
+    )
+
+
 # ----------------------------------------------------------------- fuzzy
 def q_fuzzy_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -239,6 +280,7 @@ def queries():
         "fuzzy_terms": q_fuzzy_terms,
         "search_fuzzy": q_search_fuzzy,
         "tokenize_by_lang": q_tokenize_by_lang,
+        "pii_stats": q_pii_stats,
     }
 
 
@@ -251,4 +293,5 @@ def oracle_sql():
         "fuzzy_terms": sql_fuzzy_terms(),
         "search_fuzzy": sql_search_fuzzy(),
         "tokenize_by_lang": sql_tokenize_by_lang(),
+        "pii_stats": sql_pii_stats(),
     }
