@@ -168,3 +168,60 @@ def test_dsl_scan_filter_pushed(spark, tmp_path):
     # a phrase query DOES read the payload
     q2 = match_query_index(lists, '"data index" OR query')
     assert "positions_varbyte" in read_schema_columns(q2)
+
+
+def test_decontam_broadcasts_eval_side(spark):
+    """Decontamination must broadcast the (small) eval n-gram set and
+    the contaminated-id set — the corpus side never shuffles."""
+    from text_indexer_spark.operators import decontam
+
+    docs = load_table(spark, SF, "documents")
+    ev = decontam.eval_ngrams(docs.filter(F.col("doc_id") % 41 == 0), n=4)
+    plan_hits = formatted_plan(decontam.contamination_hits(docs, ev, n=4))
+    assert "BroadcastHashJoin" in plan_hits
+    plan_clean = formatted_plan(decontam.decontaminate(docs, ev, n=4))
+    assert "BroadcastHashJoin" in plan_clean
+    # the anti-join of the cleaned corpus must be broadcast, not shuffled
+    assert "LeftAnti BuildRight" in plan_clean
+
+
+def test_bm25f_broadcasts_stats_sides(spark):
+    """BM25F joins field averages and per-term dfs as broadcasts; the
+    only exchanges key on doc_id (fold + final sum + top-k)."""
+    from text_indexer_spark.operators.serving import bm25f_topk, field_postings
+
+    docs = load_table(spark, SF, "documents")
+    fps = field_postings(docs, {"source": "source", "text": "text"})
+    plan = formatted_plan(
+        bm25f_topk(fps, ["spark", "src3"], {"source": 3.0, "text": 1.0})
+    )
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_suggest_fuzzy_single_scan_no_join(spark):
+    """Typo-tolerant autocomplete is ONE vocabulary scan + top-k: no
+    joins of any kind in the plan."""
+    from text_indexer_spark.operators.serving import suggest_terms_fuzzy
+
+    stats = spark.createDataFrame([("table", 3)], "term string, df long")
+    plan = formatted_plan(suggest_terms_fuzzy(stats, "tble"))
+    assert "Join" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_lang_routing_single_pass(spark):
+    """Per-language routing is one mapInPandas over one scan — no
+    union-of-filtered-scans, no shuffle before the tf aggregation done
+    inside the pass."""
+    from text_indexer_spark.operators.langroute import tokenize_postings_by_lang
+
+    docs = load_table(spark, SF, "documents")
+    import re
+
+    plan = formatted_plan(tokenize_postings_by_lang(docs))
+    # one numbered scan node in the formatted plan detail section
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert count_exchanges(tokenize_postings_by_lang(docs)) == 0
