@@ -808,14 +808,55 @@ FROM c
 
 
 def q_packed_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token-budget packing of chunks into training sequences. Greedy
-    packing is inherently sequential (not SQL-expressible), so there is
-    deliberately NO oracle_sql entry — the driver records the weaker
-    rows-only check; the packing invariants (lossless, budget-bounded,
-    greedy, partitioning-independent) are pytest-asserted instead."""
+    """Token-budget packing of chunks into training sequences. The
+    greedy fold is sequential PER BUCKET, but buckets are small and
+    independent — the oracle replays the identical fold as a DuckDB
+    recursive CTE stepping one row per bucket per iteration (the md5
+    bucket hash is the engine-portable sampling-family recipe), so the
+    full (bucket, seq_idx) assignment is hash-compared, not just row
+    counts."""
     docs = load_table(spark, sf_dir, "documents")
     chunks = textstats.chunk_documents(docs, max_tokens=CHUNK_TOKENS)
     return textstats.pack_chunks(chunks, budget=256, buckets=16)
+
+
+def sql_packed_chunks(budget: int = 256, buckets: int = 16) -> str:
+    t = _tokens_sql()
+    N = CHUNK_TOKENS
+    return f"""
+WITH RECURSIVE tk AS (SELECT doc_id, {t} AS toks FROM documents),
+c AS (
+  SELECT doc_id, len(toks) AS n,
+         unnest(range(0, greatest(1, ceil(len(toks) / {N}.0)::INT))) AS chunk_idx
+  FROM tk
+),
+ch AS (
+  SELECT (('0x' || substr(md5(doc_id::VARCHAR || '|pack'), 1, 8))::BIGINT
+          % {buckets})::INT AS bucket,
+         doc_id, chunk_idx::INT AS chunk_idx,
+         least({N}, n - chunk_idx * {N})::BIGINT AS n_tokens
+  FROM c
+),
+base AS (
+  SELECT bucket, doc_id, chunk_idx, n_tokens,
+         row_number() OVER (PARTITION BY bucket ORDER BY doc_id, chunk_idx)
+           AS rn
+  FROM ch
+),
+packed AS (
+  SELECT bucket, doc_id, chunk_idx, n_tokens, rn,
+         0::BIGINT AS seq_idx, n_tokens AS acc
+  FROM base WHERE rn = 1
+  UNION ALL
+  SELECT b.bucket, b.doc_id, b.chunk_idx, b.n_tokens, b.rn,
+         CASE WHEN p.acc + b.n_tokens > {budget}
+              THEN p.seq_idx + 1 ELSE p.seq_idx END,
+         CASE WHEN p.acc + b.n_tokens > {budget}
+              THEN b.n_tokens ELSE p.acc + b.n_tokens END
+  FROM packed p JOIN base b ON b.bucket = p.bucket AND b.rn = p.rn + 1
+)
+SELECT bucket, seq_idx, doc_id, chunk_idx, n_tokens FROM packed
+"""
 
 
 # ---------------------------------------------------------------- sampling
@@ -1263,6 +1304,7 @@ def oracle_sql():
         "token_counts": sql_token_counts(),
         "doc_fingerprints": sql_fingerprints(),
         "doc_chunks": sql_doc_chunks(),
+        "packed_chunks": sql_packed_chunks(),
         "term_cooccurrence": sql_term_cooccurrence(),
         "phrase_match": sql_phrase_match(),
         "proximity_match": sql_proximity_match(),

@@ -167,8 +167,19 @@ def pack_chunks(
         pdf["seq_idx"] = pd.Series(seq_ids, index=pdf.index, dtype="int64")
         return pdf[["bucket", "seq_idx", id_col, "chunk_idx", "n_tokens"]]
 
+    # engine-portable bucket hash (md5 of the key, same recipe as the
+    # sampling family) so the DuckDB oracle reproduces the exact
+    # bucket → sequence assignment; content-stable and uniform like the
+    # xxhash64 it replaces
+    h32 = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col(id_col).cast("string"), F.lit("|pack"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
     bucketed = chunks.withColumn(
-        "bucket", F.pmod(F.xxhash64(F.col(id_col)), F.lit(buckets)).cast("int")
+        "bucket", F.pmod(h32, F.lit(buckets)).cast("int")
     )
     return bucketed.groupBy("bucket").applyInPandas(pack, out_schema)
 
