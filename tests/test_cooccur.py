@@ -41,3 +41,46 @@ def test_pair_df_floor(spark):
     )
     got = {(r["term_a"], r["term_b"]) for r in term_cooccurrence(docs, min_pair_df=3).collect()}
     assert got == {("a", "b"), ("a", "c")}  # (b,c) never co-occurs
+
+
+def test_expansion_terms_and_search(spark):
+    from text_indexer_spark.operators.cooccur import (
+        expansion_terms,
+        search_expanded,
+        term_cooccurrence,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "coffee milk sugar"),
+            (2, "coffee milk"),
+            (3, "coffee milk cup"),
+            (4, "tea leaf"),
+            (5, "coffee cup"),
+        ],
+        "doc_id long, text string",
+    )
+    cooc = term_cooccurrence(docs, min_pair_df=2, min_term_df=1)
+    exp = [r["term"] for r in expansion_terms(cooc, "coffee", k=2).collect()]
+    # milk co-occurs with coffee in 3 docs, cup in 2 -> milk first
+    assert exp[0] == "milk"
+    assert len(exp) == 2
+
+    posts = (
+        docs.select(
+            "doc_id",
+            __import__("pyspark.sql.functions", fromlist=["explode"]).explode(
+                __import__("pyspark.sql.functions", fromlist=["split"]).split("text", " ")
+            ).alias("term"),
+        )
+        .groupBy("doc_id", "term")
+        .count()
+        .withColumnRenamed("count", "tf")
+    )
+    got = {
+        r["doc_id"]: r["n_terms"]
+        for r in search_expanded(posts, cooc, "coffee", k_expand=1).collect()
+    }
+    # expansion set = {coffee, milk}: doc4 (tea) excluded; doc1-3 match
+    # both, doc5 matches coffee only
+    assert got == {1: 2, 2: 2, 3: 2, 5: 1}

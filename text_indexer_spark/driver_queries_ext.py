@@ -780,6 +780,93 @@ CROSS JOIN n
 """
 
 
+EXPAND_SEED = "spark"
+
+
+def q_term_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI query-expansion candidates for one seed term (top-5
+    co-occurrence neighbors, deterministic tie-breaks)."""
+    from text_indexer_spark.operators.cooccur import (
+        expansion_terms,
+        term_cooccurrence,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    cooc = term_cooccurrence(docs, min_pair_df=5, min_term_df=2)
+    return expansion_terms(cooc, EXPAND_SEED, k=5)
+
+
+def _cooc_cte() -> str:
+    """The term_cooccurrence oracle as a CTE chain ending in ``cooc``."""
+    t = _tokens_sql()
+    return f"""toks AS (
+  SELECT DISTINCT doc_id, term FROM
+  (SELECT doc_id, unnest({t}) AS term FROM documents)
+),
+n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+tdf AS (SELECT term, count(*)::BIGINT AS df FROM toks GROUP BY term),
+vocab AS (SELECT term FROM tdf WHERE df >= 2),
+kept AS (SELECT toks.* FROM toks SEMI JOIN vocab USING (term)),
+pairs AS (
+  SELECT a.term AS term_a, b.term AS term_b, count(*)::BIGINT AS pair_df
+  FROM kept a JOIN kept b ON a.doc_id = b.doc_id AND a.term < b.term
+  GROUP BY a.term, b.term HAVING count(*) >= 5
+),
+cooc AS (
+  SELECT term_a, term_b, pair_df,
+         round(ln(n.n_docs) + ln(pair_df) - ln(da.df) - ln(db.df), {ROUND})
+           AS pmi
+  FROM pairs
+  JOIN tdf da ON da.term = term_a
+  JOIN tdf db ON db.term = term_b
+  CROSS JOIN n
+)"""
+
+
+def sql_term_expansion() -> str:
+    return f"""
+WITH {_cooc_cte()}
+SELECT CASE WHEN term_a = '{EXPAND_SEED}' THEN term_b ELSE term_a END AS term,
+       pmi, pair_df
+FROM cooc WHERE term_a = '{EXPAND_SEED}' OR term_b = '{EXPAND_SEED}'
+ORDER BY pmi DESC, pair_df DESC, term ASC LIMIT 5
+"""
+
+
+def q_search_expanded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall-boosted search: seed term + its top-3 PMI neighbors,
+    disjunctive, with per-doc matched-term counts."""
+    from text_indexer_spark.operators.cooccur import (
+        search_expanded,
+        term_cooccurrence,
+    )
+    from text_indexer_spark.driver_queries import doc_postings
+
+    docs = load_table(spark, sf_dir, "documents")
+    cooc = term_cooccurrence(docs, min_pair_df=5, min_term_df=2)
+    return search_expanded(doc_postings(spark, sf_dir), cooc, EXPAND_SEED, k_expand=3)
+
+
+def sql_search_expanded() -> str:
+    t = _tokens_sql()
+    return f"""
+WITH {_cooc_cte()},
+exp AS (
+  SELECT CASE WHEN term_a = '{EXPAND_SEED}' THEN term_b ELSE term_a END AS term,
+         pmi, pair_df
+  FROM cooc WHERE term_a = '{EXPAND_SEED}' OR term_b = '{EXPAND_SEED}'
+  ORDER BY pmi DESC, pair_df DESC, term ASC LIMIT 3
+),
+q AS (SELECT term FROM exp UNION SELECT '{EXPAND_SEED}'),
+hits AS (
+  SELECT DISTINCT doc_id, term FROM
+  (SELECT doc_id, unnest({t}) AS term FROM documents)
+  WHERE term IN (SELECT term FROM q)
+)
+SELECT doc_id, count(*)::BIGINT AS n_terms FROM hits GROUP BY doc_id
+"""
+
+
 CHUNK_TOKENS = 64
 
 
@@ -1261,6 +1348,8 @@ def queries():
         "doc_chunks": q_doc_chunks,
         "packed_chunks": q_packed_chunks,
         "term_cooccurrence": q_term_cooccurrence,
+        "term_expansion": q_term_expansion,
+        "search_expanded": q_search_expanded,
         "phrase_match": q_phrase_match,
         "proximity_match": q_proximity_match,
         "phrase_match_index": q_phrase_match_index,
@@ -1306,6 +1395,8 @@ def oracle_sql():
         "doc_chunks": sql_doc_chunks(),
         "packed_chunks": sql_packed_chunks(),
         "term_cooccurrence": sql_term_cooccurrence(),
+        "term_expansion": sql_term_expansion(),
+        "search_expanded": sql_search_expanded(),
         "phrase_match": sql_phrase_match(),
         "proximity_match": sql_proximity_match(),
         "phrase_match_index": sql_phrase_match(),

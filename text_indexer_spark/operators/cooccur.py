@@ -113,3 +113,59 @@ def ngram_counts(
         .agg(F.count("*").cast("long").alias("count"))
         .filter(F.col("count") >= min_count)
     )
+
+
+def expansion_terms(
+    cooc: DataFrame, term: str, k: int = 5
+) -> DataFrame:
+    """Query-expansion candidates for one term from the PMI table →
+    (term, pmi, pair_df): the k strongest co-occurring neighbors, by
+    (pmi desc, pair_df desc, term asc) — deterministic under ties.
+
+    Vocabulary-free "related terms" (synonym-ish under distributional
+    similarity). Input is :func:`term_cooccurrence` output — tiny
+    relative to the corpus, so this is a pruned scan of the pair table
+    + TakeOrderedAndProject; at scale the PMI table is precomputed and
+    this runs at serving time per query term.
+    """
+    t = term.lower()
+    sym = cooc.filter(
+        (F.col("term_a") == t) | (F.col("term_b") == t)
+    ).select(
+        F.when(F.col("term_a") == t, F.col("term_b"))
+        .otherwise(F.col("term_a"))
+        .alias("term"),
+        "pmi",
+        "pair_df",
+    )
+    return sym.orderBy(
+        F.desc("pmi"), F.desc("pair_df"), F.asc("term")
+    ).limit(k)
+
+
+def search_expanded(
+    postings: DataFrame,
+    cooc: DataFrame,
+    term: str,
+    k_expand: int = 3,
+) -> DataFrame:
+    """Disjunctive search over a term plus its PMI expansion set →
+    (doc_id, n_terms): docs containing the seed or any expansion term,
+    with how many of the expanded vocabulary they match (a recall
+    booster for sparse queries — the expansion terms come from corpus
+    statistics, no embedding model needed).
+
+    The expansion set is k+1 strings collected to the driver (k-row
+    result of a pruned scan — the same driver-side footprint as query
+    tokenization), then one term-IN postings scan + per-doc count.
+    """
+    t = term.lower()
+    exp = [r["term"] for r in expansion_terms(cooc, t, k_expand).collect()]
+    terms = [t] + exp
+    return (
+        postings.filter(F.col("term").isin(terms))
+        .select("doc_id", "term")
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_terms"))
+    )
