@@ -215,6 +215,31 @@ def test_bm25f_empty_inputs(spark):
     assert bm25f_topk(fps, ["a"], {"nope": 1.0}).count() == 0
 
 
+def test_bm25f_partial_weights_ignore_unweighted_fields(spark):
+    # stats (df / avgdl / N) must be scoped to the weighted fields: a
+    # partial weight map over a wider schema scores identically to the
+    # same corpus with the unweighted field dropped entirely
+    from text_indexer_spark.operators.serving import bm25f_topk, field_postings
+
+    docs = spark.createDataFrame(
+        [
+            (1, "needle filler words", "needle needle needle spam spam"),
+            (2, "needle other words here", "more spam spam spam spam spam"),
+            (3, "clean words only here", "needle hiding in junk field"),
+        ],
+        "doc_id long, body string, junk string",
+    )
+    both = field_postings(docs, {"body": "body", "junk": "junk"})
+    body_only = field_postings(docs, {"body": "body"})
+    got = bm25f_topk(both, ["needle"], {"body": 2.0}, k=3, round_to=6).collect()
+    want = bm25f_topk(body_only, ["needle"], {"body": 2.0}, k=3, round_to=6).collect()
+    assert [(r["doc_id"], r["score"]) for r in got] == [
+        (r["doc_id"], r["score"]) for r in want
+    ]
+    # doc 3 matches only in the unweighted field — it must not rank
+    assert {r["doc_id"] for r in got} == {1, 2}
+
+
 def test_suggest_terms_fuzzy(spark):
     from text_indexer_spark.operators.serving import suggest_terms_fuzzy
 

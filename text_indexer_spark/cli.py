@@ -215,13 +215,17 @@ def cmd_clean(args) -> int:
         ev = decontam.eval_ngrams(ev_df, n=args.decontam_n, text_col=ev_text)
         id_col = "doc_id" if "doc_id" in kept.columns else None
         if id_col is None:
-            kept = kept.withColumn(
-                "doc_id",
-                F.xxhash64(
-                    F.coalesce(F.col("repo"), F.lit("")),
-                    F.coalesce(F.col("path"), F.lit("")),
-                ),
-            )
+            # Fallback id for arbitrary corpora: hash whatever identity
+            # columns exist PLUS the text itself, so two distinct docs
+            # can only collide if they are byte-identical (in which case
+            # dropping both on contamination is the right outcome).
+            parts = [
+                F.coalesce(F.col(c).cast("string"), F.lit(""))
+                for c in ("repo", "path")
+                if c in kept.columns
+            ]
+            parts.append(F.coalesce(F.col(text_col), F.lit("")))
+            kept = kept.withColumn("doc_id", F.xxhash64(*parts))
         hits = decontam.contamination_hits(
             kept, ev, n=args.decontam_n, text_col=text_col
         )

@@ -100,8 +100,8 @@ def _repetition_ctes() -> str:
         "GROUP BY doc_id, line), "
         "la AS (SELECT doc_id, sum(c) AS n_lines, "
         "sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_lines, "
-        "sum(c * strlen(line)) AS line_chars, "
-        "sum(CASE WHEN c > 1 THEN c * strlen(line) ELSE 0 END) AS dup_chars "
+        "sum(c * length(line)) AS line_chars, "
+        "sum(CASE WHEN c > 1 THEN c * length(line) ELSE 0 END) AS dup_chars "
         "FROM lc GROUP BY doc_id), "
         f"g AS (SELECT doc_id, unnest({g2}) AS gram FROM documents), "
         "gc AS (SELECT doc_id, gram, count(*) AS c FROM g "
@@ -182,8 +182,8 @@ WITH zh_base AS (
 ),
 zh AS (
   SELECT doc_id, unnest(
-    CASE WHEN strlen(tok) < 2 THEN [tok]
-         ELSE list_transform(range(1, strlen(tok)), i -> substr(tok, i, 2))
+    CASE WHEN length(tok) < 2 THEN [tok]
+         ELSE list_transform(range(1, length(tok)), i -> substr(tok, i, 2))
     END) AS term
   FROM zh_base
 ),

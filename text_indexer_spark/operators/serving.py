@@ -312,10 +312,13 @@ def bm25f_topk(
         tf~(t,d) = Σ_f  w_f · tf(t,d,f) / ((1-b) + b · len(d,f)/avgdl_f)
         score(d) = Σ_t  idf(t) · tf~ · (k1+1) / (tf~ + k1)
 
-    idf is document-level (term in ANY field), matching the engine's
-    single-field Robertson idf. ``avgdl_f = Σ_d len(d,f) / N`` with N =
-    all docs — a field a doc lacks contributes length 0, so sparse
-    fields get shorter average lengths rather than skewed ones.
+    idf is document-level (term in ANY weighted field), matching the
+    engine's single-field Robertson idf. ``avgdl_f = Σ_d len(d,f) / N``
+    with N = docs that have any weighted field — a field a doc lacks
+    contributes length 0, so sparse fields get shorter average lengths
+    rather than skewed ones. All stats (flen, avgdl, df, N) are scoped
+    to ``list(weights)``: fields outside the weight map neither score
+    nor perturb the statistics.
 
     Scale shape: the postings scan is term-IN pruned before anything
     joins; per-field doc lengths are computed once and joined only for
@@ -328,9 +331,12 @@ def bm25f_topk(
     terms = list(dict.fromkeys(terms))
     if not terms or not weights:
         return spark.createDataFrame([], f"{id_col} long, score double")
-    matched = fps.filter(
-        F.col("term").isin(terms) & F.col("field").isin(list(weights))
-    )
+    # Stats (flen / avgdl / df / N) are computed over EXACTLY the
+    # weighted fields: a caller passing partial weights over a wider
+    # schema gets idf and length normalization consistent with what can
+    # actually score, instead of stats polluted by unrankable fields.
+    fps = fps.filter(F.col("field").isin(list(weights)))
+    matched = fps.filter(F.col("term").isin(terms))
     flen = fps.groupBy(id_col, "field").agg(
         F.sum("tf").cast("double").alias("flen")
     )
