@@ -375,3 +375,64 @@ def test_randomized_positional_sync_equals_rebuild(spark, v1p, tmp_path, seed):
     ref = str(tmp_path / f"refp_{seed}")
     build_index(src2, ref, num_shards=8, resume=False, with_positions=True)
     assert _positions_rel(spark, out) == _positions_rel(spark, ref)
+
+
+# ----------------------------------------------------- scoped serving post-sync
+
+@pytest.mark.parametrize("conjunctive", [True, False])
+def test_scoped_wand_survives_sync(spark, v1, tmp_path, conjunctive):
+    """Incremental sync breaks the (repo, path) ≡ id-order layout (adds
+    mint ids above the global max), so a repo scope is no longer one
+    interval. The degraded scope_ranges path must keep scoped serving
+    EXACT: sync → scoped query ≡ filter-then-rank over the synced index."""
+    from text_indexer_spark.operators.wand import scope_ranges
+
+    corpus, idx1, m1 = v1
+    # add a new doc to the FIRST repo in sort order: its fresh id lands
+    # above every other repo's ids → the scope's id span covers the
+    # whole catalog → guaranteed non-contiguous
+    target = corpus.select("repo").orderBy("repo").limit(1).collect()[0]["repo"]
+    added = spark.createDataFrame(
+        [(target, "zzz_added.txt", "c-added", "txt",
+          "the data zmarker fresh doc the the data")],
+        "repo string, path string, commit string, lang string, content string",
+    )
+    src2 = corpus.unionByName(added)
+    out = str(tmp_path / f"v2scope_{conjunctive}")
+    m2 = sync_index_dir(spark, idx1, src2, out)
+    assert m2["synced"]["add"] == 1
+
+    lists = load_posting_lists(spark, out)
+    cat = load_catalog(spark, out)
+    rng = scope_ranges(cat, repo=target)
+    assert len(rng) >= 2  # the degraded (multi-interval) path engaged
+    in_rng = lambda i: any(lo <= i <= hi for lo, hi in rng)
+    scope_ids = {r["doc_id"] for r in cat.filter(F.col("repo") == target).collect()}
+    other_ids = {r["doc_id"] for r in cat.filter(F.col("repo") != target).collect()}
+    assert all(in_rng(i) for i in scope_ids)
+    assert not any(in_rng(i) for i in other_ids)
+
+    for terms in (["the", "data"], ["the"]):
+        scoped = wand_topk(
+            lists, terms, k=5, round_to=6, scope=rng, conjunctive=conjunctive
+        ).collect()
+        full = wand_topk(
+            lists, terms, k=10**6, round_to=6, global_topk=False,
+            conjunctive=conjunctive,
+        ).collect()
+        want = sorted(
+            ((r["score"], r["doc_id"]) for r in full if r["doc_id"] in scope_ids),
+            key=lambda t: (-t[0], t[1]),
+        )[:5]
+        got = [(r["score"], r["doc_id"]) for r in scoped]
+        assert got == want, f"terms={terms} conjunctive={conjunctive}"
+
+    # the synced-in doc's interval (above the old max) is actually
+    # served: scoping to ONLY the trailing intervals returns it
+    added_id = max(scope_ids)
+    tail_rng = [(lo, hi) for lo, hi in rng if hi >= added_id]
+    hits = wand_topk(
+        lists, ["the", "data"], k=5, round_to=6, scope=tail_rng,
+        conjunctive=conjunctive,
+    ).collect()
+    assert added_id in {r["doc_id"] for r in hits}

@@ -367,17 +367,46 @@ def test_scope_ranges_interval_is_exact(spark, built):
     assert scope_ranges(cat, repo="org/none") == []
 
 
-def test_scope_ranges_rejects_non_contiguous(spark):
+def test_scope_ranges_degrades_to_interval_list(spark):
     from text_indexer_spark.operators.wand import scope_ranges
 
     # repo 'a' at ids 0,1 then a FOREIGN id 2 inside the would-be
-    # interval 0..3 (the synced-in-docs shape)
+    # interval 0..3 (the synced-in-docs shape): the degraded path must
+    # split around the intruder instead of raising
     cat = spark.createDataFrame(
         [(0, "a", "x"), (1, "a", "y"), (2, "b", "z"), (3, "a", "w")],
         "doc_id long, repo string, path string",
     )
-    with pytest.raises(ValueError, match="not id-contiguous"):
-        scope_ranges(cat, repo="a")
+    rng = scope_ranges(cat, repo="a")
+    # exactness: covers ids {0,1,3}, excludes id 2 (interval count may
+    # vary with partition seams)
+    covered = {i for lo, hi in rng for i in range(lo, hi + 1)}
+    assert covered == {0, 1, 3}
+    # the fragment cap still guards runaway drift
+    with pytest.raises(ValueError, match="merge or rebuild"):
+        scope_ranges(cat, repo="a", max_intruders=1)
+
+
+def test_scope_ranges_degraded_excludes_all_foreign_ids(spark):
+    """Many interleaved foreign ids + scope docs minted above max (the
+    post-sync catalog shape): intervals contain every scope id and no
+    existing foreign id."""
+    from text_indexer_spark.operators.wand import scope_ranges
+
+    rows = []
+    for i in range(200):
+        rows.append((i, "mid" if i % 7 in (2, 3) else "other", f"p{i}"))
+    # synced-in adds for repo 'mid' above the old max, non-adjacent
+    rows += [(1000, "mid", "new1"), (1002, "mid", "new2")]
+    # and a foreign synced-in add between them
+    rows += [(1001, "zzz", "newz")]
+    cat = spark.createDataFrame(rows, "doc_id long, repo string, path string")
+    rng = scope_ranges(cat, repo="mid")
+    want = {i for i in range(200) if i % 7 in (2, 3)} | {1000, 1002}
+    covered = {i for lo, hi in rng for i in range(lo, hi + 1)}
+    existing = {r[0] for r in rows}
+    assert want <= covered
+    assert covered & existing == want  # no existing foreign id covered
 
 
 @pytest.mark.parametrize("conjunctive", [True, False])

@@ -40,13 +40,14 @@ def scope_ranges(
     catalog: DataFrame,
     repo: str | None = None,
     path_prefix: str | None = None,
+    max_intruders: int = 1_000_000,
 ) -> list[tuple[int, int]]:
     """A catalog scope ("search within this repo/dir") as a doc-id
-    INTERVAL — the layout dividend of deterministic rank ids.
+    INTERVAL LIST — the layout dividend of deterministic rank ids.
 
     The build assigns doc ids in global (repo, path) sort order (both
     dense and stride modes), so any order-contiguous scope — a repo, a
-    path prefix within a repo — occupies one id interval [min, max]:
+    path prefix within a repo — occupies ONE id interval [min, max]:
     every id inside it belongs to the scope, stride gaps hold no docs.
     One pruned catalog aggregation yields the interval; the scoped query
     kernel then skips whole blocks by comparing interval bounds against
@@ -54,32 +55,92 @@ def scope_ranges(
 
     A catalog mutated by incremental sync mints ADDED ids above the
     global max (order no longer equals (repo, path)), which can break
-    interval exactness — so contiguity is VERIFIED here (two tiny aggs)
-    and a non-contiguous scope raises rather than silently over-matching.
-    Rebuild or merge restores contiguity.
+    single-interval exactness.  Contiguity is VERIFIED here (two tiny
+    aggs); when it fails, the scope DEGRADES instead of erroring: the
+    catalog's (doc_id, in_scope) projection is range-partitioned on id
+    and each partition emits its maximal in-scope id RUNS — an interval
+    list whose size is bounded by the number of order breaks (≈ sync
+    deltas + partition seams), never by corpus size, and whose work is
+    one two-column shuffle, fully parallel.  The kernel's block pruning
+    already takes interval lists, so scoped serving keeps working
+    between syncs; a merge/rebuild restores the single-interval fast
+    path (and its zero-shuffle cost).
+
+    ``max_intruders`` caps the interval-list size (it ships inside the
+    broadcast kernel closure); past it the catalog has drifted so far
+    from id order that scoped serving should wait for a merge, and we
+    raise with that guidance.
     """
-    scope = catalog
+    in_scope = F.lit(True)
     if repo is not None:
-        scope = scope.filter(F.col("repo") == repo)
+        in_scope = in_scope & (F.col("repo") == repo)
     if path_prefix is not None:
-        scope = scope.filter(F.col("path").startswith(path_prefix))
-    row = scope.agg(
+        in_scope = in_scope & F.col("path").startswith(path_prefix)
+    row = catalog.filter(in_scope).agg(
         F.min("doc_id").alias("lo"),
         F.max("doc_id").alias("hi"),
         F.count("*").alias("n"),
     ).collect()[0]
     if row["n"] == 0:
         return []
+    lo, hi = int(row["lo"]), int(row["hi"])
     inside = catalog.filter(
-        (F.col("doc_id") >= row["lo"]) & (F.col("doc_id") <= row["hi"])
-    ).count()
-    if inside != row["n"]:
+        (F.col("doc_id") >= lo) & (F.col("doc_id") <= hi)
+    )
+    if inside.count() == row["n"]:
+        return [(lo, hi)]
+    ranges = _scope_runs(inside, in_scope)
+    if len(ranges) > max_intruders:
         raise ValueError(
-            "scope is not id-contiguous (catalog contains synced-in docs "
-            "whose ids break (repo, path) order); rebuild or merge the "
-            "index before using interval-scoped queries"
+            f"scope fragments into {len(ranges)} id intervals "
+            f"(> max_intruders={max_intruders}); the catalog has "
+            "drifted too far from (repo, path) id order — merge or "
+            "rebuild the index before interval-scoped queries"
         )
-    return [(int(row["lo"]), int(row["hi"]))]
+    return ranges
+
+
+def _scope_runs(catalog: DataFrame, in_scope) -> list[tuple[int, int]]:
+    """Maximal id-consecutive runs of in-scope docs → sorted disjoint
+    [(lo, hi)] intervals containing every in-scope id and no existing
+    out-of-scope id.
+
+    Each range partition computes its runs locally over id-sorted rows
+    (vectorized — one np.diff over the flag array); runs are NOT merged
+    across partition seams, which costs at most +num_partitions extra
+    intervals and keeps the reduce a tiny collect.  Ids absent from the
+    catalog (stride gaps, removed docs) match no posting, so whether a
+    gap splits a run or not never changes results — only interval
+    count.  The in-scope predicate is null-safe: NULL means OUT."""
+    flag = catalog.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.coalesce(in_scope, F.lit(False)).alias("s"),
+    ).repartitionByRange(F.col("doc_id")).sortWithinPartitions("doc_id")
+
+    def part_runs(batches):
+        ids_l, s_l = [], []
+        for b in batches:
+            ids_l.append(b["doc_id"].to_numpy(dtype=np.int64))
+            s_l.append(b["s"].to_numpy(dtype=bool))
+        if not ids_l:
+            return
+        ids = np.concatenate(ids_l)
+        s = np.concatenate(s_l)
+        if not s.any():
+            return
+        # run starts: in-scope row whose predecessor is out (or first)
+        prev = np.empty(s.size, dtype=bool)
+        prev[0] = False
+        prev[1:] = s[:-1]
+        starts = np.flatnonzero(s & ~prev)
+        nxt = np.empty(s.size, dtype=bool)
+        nxt[-1] = False
+        nxt[:-1] = s[1:]
+        ends = np.flatnonzero(s & ~nxt)
+        yield pd.DataFrame({"lo": ids[starts], "hi": ids[ends]})
+
+    rows = flag.mapInPandas(part_runs, "lo long, hi long").collect()
+    return sorted((int(r["lo"]), int(r["hi"])) for r in rows)
 
 
 def _ranges_arrays(ranges):
