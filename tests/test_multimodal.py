@@ -1,17 +1,110 @@
-"""Multimodal plumbing: schema, determinism, stubbed decode contract."""
+"""Multimodal codecs: REAL BMP / PCM-WAV / Y4M encode+decode, byte-true
+oracles (hand-built blobs with known pixels/samples), corrupt-payload
+handling, and the frame-sampling plumbing."""
 
 from __future__ import annotations
 
+import hashlib
+import struct
+
+import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
 from text_indexer_spark.operators.multimodal import (
     FEATURE_DIM,
+    _content_bytes,
+    _histogram_feature,
+    audio_n_samples,
+    decode_bmp,
     decode_media,
+    decode_wav,
+    decode_y4m,
+    encode_bmp,
+    encode_wav,
+    encode_y4m,
     frame_sample,
+    image_dims,
     synthesize_media,
+    video_dims,
 )
 
+
+# ------------------------------------------------------- byte-true codecs
+
+def test_bmp_roundtrip_exact_pixels():
+    rng = np.random.RandomState(7)
+    for w, h in [(1, 1), (2, 3), (5, 4), (16, 9)]:
+        px = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+        buf = encode_bmp(w, h, px)
+        # format math: 54-byte header + padded bottom-up rows
+        stride = (3 * w + 3) // 4 * 4
+        assert len(buf) == 54 + h * stride
+        assert buf[:2] == b"BM"
+        w2, h2, px2 = decode_bmp(buf)
+        assert (w2, h2) == (w, h)
+        assert np.array_equal(px2, px)
+
+
+def test_bmp_known_bytes():
+    # 1x1 pure-blue pixel (BGR = 255,0,0), hand-checked layout: row is
+    # padded to 4 bytes, stored after the 54-byte header
+    buf = encode_bmp(1, 1, np.array([[[255, 0, 0]]], dtype=np.uint8))
+    assert len(buf) == 58
+    assert buf[54:58] == b"\xff\x00\x00\x00"
+    assert struct.unpack_from("<ii", buf, 18) == (1, 1)
+    assert struct.unpack_from("<H", buf, 28)[0] == 24  # bpp
+
+
+def test_wav_roundtrip_exact_samples():
+    s = np.array([0, 1, -1, 32767, -32768, 1234], dtype=np.int16)
+    buf = encode_wav(s, sample_rate=8000)
+    assert len(buf) == 44 + 2 * s.size
+    assert buf[:4] == b"RIFF" and buf[8:12] == b"WAVE"
+    n, ch, s2 = decode_wav(buf)
+    assert (n, ch) == (s.size, 1)
+    assert np.array_equal(s2, s)
+
+
+def test_wav_chunk_walk_skips_extra_chunks():
+    # a LIST chunk between fmt and data must be walked over, not break
+    s = np.array([5, -5], dtype=np.int16)
+    buf = encode_wav(s)
+    fmt_end = 12 + 8 + 16
+    extra = struct.pack("<4sI", b"LIST", 4) + b"INFO"
+    patched = buf[:fmt_end] + extra + buf[fmt_end:]
+    n, ch, s2 = decode_wav(patched)
+    assert np.array_equal(s2, s)
+
+
+def test_y4m_roundtrip_exact_planes():
+    w, h, nf = 4, 2, 3
+    fsize = h * w + 2 * (h // 2) * (w // 2)
+    frames = np.arange(nf * fsize, dtype=np.uint8).reshape(nf, fsize)
+    buf = encode_y4m(w, h, frames)
+    assert buf.startswith(b"YUV4MPEG2 W4 H2 F25:1")
+    w2, h2, nf2, ys = decode_y4m(buf)
+    assert (w2, h2, nf2) == (w, h, nf)
+    for i in range(nf):
+        assert np.array_equal(ys[i].ravel(), frames[i][: h * w])
+
+
+def test_decoders_reject_garbage():
+    for fn in (decode_bmp, decode_wav, decode_y4m):
+        with pytest.raises(ValueError):
+            fn(b"\x00" * 64)
+
+
+def test_histogram_feature_is_density():
+    vals = np.array([0, 0, 16, 255], dtype=np.uint8)
+    f = _histogram_feature(vals)
+    assert len(f) == FEATURE_DIM
+    assert f[0] == pytest.approx(0.5) and f[1] == pytest.approx(0.25)
+    assert f[15] == pytest.approx(0.25)
+    assert float(f.sum()) == pytest.approx(1.0)
+
+
+# --------------------------------------------------------- spark pipeline
 
 @pytest.fixture(scope="module")
 def media(spark):
@@ -26,25 +119,77 @@ def test_media_schema_and_kinds(media):
     rows = media.collect()
     assert len(rows) == 30
     assert {r["kind"] for r in rows} == {"image", "audio", "video"}
-    assert all(r["n_bytes"] > 0 for r in rows)
-    assert all(len(r["sha256"]) == 64 for r in rows)
+    for r in rows:
+        assert r["n_bytes"] == len(r["payload"]) > 0
+        assert len(r["sha256"]) == 64
+        # payload is a genuine blob of the declared format
+        magic = bytes(r["payload"][:9])
+        assert {
+            "image": magic[:2] == b"BM",
+            "audio": magic[:4] == b"RIFF",
+            "video": magic == b"YUV4MPEG2",
+        }[r["kind"]]
 
 
-def test_decode_strict_raises(media):
-    with pytest.raises(NotImplementedError, match="media decoding"):
-        decode_media(media, strict=True)
+def test_media_sha256_is_source_digest(media, spark):
+    for r in media.limit(5).collect():
+        i = r["media_id"]
+        text = f"document body number {i} with some payload text"
+        assert r["sha256"] == hashlib.sha256(text.encode()).hexdigest()
 
 
-def test_decode_fake_deterministic(media):
+def test_decode_matches_synthesis_formulas(media):
+    dec = {r["media_id"]: r for r in decode_media(media, strict=True).collect()}
+    assert len(dec) == 30
+    for mid, r in dec.items():
+        if r["kind"] == "image":
+            assert (r["width"], r["height"]) == image_dims(mid)
+            assert r["n_frames"] == 1
+        elif r["kind"] == "audio":
+            assert r["width"] == audio_n_samples(mid)
+            assert r["height"] == 1 and r["n_frames"] == 1
+        else:
+            w, h, nf = video_dims(mid)
+            assert (r["width"], r["height"], r["n_frames"]) == (w, h, nf)
+        assert len(r["feature"]) == FEATURE_DIM
+        assert sum(r["feature"]) == pytest.approx(1.0, abs=1e-5)
+
+
+def test_decode_feature_is_content_true(media):
+    """The image feature must equal the histogram of the text bytes that
+    were painted into the pixels — computed independently here."""
+    dec = {r["media_id"]: r for r in decode_media(media, strict=True).collect()}
+    for mid in (0, 3, 6):  # images
+        w, h = image_dims(mid)
+        text = f"document body number {mid} with some payload text"
+        px = _content_bytes(text, h * w * 3)
+        want = _histogram_feature(px)
+        got = np.array(dec[mid]["feature"], dtype=np.float32)
+        assert np.allclose(got, want)
+
+
+def test_decode_corrupt_payload(spark, media):
+    corrupt = spark.createDataFrame(
+        [(999, bytes(b"not a media blob at all"))],
+        "media_id long, payload binary",
+    )
+    both = media.select("media_id", "payload").unionByName(corrupt)
+    # strict: the poisoned blob raises
+    with pytest.raises(Exception, match="unrecognized media payload"):
+        decode_media(both, strict=True).collect()
+    # lenient: decoded rows survive, the bad row is marked
+    rows = {r["media_id"]: r for r in decode_media(both, strict=False).collect()}
+    assert len(rows) == 31
+    assert rows[999]["kind"] == "unknown"
+    assert rows[999]["width"] is None and rows[999]["feature"] is None
+    assert rows[0]["kind"] == "image" and rows[0]["width"] == image_dims(0)[0]
+
+
+def test_decode_deterministic(media):
     a = {r["media_id"]: r for r in decode_media(media).collect()}
     b = {r["media_id"]: r for r in decode_media(media).collect()}
-    assert len(a) == 30
     for mid in a:
         assert a[mid]["feature"] == b[mid]["feature"]
-        assert len(a[mid]["feature"]) == FEATURE_DIM
-        assert a[mid]["width"] >= 1 and a[mid]["height"] >= 1
-        if a[mid]["kind"] != "video":
-            assert a[mid]["n_frames"] == 1
 
 
 def test_frame_sample(media):

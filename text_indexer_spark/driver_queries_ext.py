@@ -649,6 +649,9 @@ def sql_fingerprints() -> str:
 
 # ---------------------------------------------------------------- multimodal
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real encoders end to end: n_bytes is the TRUE size of the BMP /
+    PCM-WAV / Y4M blob the synthesizer wrote; the oracle recomputes it
+    from the public format math (header + stride/plane layout)."""
     docs = load_table(spark, sf_dir, "documents")
     return multimodal.synthesize_media(docs).select(
         "media_id", "kind", "n_bytes", "sha256"
@@ -659,22 +662,30 @@ def sql_multimodal_meta() -> str:
     return """
 SELECT doc_id AS media_id,
        (['image','audio','video'])[(doc_id % 3) + 1] AS kind,
-       octet_length(encode(coalesce(text, '')))::BIGINT AS n_bytes,
+       (CASE doc_id % 3
+          WHEN 0 THEN 54 + (doc_id % 7 + 3) * (((3 * (doc_id % 13 + 4) + 3) // 4) * 4)
+          WHEN 1 THEN 44 + 2 * (doc_id % 400 + 50)
+          ELSE length('YUV4MPEG2 W' || (doc_id % 6 + 2) * 2
+                      || ' H' || (doc_id % 4 + 2) * 2
+                      || ' F25:1 Ip A1:1 C420') + 1
+               + (doc_id % 12 + 2)
+                 * (6 + (doc_id % 6 + 2) * 2 * (doc_id % 4 + 2) * 2
+                    + 2 * ((doc_id % 6 + 2) * ((doc_id % 4 + 2) * 2 // 2)))
+        END)::BIGINT AS n_bytes,
        sha256(text) AS sha256
 FROM documents
 """
 
 
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame-sampling plumbing end to end: synthesize → (fake) decode →
-    per-frame explode. The fake decoder is deterministic sha256 math,
-    so the oracle reproduces n_frames (digest byte 2 % 30 + 1 for
-    video) and the stride-5 frame indices exactly."""
+    """Encode → DECODE (real header/pixel parsing) → per-frame explode.
+    width/height/n_frames come out of the payload bytes, so the oracle's
+    closed-form dimensions verify the parse, not the synthesis."""
     docs = load_table(spark, sf_dir, "documents")
     media = multimodal.synthesize_media(docs)
-    decoded = multimodal.decode_media(media, strict=False)
+    decoded = multimodal.decode_media(media, strict=True)
     return multimodal.frame_sample(decoded, every_n=5).select(
-        "media_id", "kind", "frame_idx"
+        "media_id", "kind", "frame_idx", "width", "height"
     )
 
 
@@ -683,12 +694,21 @@ def sql_multimodal_frames() -> str:
 WITH m AS (
   SELECT doc_id AS media_id,
          (['image','audio','video'])[(doc_id % 3) + 1] AS kind,
-         ('0x' || substr(sha256(coalesce(text, '')), 5, 2))::INT % 30 + 1 AS nf
+         CASE doc_id % 3
+           WHEN 0 THEN doc_id % 13 + 4
+           WHEN 1 THEN doc_id % 400 + 50
+           ELSE (doc_id % 6 + 2) * 2 END AS width,
+         CASE doc_id % 3
+           WHEN 0 THEN doc_id % 7 + 3
+           WHEN 1 THEN 1
+           ELSE (doc_id % 4 + 2) * 2 END AS height,
+         CASE WHEN doc_id % 3 = 2 THEN doc_id % 12 + 2 ELSE 1 END AS nf
   FROM documents
 )
 SELECT media_id, kind, unnest(
   CASE WHEN kind = 'video' THEN range(0, nf, 5) ELSE [0] END
-)::INT AS frame_idx
+)::INT AS frame_idx,
+       width::INT AS width, height::INT AS height
 FROM m
 """
 
