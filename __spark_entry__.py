@@ -76,6 +76,8 @@ _R3_PRIORITY = [
     # multimodal (no driver row in either round)
     "multimodal_meta",
     "multimodal_frames",
+    # new in r3 (never driver-verified by definition)
+    "lang_id_nb",
 ]
 
 

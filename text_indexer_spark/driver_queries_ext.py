@@ -553,6 +553,65 @@ SELECT doc_id, CASE {case} ELSE 'und' END AS pred_lang FROM b
 """
 
 
+LANGID_N = 3
+LANGID_TOP_V = 2000
+
+
+def q_lang_id_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-3-gram Naive Bayes lang-ID, trained distributively on the
+    corpus's own labels and replayed step-for-step by the SQL oracle
+    (vocab cut, Laplace smoothing, OOV floors, rounded argmax)."""
+    from text_indexer_spark.operators.langid import langid_self_predict
+
+    return langid_self_predict(
+        load_table(spark, sf_dir, "documents"),
+        n=LANGID_N,
+        top_v=LANGID_TOP_V,
+    )
+
+
+def sql_lang_id_nb() -> str:
+    n, top_v = LANGID_N, LANGID_TOP_V
+    grams = (
+        f"CASE WHEN length(t) >= {n} THEN "
+        f"list_transform(range(1, length(t) - {n - 2}), i -> substr(t, i, {n})) "
+        "WHEN length(t) > 0 THEN [t] ELSE [] END"
+    )
+    return f"""
+WITH lt AS (SELECT doc_id, lang, lower(coalesce(text, '')) AS t FROM documents),
+g AS (SELECT doc_id, lang, unnest({grams}) AS gram FROM lt),
+counts AS (SELECT lang, gram, count(*) AS c FROM g GROUP BY lang, gram),
+vocab AS (SELECT gram FROM (SELECT gram, sum(c) AS tot FROM counts
+          GROUP BY gram ORDER BY tot DESC, gram ASC LIMIT {top_v})),
+vsize AS (SELECT count(*)::DOUBLE AS v FROM vocab),
+iv AS (SELECT lang, gram, c FROM counts JOIN vocab USING (gram)),
+totals AS (SELECT lang, sum(c)::DOUBLE AS n_l FROM iv GROUP BY lang),
+priors AS (SELECT lang, count(*)::DOUBLE AS n_docs FROM documents GROUP BY lang),
+nn AS (SELECT count(*)::DOUBLE AS n FROM documents),
+langs AS (SELECT p.lang,
+                 round(ln(p.n_docs / (SELECT n FROM nn)), 7) AS logprior,
+                 round(ln(1.0 / (coalesce(tt.n_l, 0) + (SELECT v FROM vsize))), 7) AS oov
+          FROM priors p LEFT JOIN totals tt USING (lang)),
+model AS (SELECT iv.lang, iv.gram,
+                 round(ln((iv.c + 1.0) / (tt.n_l + (SELECT v FROM vsize))), 7)
+               - round(ln(1.0 / (tt.n_l + (SELECT v FROM vsize))), 7) AS adj
+          FROM iv JOIN totals tt USING (lang)),
+dg AS (SELECT doc_id, gram, count(*)::DOUBLE AS n_g FROM g GROUP BY doc_id, gram),
+tot AS (SELECT d.doc_id, coalesce(sum(dg.n_g), 0) AS n_tot
+        FROM documents d LEFT JOIN dg ON d.doc_id = dg.doc_id GROUP BY d.doc_id),
+adj AS (SELECT dg.doc_id, m.lang, sum(dg.n_g * m.adj) AS adj
+        FROM dg JOIN model m USING (gram) GROUP BY dg.doc_id, m.lang),
+scored AS (SELECT t.doc_id, l.lang,
+                  round(l.logprior + t.n_tot * l.oov + coalesce(a.adj, 0), 5) AS score
+           FROM tot t CROSS JOIN langs l
+           LEFT JOIN adj a ON a.doc_id = t.doc_id AND a.lang = l.lang)
+SELECT doc_id, lang AS pred_lang FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang ASC) AS rn
+  FROM scored) WHERE rn = 1
+"""
+
+
 def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.quality_scores(load_table(spark, sf_dir, "documents"))
 
@@ -1361,6 +1420,7 @@ def queries():
         "ann_ivf_full_probe": q_ann_ivf_full,
         "ann_ivf_indexed_full_probe": q_ann_ivf_indexed,
         "lang_id": q_lang_id,
+        "lang_id_nb": q_lang_id_nb,
         "quality_scores": q_quality,
         "quality_kept_corpus": q_quality_kept,
         "token_counts": q_token_counts,
@@ -1408,6 +1468,7 @@ def oracle_sql():
         "ann_ivf_full_probe": sql_ann_topk(),
         "ann_ivf_indexed_full_probe": sql_ann_topk(),
         "lang_id": sql_lang_id(),
+        "lang_id_nb": sql_lang_id_nb(),
         "quality_scores": sql_quality(),
         "quality_kept_corpus": sql_quality_kept(),
         "token_counts": sql_token_counts(),

@@ -13,9 +13,10 @@ from pyspark.sql import functions as F
 
 from text_indexer_spark.tokenizer import tokenize_column, word_ngrams_column
 
-# n-gram-heuristic language ID: tiny per-language marker lexicons
-# (deterministic stand-in for a real char-n-gram model; the Spark-side
-# plumbing — tokenize → score per language → argmax — is the real shape)
+# marker-lexicon language ID: tiny per-language lexicons, fully
+# SQL-expressible (kept as the lightweight/oracle-friendly variant; the
+# REAL trainable classifier is the char-n-gram Naive Bayes in
+# operators/langid.py — gate `lang_id_nb`)
 LANG_MARKERS: dict[str, list[str]] = {
     "en": ["the", "and", "of", "to", "is", "in", "that", "it"],
     "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "zu"],
