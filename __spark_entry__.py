@@ -78,6 +78,9 @@ _R3_PRIORITY = [
     "multimodal_frames",
     # new in r3 (never driver-verified by definition)
     "lang_id_nb",
+    "fuzzy_terms2",
+    "search_dsl_fuzzy2",
+    "search_dsl_fuzzy2_index",
 ]
 
 

@@ -204,6 +204,81 @@ def test_within_one_edit_matches_levenshtein():
     check()
 
 
+def test_within_edits_matches_levenshtein():
+    """Banded d≤2 kernel pinned to full-DP levenshtein (hypothesis)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from text_indexer_spark.operators.fuzzy import within_edits
+
+    def lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.text("abc", max_size=7), st.text("abc", max_size=7),
+           st.integers(min_value=0, max_value=3))
+    def check(a, b, d):
+        assert within_edits(a, b, d) == (lev(a, b) <= d)
+
+    check()
+
+
+def test_delete2_pigeonhole_complete(spark):
+    """Recall guarantee of the delete-2 candidate cut: EVERY vocabulary
+    string within levenshtein ≤ 2 of the query must survive the
+    neighborhood-overlap filter (hypothesis over small alphabets, run
+    through the actual Spark expression)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from text_indexer_spark.operators.fuzzy import fuzzy_terms, within_edits
+
+    @settings(max_examples=20, deadline=None)
+    @given(st.lists(st.text("ab", min_size=0, max_size=5), min_size=1,
+                    max_size=8, unique=True),
+           st.text("ab", min_size=1, max_size=5))
+    def check(vocab_terms, q):
+        vocab = spark.createDataFrame(
+            [(t, 1) for t in vocab_terms], "term string, df long"
+        )
+        got = {r["term"] for r in fuzzy_terms(vocab, q, max_edits=2).collect()}
+        want = {t for t in vocab_terms if within_edits(t, q, 2)}
+        assert got == want
+
+    check()
+
+
+def test_fuzzy_terms_d2_widen_past_d1(spark):
+    from text_indexer_spark.operators.fuzzy import fuzzy_terms
+
+    vocab = spark.createDataFrame(
+        [("stream", 3), ("sort", 2), ("table", 5), ("strum", 1)],
+        "term string, df long",
+    )
+    d1 = {r["term"]: r["dist"] for r in fuzzy_terms(vocab, "strm", 1).collect()}
+    d2 = {r["term"]: r["dist"] for r in fuzzy_terms(vocab, "strm", 2).collect()}
+    assert d1 == {"strum": 1}
+    assert d2 == {"strum": 1, "stream": 2, "sort": 2}
+
+
+def test_dsl_fuzzy2_leaf(spark):
+    from text_indexer_spark.operators.querylang import Fuzzy, parse_dsl
+
+    node = parse_dsl("strm~2")
+    assert node == Fuzzy("strm", edits=2)
+    assert parse_dsl("strm~") == Fuzzy("strm", edits=1)
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="edit distance"):
+        parse_dsl("strm~3")
+
+
 # ------------------------------------------------------------ lang routing
 def test_char_bigram_tokenize():
     import pandas as pd

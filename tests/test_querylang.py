@@ -139,9 +139,9 @@ def test_parse_errors():
         parse_dsl("a.b*")
     # inner * is a wildcard, not a prefix
     assert parse_dsl("qu*ck*") == Wildcard("qu*ck*")
-    # fuzzy: only radius <= 1; no wildcard chars in the stem
+    # fuzzy: only radius <= 2; no wildcard chars in the stem
     with pytest.raises(ValueError):
-        parse_dsl("fox~2")
+        parse_dsl("fox~3")
     with pytest.raises(ValueError):
         parse_dsl("fo*~")
 

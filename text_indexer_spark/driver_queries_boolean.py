@@ -41,6 +41,9 @@ NEAR_QUERY = '"merge stream"~6 AND NOT dup'
 # fuzzy leaf: "tble~" is a deliberate typo one edit from "table";
 # boolean glue keeps the whole grammar in play
 FUZZY_QUERY = "tble~ AND (quer* OR dup)"
+# d=2 fuzzy leaf: "strm" has NO distance-1 vocabulary match, so ~2 is
+# the only reason this query returns anything (sort, stream)
+FUZZY2_QUERY = "strm~2 AND NOT dup"
 ROUND = 4
 
 
@@ -226,7 +229,8 @@ def _dsl_match_cte(query: str) -> str:
             flag_of[leaf] = f"coalesce(f{i}, false)"
         elif isinstance(leaf, ql.Fuzzy):
             lm_flags.append(
-                f"bool_or(levenshtein(term, '{leaf.term}') <= 1) AS f{i}"
+                f"bool_or(levenshtein(term, '{leaf.term}') <= {leaf.edits}) "
+                f"AS f{i}"
             )
             flag_of[leaf] = f"coalesce(f{i}, false)"
         elif isinstance(leaf, ql.Near):
@@ -343,6 +347,33 @@ def q_search_dsl_fuzzy_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_search_dsl_fuzzy2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``term~2`` leaf: SymSpell delete-2 candidate cut + levenshtein
+    verify inside the one-scan leaf evaluation."""
+    from text_indexer_spark.operators.querylang import match_query
+
+    return match_query(doc_postings(spark, sf_dir), FUZZY2_QUERY)
+
+
+def q_search_dsl_fuzzy2_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``term~2`` served from the compressed committed index (per-shard
+    decoded vocabulary checked with the banded d<=2 kernel)."""
+    from text_indexer_spark.driver_queries_ext import (
+        _engine_id_map,
+        _ensure_wand_index,
+    )
+    from text_indexer_spark.operators.index_build import load_posting_lists
+    from text_indexer_spark.operators.querylang import match_query_index
+
+    idx = _ensure_wand_index(spark, sf_dir)
+    ids = match_query_index(load_posting_lists(spark, idx), FUZZY2_QUERY)
+    return (
+        ids.withColumnRenamed("doc_id", "engine_id")
+        .join(F.broadcast(_engine_id_map(spark, idx)), "engine_id")
+        .select("doc_id")
+    )
+
+
 def q_search_dsl_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Result-page snippets for the full DSL query: the tree selects the
     docs, the positively-used phrase terms highlight."""
@@ -389,6 +420,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_dsl_near": q_search_dsl_near,
         "search_dsl_fuzzy": q_search_dsl_fuzzy,
         "search_dsl_fuzzy_index": q_search_dsl_fuzzy_index,
+        "search_dsl_fuzzy2": q_search_dsl_fuzzy2,
+        "search_dsl_fuzzy2_index": q_search_dsl_fuzzy2_index,
         "search_dsl_snippets": q_search_dsl_snippets,
     }
 
@@ -406,5 +439,7 @@ def oracle_sql() -> dict[str, str]:
         "search_dsl_near": sql_search_dsl(NEAR_QUERY),
         "search_dsl_fuzzy": sql_search_dsl(FUZZY_QUERY),
         "search_dsl_fuzzy_index": sql_search_dsl(FUZZY_QUERY),
+        "search_dsl_fuzzy2": sql_search_dsl(FUZZY2_QUERY),
+        "search_dsl_fuzzy2_index": sql_search_dsl(FUZZY2_QUERY),
         "search_dsl_snippets": sql_search_dsl_snippets(),
     }

@@ -252,6 +252,25 @@ def sql_fuzzy_terms() -> str:
     )
 
 
+FUZZY2_TERM = "strm"  # d1 matches NOTHING; d2 matches {sort, stream}
+
+
+def q_fuzzy_terms2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SymSpell delete-2 neighborhood + banded-levenshtein verify: the
+    d=2 radius must add terms the d=1 gate cannot see (the gate term
+    has zero distance-1 matches in the corpus vocabulary)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return fuzzy.fuzzy_terms(fuzzy.vocabulary(docs), FUZZY2_TERM, max_edits=2)
+
+
+def sql_fuzzy_terms2() -> str:
+    return (
+        f"SELECT term, levenshtein(term, '{FUZZY2_TERM}')::INT AS dist "
+        f"FROM {_vocab_sql()} v "
+        f"WHERE levenshtein(term, '{FUZZY2_TERM}') <= 2"
+    )
+
+
 def q_search_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return fuzzy.fuzzy_conjunctive_match(docs, FUZZY_QUERY)
@@ -278,6 +297,7 @@ def queries():
         "repetition_stats": q_repetition,
         "repetition_kept_corpus": q_repetition_kept,
         "fuzzy_terms": q_fuzzy_terms,
+        "fuzzy_terms2": q_fuzzy_terms2,
         "search_fuzzy": q_search_fuzzy,
         "tokenize_by_lang": q_tokenize_by_lang,
         "pii_stats": q_pii_stats,
@@ -291,6 +311,7 @@ def oracle_sql():
         "repetition_stats": sql_repetition(),
         "repetition_kept_corpus": sql_repetition_kept(),
         "fuzzy_terms": sql_fuzzy_terms(),
+        "fuzzy_terms2": sql_fuzzy_terms2(),
         "search_fuzzy": sql_search_fuzzy(),
         "tokenize_by_lang": sql_tokenize_by_lang(),
         "pii_stats": sql_pii_stats(),

@@ -93,12 +93,14 @@ class Wildcard:
 
 @dataclass(frozen=True)
 class Fuzzy:
-    """``term~`` / ``term~1``: terms within edit distance 1 (SymSpell
-    deletion-neighborhood candidates + levenshtein verify — see
-    ``operators/fuzzy.py``). Like Prefix/Wildcard it filters but does
-    not score (Lucene convention for multi-term expansions)."""
+    """``term~`` / ``term~1`` / ``term~2``: terms within edit distance
+    ``edits`` (SymSpell deletion-neighborhood candidates + levenshtein
+    verify — see ``operators/fuzzy.py``). Like Prefix/Wildcard it
+    filters but does not score (Lucene convention for multi-term
+    expansions)."""
 
     term: str
+    edits: int = 1
 
 
 QNode = Node | Phrase | Near | Prefix | Wildcard | Fuzzy
@@ -156,10 +158,12 @@ def _word_leaf(word: str) -> QNode:
             )
         if edits in ("", "1"):
             return Fuzzy(stem)
+        if edits == "2":
+            return Fuzzy(stem, edits=2)
         if edits == "0":
             return Term(stem)
         raise ValueError(
-            f"fuzzy {word!r}: only edit distance <= 1 is supported"
+            f"fuzzy {word!r}: only edit distance <= 2 is supported"
         )
     if "*" in word or "?" in word:
         if (
@@ -428,7 +432,9 @@ def match_query(
             )
 
             ids = (
-                postings.filter(fuzzy_candidate_cond(F.col("term"), leaf.term))
+                postings.filter(
+                    fuzzy_candidate_cond(F.col("term"), leaf.term, leaf.edits)
+                )
                 .select("doc_id")
                 .distinct()
             )
@@ -530,7 +536,9 @@ def _prepare_index_query(posting_lists: DataFrame, node: QNode):
                 fuzzy_candidate_cond,
             )
 
-            conds.append(fuzzy_candidate_cond(F.col("term"), n.term))
+            conds.append(
+                fuzzy_candidate_cond(F.col("term"), n.term, n.edits)
+            )
     scan_cond = conds[0]
     for c in conds[1:]:
         scan_cond = scan_cond | c
@@ -600,13 +608,11 @@ def _index_kernel(node: QNode, leaves, need_pos, score_terms, k, round_to):
                     if t.startswith(n.prefix)
                 ]
             elif isinstance(n, Fuzzy):
-                from text_indexer_spark.operators.fuzzy import (
-                    within_one_edit,
-                )
+                from text_indexer_spark.operators.fuzzy import within_edits
 
                 parts = [
                     v for t, v in ids_by_term.items()
-                    if within_one_edit(t, n.term)
+                    if within_edits(t, n.term, n.edits)
                 ]
             else:  # Wildcard
                 rx = re.compile(wildcard_regex(n.pattern))
