@@ -216,3 +216,42 @@ def test_catalog_consumes_registry_provenance(spark):
         for r in build_catalog(corpus.drop("is_nested", "source_root")).collect()
     }
     assert cat2["texts/explicit.txt"]["is_nested"] is True  # fallback heuristic
+
+
+def test_registry_state_persist_roundtrip(spark, tmp_path):
+    """Durable catalog API: save → load across 'sessions' is exact, the
+    LATEST pointer swaps atomically, and stale versions stay readable."""
+    from text_indexer_spark.operators.registry import (
+        add_file_sources,
+        empty_state,
+        load_state,
+        load_state_version,
+        remove_items,
+        save_state,
+    )
+
+    sd = str(tmp_path / "registry_state")
+    assert load_state_version(sd) == 0
+    assert load_state(spark, sd).count() == 0
+
+    files = spark.createDataFrame(
+        [("r", "a/b/f1.txt", 1), ("r", "a/f2.txt", 2)],
+        "repo string, path string, doc_id long",
+    )
+    s1 = add_file_sources(empty_state(spark), files)
+    assert save_state(s1, sd) == 1
+    got = load_state(spark, sd)
+    key = lambda df: sorted(
+        (r["repo"], r["path"], r["kind"], r["doc_id"], r["status"])
+        for r in df.collect()
+    )
+    assert key(got) == key(s1)
+
+    removed = spark.createDataFrame(
+        [("r", "a/b/f1.txt", False)],
+        "repo string, path string, still_exists boolean",
+    )
+    s2 = remove_items(got, removed)
+    assert save_state(s2, sd) == 2
+    assert load_state_version(sd) == 2
+    assert key(load_state(spark, sd)) == key(s2)

@@ -305,3 +305,49 @@ def top_level_items(listing: DataFrame) -> DataFrame:
         .distinct()
     )
     return listing.join(covered, ["repo", "path"], "left_anti").orderBy("repo", "path")
+
+
+# ------------------------------------------------------- durable state
+# Long-lived catalogs should not live in executor memory between ops
+# (``_commit``'s localCheckpoint is the right lineage cut WITHIN a
+# session, not a persistence story). These two functions are the
+# deployment API: versioned parquet snapshots with an atomically
+# swapped LATEST pointer — crash-safe (a torn write never becomes
+# LATEST), storage-abstracted (local/object-store via ``storage``), and
+# the same pattern the index manifest uses (``checkpoint.py``).
+
+def save_state(state: DataFrame, state_dir: str) -> int:
+    """Persist registry state as the next version under ``state_dir``;
+    returns the committed version number."""
+    from text_indexer_spark import storage
+
+    cur = load_state_version(state_dir)
+    version = cur + 1
+    vdir = storage.join(state_dir, f"state_v{version:06d}")
+    state.write.mode("overwrite").parquet(vdir)
+    storage.write_bytes_atomic(
+        storage.join(state_dir, "LATEST"), str(version).encode()
+    )
+    return version
+
+
+def load_state_version(state_dir: str) -> int:
+    """Committed version under ``state_dir`` (0 if none)."""
+    from text_indexer_spark import storage
+
+    ptr = storage.join(state_dir, "LATEST")
+    if not storage.exists(ptr):
+        return 0
+    return int(storage.read_bytes(ptr).decode().strip())
+
+
+def load_state(spark, state_dir: str) -> DataFrame:
+    """Load the committed registry state (empty state if none yet)."""
+    from text_indexer_spark import storage
+
+    version = load_state_version(state_dir)
+    if version == 0:
+        return empty_state(spark)
+    return spark.read.parquet(
+        storage.join(state_dir, f"state_v{version:06d}")
+    )
