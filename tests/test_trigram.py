@@ -1,0 +1,178 @@
+"""Trigram content index: the accelerated grep must return EXACTLY the
+full-scan relation, and the literal analyzer must be sound (every
+extracted literal is genuinely required by the pattern — checked
+exhaustively against Python ``re`` over a small alphabet)."""
+
+from __future__ import annotations
+
+import re
+from itertools import product
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from text_indexer_spark.corpus import golden_corpus, synthetic_corpus
+from text_indexer_spark.operators.highlight import regex_grep
+from text_indexer_spark.operators.trigram import (
+    grep_trigram,
+    literals_from_regex,
+    required_grams,
+    substring_candidates,
+    trigram_postings,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    g = golden_corpus(spark).select(
+        F.monotonically_increasing_id().alias("doc_id"),
+        F.col("content").alias("text"),
+    )
+    s = synthetic_corpus(spark, n_docs=150, avg_tokens=30, n_repos=10).select(
+        (F.monotonically_increasing_id() + F.lit(1000)).alias("doc_id"),
+        F.col("content").alias("text"),
+    )
+    return g.unionByName(s).cache()
+
+
+# ------------------------------------------------------------- postings
+
+def test_trigram_postings_matches_python(spark, docs):
+    rows = docs.collect()
+    want = set()
+    for r in rows:
+        t = (r["text"] or "").lower()
+        for i in range(max(len(t) - 2, 0)):
+            want.add((r["doc_id"], t[i:i + 3]))
+    got = {
+        (r["doc_id"], r["gram"])
+        for r in trigram_postings(docs).collect()
+    }
+    assert got == want
+
+
+def test_trigram_postings_short_docs(spark):
+    d = spark.createDataFrame(
+        [(1, ""), (2, "ab"), (3, "abc"), (4, None)],
+        "doc_id long, text string",
+    )
+    got = {(r["doc_id"], r["gram"]) for r in trigram_postings(d).collect()}
+    assert got == {(3, "abc")}
+
+
+# ------------------------------------------------------- literal analyzer
+
+@pytest.mark.parametrize("pattern,want", [
+    ("query", ["query"]),
+    ("quer[a-z]+", ["quer"]),
+    ("s[a-z]+m", ["s", "m"]),
+    ("foo|bar", []),
+    ("(foo)bar", ["bar"]),
+    ("foo(bar)?baz", ["foo", "baz"]),
+    ("foo.bar", ["foo", "bar"]),
+    ("ab+c", ["ab", "bc"]),
+    ("ab*c", ["a", "c"]),   # optional b BETWEEN a and c: never merge to "ac"
+    ("ab?c", ["a", "c"]),
+    ("fo{2}d", ["fo", "od"]),
+    ("fo{0,1}d", ["f", "d"]),
+    ("a\\.b", ["a.b"]),
+    ("\\d+foo", ["foo"]),
+    ("^start.*end$", ["start", "end"]),
+    ("", []),
+])
+def test_literal_extraction_cases(pattern, want):
+    got = literals_from_regex(pattern)
+    assert got == want, (pattern, got)
+
+
+_ATOMS = ["a", "b", "c", "ab", "bc", "abc", "[ab]", "[^a]", ".", "(ab)", "(a|b)", "\\d"]
+_QUANTS = ["", "?", "*", "+", "{2}", "{0,2}", "{1,2}"]
+
+
+@st.composite
+def _patterns(draw):
+    k = draw(st.integers(1, 4))
+    parts = []
+    for _ in range(k):
+        a = draw(st.sampled_from(_ATOMS))
+        q = draw(st.sampled_from(_QUANTS))
+        if q and a == ".":
+            q = ""  # .* over the tiny alphabet matches everything anyway
+        parts.append(a + q)
+    return "".join(parts)
+
+
+@settings(max_examples=300, deadline=None)
+@given(_patterns())
+def test_literal_extraction_sound_exhaustive(pattern):
+    """THE soundness property: for every string (exhaustive over a 3-char
+    alphabet up to length 6) the pattern matches, every extracted
+    literal appears (case-folded — the index is lowercased)."""
+    rx = re.compile(pattern)
+    lits = literals_from_regex(pattern)
+    if not lits:
+        return
+    for L in range(0, 7):
+        for tup in product("abc", repeat=L):
+            s = "".join(tup)
+            if rx.search(s):
+                for lit in lits:
+                    assert lit.lower() in s.lower(), (pattern, lit, s)
+
+
+def test_required_grams():
+    assert required_grams("quer[a-z]+") == ["que", "uer"]
+    assert required_grams("s[a-z]+m") == []          # literals too short
+    assert required_grams("foo|bar") == []           # alternation
+    assert required_grams("JudgeMental") == [
+        "dge", "eme", "ent", "gem", "jud", "men", "nta", "tal", "udg",
+    ]
+
+
+# ---------------------------------------------------------------- grep
+
+GREP_PATTERNS = [
+    "quer[a-z]+",          # literal ≥3 → trigram-pruned
+    "judgemental",         # plain literal
+    "Tyler",               # case-sensitive verify over lowercased index
+    "strange time",        # literal with space
+    "practi[a-z]+ guide",  # two literals
+    "s[a-z]+m",            # no usable literal → full-scan fallback
+    "count_2 \\+ 41",      # escaped metachar (code corpus shape)
+    "zzz_no_such_string",  # empty result
+]
+
+
+@pytest.mark.parametrize("pattern", GREP_PATTERNS)
+def test_grep_trigram_equals_full_scan(spark, docs, pattern):
+    tri = trigram_postings(docs).cache()
+    want = sorted(
+        (r["doc_id"], r["n_matches"]) for r in regex_grep(docs, pattern).collect()
+    )
+    got = sorted(
+        (r["doc_id"], r["n_matches"])
+        for r in grep_trigram(docs, tri, pattern).collect()
+    )
+    assert got == want, pattern
+
+
+def test_substring_candidates_superset_and_verified(spark, docs):
+    needle = "curious"
+    cand = substring_candidates(trigram_postings(docs), needle)
+    cand_ids = {r["doc_id"] for r in cand.collect()}
+    truth = {
+        r["doc_id"]
+        for r in docs.filter(
+            F.contains(F.lower("text"), F.lit(needle))
+        ).collect()
+    }
+    assert truth <= cand_ids  # superset (sound)
+    # verify step closes the gap exactly
+    verified = docs.join(cand, "doc_id", "left_semi").filter(
+        F.contains(F.lower("text"), F.lit(needle))
+    )
+    assert {r["doc_id"] for r in verified.collect()} == truth
+    with pytest.raises(ValueError):
+        substring_candidates(trigram_postings(docs), "ab")

@@ -140,6 +140,23 @@ def cmd_sync_index(args) -> int:
     return 0
 
 
+def cmd_optimize(args) -> int:
+    """Compaction: restore the build's doc-id layout after incremental
+    syncs (contiguous scoped serving, tight delta gaps) — no re-tokenize,
+    no shuffle; the result equals a from-scratch rebuild byte for byte."""
+    from text_indexer_spark.operators.index_optimize import optimize_index
+
+    spark = _spark(args)
+    manifest = optimize_index(spark, args.index, args.out)
+    print(json.dumps({
+        "version": manifest["version"],
+        "n_docs": manifest["n_docs"],
+        "optimized": manifest["optimized"],
+        "built_sec": round(manifest["built_sec"], 3),
+    }))
+    return 0
+
+
 def cmd_merge(args) -> int:
     from text_indexer_spark.operators.index_build import load_posting_lists
     from text_indexer_spark.operators.merge import merge_term_major
@@ -310,6 +327,15 @@ def main(argv: list[str] | None = None) -> int:
     si.add_argument("--source", required=True)
     si.add_argument("--out", required=True)
     si.set_defaults(fn=cmd_sync_index)
+
+    o = sub.add_parser(
+        "optimize",
+        help="compact a synced index: restore the build id layout "
+             "(new committed version; ≡ a fresh rebuild, ~0.1% the cost)",
+    )
+    o.add_argument("--index", required=True)
+    o.add_argument("--out", required=True)
+    o.set_defaults(fn=cmd_optimize)
 
     m = sub.add_parser("merge", help="sharded lists -> global term-major lists")
     m.add_argument("--index", required=True)

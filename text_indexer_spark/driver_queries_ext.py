@@ -38,6 +38,12 @@ ROUND = 4
 
 _WAND_INDEX_CACHE: dict[str, str] = {}
 _POS_INDEX_CACHE: dict[str, str] = {}
+_OPT_INDEX_CACHE: dict[str, str] = {}
+
+#: regex with a required literal ≥3 chars ("quer") — exercises the
+#: trigram-pruned grep path (the full-scan GREP_REGEX "s[a-z]+m" has no
+#: usable literal and would silently fall back)
+TRIGRAM_REGEX = "quer[a-z]+"
 
 
 # ---------------------------------------------------------------- SQL bits
@@ -1306,6 +1312,113 @@ def q_merged_decoded_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _corpus_snapshot2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``driver_queries._snapshot2`` (the deterministic delete/modify/add
+    mix, SNAPSHOT2_SQL ground truth) mapped onto the corpus input shape —
+    drives the COMMITTED-index sync + optimize gates."""
+    docs = load_table(spark, sf_dir, "documents")
+    kept = docs.filter(F.pmod(F.col("doc_id"), F.lit(10)) != 0)
+    modified = kept.withColumn(
+        "text",
+        F.when(
+            F.pmod(F.col("doc_id"), F.lit(10)) == 1,
+            F.concat(F.col("text"), F.lit(" modified snapshot marker")),
+        ).otherwise(F.col("text")),
+    ).select("doc_id", "text", "source", "lang")
+    added = docs.filter(F.pmod(F.col("doc_id"), F.lit(10)) == 2).select(
+        (F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"),
+        F.concat(F.lit("added doc body "), F.col("text")).alias("text"),
+        "source",
+        "lang",
+    )
+    snap2 = modified.unionByName(added)
+    return snap2.select(
+        F.col("source").alias("repo"),
+        F.concat(
+            F.lit("docs/doc_"), F.col("doc_id").cast("string"), F.lit(".txt")
+        ).alias("path"),
+        F.sha2(F.coalesce(F.col("text"), F.lit("")), 256).alias("commit"),
+        F.col("lang"),
+        F.col("text").alias("content"),
+    )
+
+
+def _ensure_opt_index(spark: SparkSession, sf_dir: str) -> str:
+    """v1 (the cached WAND index) → incremental sync to snapshot 2 →
+    ``optimize_index``: the full committed-index lifecycle in one gate
+    input."""
+    if sf_dir not in _OPT_INDEX_CACHE:
+        from text_indexer_spark.operators.index_optimize import optimize_index
+        from text_indexer_spark.operators.index_sync import sync_index_dir
+
+        v1 = _ensure_wand_index(spark, sf_dir)
+        synced = tempfile.mkdtemp(prefix="driver_sync_idx_")
+        sync_index_dir(spark, v1, _corpus_snapshot2(spark, sf_dir), synced)
+        opt = tempfile.mkdtemp(prefix="driver_opt_idx_")
+        optimize_index(spark, synced, opt)
+        _OPT_INDEX_CACHE[sf_dir] = opt
+    return _OPT_INDEX_CACHE[sf_dir]
+
+
+def q_optimized_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lifecycle gate: build → incremental sync → OPTIMIZE (compaction
+    back to the build's id layout, ``operators/index_optimize.py``) →
+    decode must reproduce the exact (term, doc, tf) relation of snapshot
+    2 — the same ground truth the DataFrame-level sync gate uses."""
+    from text_indexer_spark.operators.index_build import load_posting_lists
+
+    idx = _ensure_opt_index(spark, sf_dir)
+    decoded = _decode_lists(load_posting_lists(spark, idx))
+    return (
+        decoded.join(F.broadcast(_engine_id_map(spark, idx)), "engine_id")
+        .select("term", "doc_id", "tf")
+    )
+
+
+def sql_optimized_postings() -> str:
+    # ground truth: tokenize snapshot 2 directly — identical oracle to
+    # the DataFrame-level sync gate (the committed path must agree)
+    from text_indexer_spark.driver_queries import sql_sync_apply_postings
+
+    return sql_sync_apply_postings()
+
+
+def q_trigram_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-trigram content index over ``documents`` (the public
+    code-search design: Cox's trigram index / Zoekt) — one codegen'd
+    scan, no Python workers, no shuffle."""
+    from text_indexer_spark.operators.trigram import trigram_postings
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return trigram_postings(docs)
+
+
+def sql_trigram_postings() -> str:
+    return (
+        "SELECT doc_id, unnest(list_distinct(list_transform("
+        "range(1, greatest(length(text) - 1, 1)), "
+        "i -> substr(lower(text), i, 3)))) AS gram FROM documents"
+    )
+
+
+def q_regex_grep_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-accelerated regex grep: required trigrams prune candidates,
+    the true regex verifies only the semi-joined sliver — must equal the
+    full-scan relation exactly (``operators/trigram.py``)."""
+    from text_indexer_spark.operators.trigram import grep_trigram, trigram_postings
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return grep_trigram(docs, trigram_postings(docs), TRIGRAM_REGEX)
+
+
+def sql_regex_grep_trigram() -> str:
+    return (
+        f"SELECT doc_id, length(regexp_extract_all(text, '{TRIGRAM_REGEX}'))::INT "
+        "AS n_matches FROM documents "
+        f"WHERE length(regexp_extract_all(text, '{TRIGRAM_REGEX}')) > 0"
+    )
+
+
 def sql_wand_bm25_topk() -> str:
     from text_indexer_spark.driver_queries import sql_bm25_topk
 
@@ -1446,6 +1559,9 @@ def queries():
         "decoded_postings": q_decoded_postings,
         "wand_bm25_batch": q_wand_batch_topk,
         "merged_decoded_postings": q_merged_decoded_postings,
+        "optimized_postings": q_optimized_postings,
+        "trigram_postings": q_trigram_postings,
+        "regex_grep_trigram": q_regex_grep_trigram,
     }
 
 
@@ -1494,4 +1610,7 @@ def oracle_sql():
         "wand_bm25_batch": sql_wand_batch_topk(),
         "merged_decoded_postings": _sql_postings_oracle(),
         "wand_bm25_topk_or": __import__("text_indexer_spark.driver_queries", fromlist=["sql_bm25_topk"]).sql_bm25_topk(conjunctive=False),
+        "optimized_postings": sql_optimized_postings(),
+        "trigram_postings": sql_trigram_postings(),
+        "regex_grep_trigram": sql_regex_grep_trigram(),
     }

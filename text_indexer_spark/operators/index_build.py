@@ -402,8 +402,12 @@ def encode_shards(
                         else None
                     )
                     # int-code sort instead of an object-string lexsort;
-                    # df lookup once per unique term
-                    codes, uniq_vals = pd.factorize(terms)
+                    # df lookup once per unique term. sort=True makes the
+                    # written list order CANONICAL (term-ascending),
+                    # independent of postings-file row order — the
+                    # optimize ≡ fresh-rebuild byte-equality differential
+                    # (test_index_optimize.py) relies on this.
+                    codes, uniq_vals = pd.factorize(terms, sort=True)
                     idx = np.lexsort((doc_ids, codes))
                     terms, doc_ids, tfs = terms[idx], doc_ids[idx], tfs[idx]
                     dmap = bdf.value
@@ -443,7 +447,7 @@ def encode_shards(
         doc_ids = pdf["doc_id"].to_numpy()
         tfs = pdf["tf"].to_numpy()
         dfs = pdf["df"].to_numpy(dtype=np.float64)
-        codes, _ = pd.factorize(terms)
+        codes, _ = pd.factorize(terms, sort=True)  # canonical term order
         idx = np.lexsort((doc_ids, codes))
         pos = (
             pdf["positions"].to_numpy()[idx]

@@ -1,0 +1,285 @@
+"""Trigram content index: substring / regex search without a full scan.
+
+The inverted token index cannot serve patterns that cross token
+boundaries; ``highlight.regex_grep`` covers them with a full content
+scan — correct, but a full scan of a 100 TB corpus per grep is the one
+access path that does not amortize. The standard fix for code search
+(Google Code Search, Zoekt — R. Cox, "Regular Expression Matching with
+a Trigram Index", public design) is a character-trigram index:
+
+* ingest: each document contributes its DISTINCT lowercased character
+  trigrams → a (gram, doc_id) postings relation. One codegen'd scan —
+  ``transform(sequence(...))`` + ``array_distinct`` + ``explode`` — no
+  Python workers;
+* query: a conservative analyzer extracts literal substrings that EVERY
+  match of the pattern must contain; their trigrams become a
+  conjunctive filter over the gram postings (IN-pushdown scan → one
+  aggregation → candidate doc ids);
+* verify: the true regex runs ONLY over the candidate semi-join — the
+  expensive scan tier touches a sliver of the corpus.
+
+Correctness does not depend on the analyzer being smart, only on it
+being SOUND (every extracted literal really is required): candidates
+are a superset of matches and the verification regex is the final
+word. Patterns with no usable literal (≥3 chars) fall back to the full
+scan, same results.
+
+Lowercasing makes the index case-insensitive (one index serves
+case-sensitive and -insensitive queries); required grams are lowercased
+to match, which only widens the candidate set — still sound.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from text_indexer_spark.operators.highlight import regex_grep
+
+N = 3  # gram width; 3 is the published sweet spot for code corpora
+
+
+def trigram_postings(
+    corpus: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, gram) — the distinct lowercased char trigrams per document.
+
+    Pure JVM expressions: position sequence → substr per position →
+    array_distinct → explode, all in one whole-stage-codegen scan; the
+    explode is the only row amplification (bounded by content length)
+    and there is NO shuffle — the relation lands partitioned exactly
+    like the corpus, ready to be persisted bucketed by ``gram`` for
+    IN-list pruned probes at serving time."""
+    lt = F.lower(F.col(text_col))
+    # sequence(1, 0) would count DOWN — guard short docs explicitly
+    grams = F.when(
+        F.length(lt) >= N,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.length(lt) - F.lit(N - 1)),
+                lambda i: lt.substr(i, F.lit(N)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return corpus.select(F.col(id_col), F.explode(grams).alias("gram"))
+
+
+def _skip_class(pattern: str, i: int) -> int:
+    """index just past a [...] character class starting at ``i``."""
+    i += 1
+    if i < len(pattern) and pattern[i] == "^":
+        i += 1
+    if i < len(pattern) and pattern[i] == "]":  # literal ] first
+        i += 1
+    while i < len(pattern) and pattern[i] != "]":
+        if pattern[i] == "\\":
+            i += 1
+        i += 1
+    return i + 1  # past ']'
+
+
+def _skip_group(pattern: str, i: int) -> int:
+    """index just past a (...) group starting at ``i`` (nesting +
+    classes + escapes respected)."""
+    depth = 0
+    while i < len(pattern):
+        c = pattern[i]
+        if c == "\\":
+            i += 2
+            continue
+        if c == "[":
+            i = _skip_class(pattern, i)
+            continue
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+            if depth == 0:
+                return i + 1
+        i += 1
+    return i
+
+
+def literals_from_regex(pattern: str) -> list[str]:
+    """Literal substrings REQUIRED by the pattern — every string the
+    regex matches contains every returned literal.
+
+    Conservative by construction (soundness is hypothesis-tested against
+    Python ``re`` in tests/test_trigram.py):
+
+    * any top-level alternation → give up entirely (return []);
+    * groups are skipped wholesale (their contents may be optional);
+      a quantifier after a group/class applies to the skipped part;
+    * ``x?`` / ``x*`` / ``x{0,..}`` drop x from the current run;
+    * ``x+`` / ``x{1,..}`` guarantee "…x" and "x…": the run up to x is
+      flushed and a new run restarts at x (repetition may split the
+      neighborhood but both sides stay required);
+    * ``.``, anchors, and class shorthands (\\d, \\w, …) break the run;
+      escaped punctuation (\\., \\+) is a literal character.
+    """
+    # alternation anywhere outside a class defeats required-ness of
+    # everything (a|b requires neither) — scan for it first
+    i, n = 0, len(pattern)
+    while i < n:
+        c = pattern[i]
+        if c == "\\":
+            i += 2
+            continue
+        if c == "[":
+            i = _skip_class(pattern, i)
+            continue
+        if c == "|":
+            return []
+        i += 1
+
+    literals: list[str] = []
+    run: list[str] = []
+
+    def flush() -> None:
+        if run:
+            literals.append("".join(run))
+            run.clear()
+
+    i = 0
+    while i < n:
+        c = pattern[i]
+        if c == "\\":
+            nxt = pattern[i + 1] if i + 1 < n else ""
+            if nxt and not nxt.isalnum():
+                run.append(nxt)  # escaped metachar = literal
+            else:
+                flush()  # \d \w \b \1 … = wildcard-ish
+            i += 2
+            continue
+        if c == "[":
+            flush()
+            i = _skip_class(pattern, i)
+            # a quantifier after the class applies to the class — the
+            # run is already broken, nothing to trim
+            if i < n and pattern[i] in "?*+":
+                i += 1
+            elif i < n and pattern[i] == "{":
+                i = pattern.index("}", i) + 1 if "}" in pattern[i:] else n
+            continue
+        if c == "(":
+            flush()
+            i = _skip_group(pattern, i)
+            if i < n and pattern[i] in "?*+":
+                i += 1
+            elif i < n and pattern[i] == "{":
+                i = pattern.index("}", i) + 1 if "}" in pattern[i:] else n
+            continue
+        if c in ".^$":
+            flush()
+            i += 1
+            continue
+        if c in "?*":
+            if run:
+                run.pop()  # previous char now optional…
+            flush()  # …and it may sit BETWEEN neighbors: break the run
+            # ("ab?c" requires "a" and "c", never "ac")
+            i += 1
+            continue
+        if c == "+":
+            if run:
+                last = run[-1]
+                flush()
+                run.append(last)  # "x…" side stays required
+            i += 1
+            continue
+        if c == "{":
+            end = pattern.find("}", i)
+            if end < 0:
+                run.append(c)  # not a quantifier — literal brace
+                i += 1
+                continue
+            body = pattern[i + 1:end]
+            min_rep = body.split(",")[0].strip()
+            if run:
+                if min_rep in ("", "0"):
+                    run.pop()
+                    flush()  # same run break as ?/* (char may be absent
+                    # in some matches, present between neighbors in others)
+                else:
+                    last = run[-1]
+                    flush()
+                    run.append(last)
+            i = end + 1
+            continue
+        run.append(c)
+        i += 1
+    flush()
+    return [l for l in literals if l]
+
+
+def required_grams(pattern: str, min_literal: int = N) -> list[str]:
+    """The conjunctive trigram filter for ``pattern``, or [] when no
+    literal is long enough to prune with (callers fall back to the full
+    scan)."""
+    grams: list[str] = []
+    for lit in literals_from_regex(pattern):
+        lit = lit.lower()
+        if len(lit) >= min_literal:
+            grams.extend(lit[i:i + N] for i in range(len(lit) - N + 1))
+    # dedup, deterministic order
+    return sorted(set(grams))
+
+
+def grep_trigram(
+    corpus: DataFrame,
+    trigrams: DataFrame,
+    pattern: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Index-accelerated ``regex_grep``: same relation, sliver-scan cost.
+
+    Plan shape at 100 TB: the gram postings scan gets the IN-list pushed
+    down (probe cost ∝ the few grams' lists, not the index), one
+    aggregation narrows to candidate ids, and the corpus scan runs the
+    real regex behind a semi-join — only candidate documents are read.
+    No usable literal → identical full-scan fallback."""
+    grams = required_grams(pattern)
+    if not grams:
+        return regex_grep(corpus, pattern, text_col=text_col, id_col=id_col)
+    cand = (
+        trigrams.filter(F.col("gram").isin(grams))
+        .groupBy(id_col)
+        .agg(F.count_distinct("gram").alias("_g"))
+        .filter(F.col("_g") == len(grams))
+    )
+    return (
+        corpus.join(cand, id_col, "inner")
+        .withColumn(
+            "n_matches", F.regexp_count(F.col(text_col), F.lit(pattern))
+        )
+        # single predicate referencing BOTH join sides: a bare
+        # "n_matches > 0" is deterministic and one-sided, so Catalyst's
+        # PushDownPredicate sinks it below the join — re-running the
+        # regex over the ENTIRE corpus scan, silently undoing the
+        # index. _g is always positive (the HAVING above pins it to
+        # len(grams) ≥ 1), so (n_matches * _g) > 0 ⟺ n_matches > 0,
+        # but the optimizer can neither split nor push it: the regex
+        # provably evaluates over candidates only (plan-asserted in
+        # tests/test_plans.py).
+        .filter((F.col("n_matches") * F.col("_g")) > 0)
+        .select(id_col, "n_matches")
+    )
+
+
+def substring_candidates(
+    trigrams: DataFrame, needle: str, id_col: str = "doc_id"
+) -> DataFrame:
+    """Candidate ids for a plain substring query (LIKE '%needle%',
+    case-insensitive) — the degenerate one-literal case."""
+    needle = needle.lower()
+    grams = sorted({needle[i:i + N] for i in range(len(needle) - N + 1)})
+    if not grams:
+        raise ValueError(f"substring shorter than {N} chars cannot prune")
+    return (
+        trigrams.filter(F.col("gram").isin(grams))
+        .groupBy(id_col)
+        .agg(F.count_distinct("gram").alias("_g"))
+        .filter(F.col("_g") == len(grams))
+        .select(id_col)
+    )

@@ -33,11 +33,14 @@ def count_exchanges(df: DataFrame) -> int:
 
 
 def has_pushed_filter(df: DataFrame, fragment: str) -> bool:
-    """True if the parquet scan shows a pushed-down filter containing
-    ``fragment`` (e.g. a column name)."""
+    """True if ANY parquet scan in the plan shows a pushed-down filter
+    containing ``fragment`` (e.g. a column name) — multi-scan plans
+    (join of two relations) check every scan, not just the first."""
     plan = formatted_plan(df)
-    m = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
-    return bool(m and fragment in m.group(1))
+    return any(
+        fragment in m
+        for m in re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    )
 
 
 def read_schema_columns(df: DataFrame) -> set[str]:
