@@ -358,6 +358,69 @@ def run_dsl_queries(master: str, index_dir: str) -> dict:
         spark.stop()
 
 
+#: full-scan-vs-trigram grep mix: a selective multi-word literal, a
+#: rare-term literal, and a common literal (verification-dominated —
+#: the honest worst case where candidates ≈ corpus)
+GREP_MIX = ["vector stream", "dup[a-z]*", "quer[a-z]+"]
+
+
+def run_grep(master: str, corpus_dir: str) -> dict:
+    """Trigram-index grep vs full-scan regex over the SAME corpus —
+    the acceleration measured, not asserted. Ingest (one codegen scan +
+    parquet write) is timed too: the one-time cost queries amortize."""
+    from pyspark.sql import functions as F
+
+    from text_indexer_spark.operators.highlight import regex_grep
+    from text_indexer_spark.operators.trigram import grep_trigram, trigram_ingest
+    from text_indexer_spark.session import get_spark
+
+    spark = get_spark("bench-grep", master=master)
+    try:
+        docs = (
+            spark.read.parquet(corpus_dir)
+            .select(
+                F.xxhash64("repo", "path").alias("doc_id"),
+                F.col("content").alias("text"),
+            )
+        )
+        docs.count()  # warm the scan / page cache for both contenders
+        t0 = time.time()
+        tri_dir = tempfile.mkdtemp(prefix="bench_tri_")
+        # gram-sorted layout: pushed IN-lists prune row groups at probe
+        trigram_ingest(docs, tri_dir)
+        ingest_sec = time.time() - t0
+        tri = spark.read.parquet(tri_dir)
+        full: list[float] = []
+        fast: list[float] = []
+        for target, fn in (
+            (full, lambda p: regex_grep(docs, p)),
+            (fast, lambda p: grep_trigram(docs, tri, p)),
+        ):
+            lat: list[float] = []
+            for _ in range(2):  # pass 2 = warm plans
+                lat = []
+                for p in GREP_MIX:
+                    t0 = time.time()
+                    fn(p).count()
+                    lat.append(time.time() - t0)
+            target.extend(lat)
+        shutil.rmtree(tri_dir, ignore_errors=True)
+        return {
+            "grep_full_scan_sec": round(sum(full) / len(full), 4),
+            "grep_trigram_sec": round(sum(fast) / len(fast), 4),
+            "trigram_ingest_sec": round(ingest_sec, 3),
+            "per_pattern_full": {
+                p: round(full[i], 4) for i, p in enumerate(GREP_MIX)
+            },
+            "per_pattern_trigram": {
+                p: round(fast[i], 4) for i, p in enumerate(GREP_MIX)
+            },
+            "grep_speedup": round(sum(full) / max(sum(fast), 1e-9), 2),
+        }
+    finally:
+        spark.stop()
+
+
 def _pretouch(path: str) -> None:
     """Read every file under ``path`` once so the OS page cache is warm
     before the first timed run — otherwise run 1 of each variant pays
@@ -387,6 +450,10 @@ def main() -> None:
             sys.argv[i + 1], sys.argv[i + 2], int(sys.argv[i + 3]),
             int(sys.argv[i + 4]),
         )))
+        return
+    if "--grep-once" in sys.argv:
+        i = sys.argv.index("--grep-once")
+        print(json.dumps(run_grep(sys.argv[i + 1], sys.argv[i + 2])))
         return
     if "--queries-once" in sys.argv:
         i = sys.argv.index("--queries-once")
@@ -452,6 +519,9 @@ def main() -> None:
              str(ab_reps)],
             ab_env, pin_master=f"local[{CPUS}]",
         )
+        grep = _json_subprocess(
+            ["--grep-once", f"local[{CPUS}]", corpus_dir], dict(os.environ)
+        )
     finally:
         shutil.rmtree(corpus_dir, ignore_errors=True)
     total = time.time() - t_all
@@ -470,7 +540,14 @@ def main() -> None:
             "index_build_positional": round(build_pos["build_sec"], 3),
             "dsl_phrase_top10_p50": round(dsl["dsl_p50_sec"], 4),
             "dsl_phrase_top10_p95": round(dsl["dsl_p95_sec"], 4),
+            # new r3 segment (additive key — r2 keys unchanged)
+            "grep_full_scan_sec": grep["grep_full_scan_sec"],
+            "grep_trigram_sec": grep["grep_trigram_sec"],
+            "trigram_ingest_sec": grep["trigram_ingest_sec"],
         },
+        "grep_per_pattern_full": grep["per_pattern_full"],
+        "grep_per_pattern_trigram": grep["per_pattern_trigram"],
+        "grep_speedup": grep["grep_speedup"],
         "per_query_warm_sec": queries["per_query"],
         "per_dsl_query_warm_sec": dsl["per_query"],
         "positional_postings_per_sec": round(build_pos["postings_per_sec"], 1),
