@@ -364,60 +364,151 @@ def run_dsl_queries(master: str, index_dir: str) -> dict:
 GREP_MIX = ["vector stream", "dup[a-z]*", "quer[a-z]+"]
 
 
-def run_grep(master: str, corpus_dir: str) -> dict:
+def _time_grep_mix(docs, tri) -> tuple[list[float], list[float]]:
+    """Time every GREP_MIX pattern through the full scan and through the
+    trigram probe, 2 passes each (pass 2 = warm plans; pass-2 times kept)."""
+    from text_indexer_spark.operators.highlight import regex_grep
+    from text_indexer_spark.operators.trigram import grep_trigram
+
+    out: list[list[float]] = []
+    for fn in (lambda p: regex_grep(docs, p), lambda p: grep_trigram(docs, tri, p)):
+        lat: list[float] = []
+        for _ in range(2):
+            lat = []
+            for p in GREP_MIX:
+                t0 = time.time()
+                fn(p).count()
+                lat.append(time.time() - t0)
+        out.append(lat)
+    return out[0], out[1]
+
+
+def run_grep(
+    master: str, corpus_dir: str, sf_dir: str | None = None,
+    small_replicas: int = 0,
+) -> dict:
     """Trigram-index grep vs full-scan regex over the SAME corpus —
     the acceleration measured, not asserted. Ingest (one codegen scan +
-    parquet write) is timed too: the one-time cost queries amortize."""
+    parquet write) is timed too: the one-time cost queries amortize.
+
+    When ``sf_dir``/``small_replicas`` are given, the same mix is re-timed
+    on a corpus ``small_replicas`` replicas big, and per-approach GROWTH
+    ratios (large-time / small-time) are reported: the scale evidence.
+    Full scan must grow ~linearly with corpus bytes; the trigram probe's
+    growth is bounded by candidates + pruned row groups, so the ratio gap
+    is the measured crossover argument for 100 TB even where the absolute
+    speedup at bench scale is <1 (a 2-second full scan can't lose to any
+    indexed plan's fixed job overhead)."""
     from pyspark.sql import functions as F
 
-    from text_indexer_spark.operators.highlight import regex_grep
-    from text_indexer_spark.operators.trigram import grep_trigram, trigram_ingest
+    from text_indexer_spark.operators.trigram import trigram_ingest
     from text_indexer_spark.session import get_spark
 
     spark = get_spark("bench-grep", master=master)
-    try:
-        docs = (
-            spark.read.parquet(corpus_dir)
-            .select(
-                F.xxhash64("repo", "path").alias("doc_id"),
-                F.col("content").alias("text"),
-            )
+    tmp_dirs: list[str] = []
+
+    def _probe(corpus_df) -> dict:
+        docs = corpus_df.select(
+            F.xxhash64("repo", "path").alias("doc_id"),
+            F.col("content").alias("text"),
         )
-        docs.count()  # warm the scan / page cache for both contenders
+        n_docs = docs.count()  # warm the scan / page cache for both sides
         t0 = time.time()
         tri_dir = tempfile.mkdtemp(prefix="bench_tri_")
+        tmp_dirs.append(tri_dir)
         # gram-sorted layout: pushed IN-lists prune row groups at probe
         trigram_ingest(docs, tri_dir)
         ingest_sec = time.time() - t0
         tri = spark.read.parquet(tri_dir)
-        full: list[float] = []
-        fast: list[float] = []
-        for target, fn in (
-            (full, lambda p: regex_grep(docs, p)),
-            (fast, lambda p: grep_trigram(docs, tri, p)),
-        ):
-            lat: list[float] = []
-            for _ in range(2):  # pass 2 = warm plans
-                lat = []
-                for p in GREP_MIX:
-                    t0 = time.time()
-                    fn(p).count()
-                    lat.append(time.time() - t0)
-            target.extend(lat)
-        shutil.rmtree(tri_dir, ignore_errors=True)
+        full, fast = _time_grep_mix(docs, tri)
+        # work counters — the deterministic scale argument: at any corpus
+        # size, the trigram path reads `gram_rows` index rows and runs the
+        # regex over `candidates` docs; the full scan runs it over all
+        # `n_docs`. candidates/n_docs bounds the probe's asymptotic cost
+        # share (wall-time at bench scale is job-overhead-bound on BOTH
+        # sides, so the counters, not the clock, carry the 100 TB case).
+        from text_indexer_spark.operators.trigram import (
+            candidate_ids, required_grams,
+        )
+
+        counters = {}
+        for p in GREP_MIX:
+            grams = required_grams(p)
+            cand = candidate_ids(tri, p)
+            counters[p] = {
+                "grams": len(grams),
+                "gram_rows": tri.filter(F.col("gram").isin(grams)).count(),
+                "candidates": cand.count() if cand is not None else n_docs,
+            }
         return {
-            "grep_full_scan_sec": round(sum(full) / len(full), 4),
-            "grep_trigram_sec": round(sum(fast) / len(fast), 4),
-            "trigram_ingest_sec": round(ingest_sec, 3),
+            "n_docs": n_docs, "ingest_sec": ingest_sec,
+            "tri_rows": tri.count(),
+            "full": full, "fast": fast, "counters": counters,
+        }
+
+    try:
+        big = _probe(spark.read.parquet(corpus_dir))
+        out = {
+            "grep_full_scan_sec": round(sum(big["full"]) / len(big["full"]), 4),
+            "grep_trigram_sec": round(sum(big["fast"]) / len(big["fast"]), 4),
+            "trigram_ingest_sec": round(big["ingest_sec"], 3),
             "per_pattern_full": {
-                p: round(full[i], 4) for i, p in enumerate(GREP_MIX)
+                p: round(big["full"][i], 4) for i, p in enumerate(GREP_MIX)
             },
             "per_pattern_trigram": {
-                p: round(fast[i], 4) for i, p in enumerate(GREP_MIX)
+                p: round(big["fast"][i], 4) for i, p in enumerate(GREP_MIX)
             },
-            "grep_speedup": round(sum(full) / max(sum(fast), 1e-9), 2),
+            "grep_speedup": round(
+                sum(big["full"]) / max(sum(big["fast"]), 1e-9), 2
+            ),
+            "grep_work_counters": {
+                "corpus_docs": big["n_docs"],
+                "gram_index_rows": big["tri_rows"],
+                "per_pattern": {
+                    p: {
+                        **c,
+                        "gram_rows_pct": round(
+                            100.0 * c["gram_rows"] / max(big["tri_rows"], 1), 3
+                        ),
+                        "verified_docs_pct": round(
+                            100.0 * c["candidates"] / max(big["n_docs"], 1), 3
+                        ),
+                    }
+                    for p, c in big["counters"].items()
+                },
+            },
         }
+        if sf_dir and small_replicas:
+            small_dir = tempfile.mkdtemp(prefix="bench_grep_small_")
+            tmp_dirs.append(small_dir)
+            bench_corpus(spark, sf_dir, small_replicas).write.mode(
+                "overwrite"
+            ).parquet(small_dir)
+            small = _probe(spark.read.parquet(small_dir))
+            size_ratio = big["n_docs"] / max(small["n_docs"], 1)
+            out["grep_scaling"] = {
+                "docs_small": small["n_docs"],
+                "docs_large": big["n_docs"],
+                "size_ratio": round(size_ratio, 2),
+                "full_scan_growth": round(
+                    sum(big["full"]) / max(sum(small["full"]), 1e-9), 2
+                ),
+                "trigram_growth": round(
+                    sum(big["fast"]) / max(sum(small["fast"]), 1e-9), 2
+                ),
+                "per_pattern_growth_full": {
+                    p: round(big["full"][i] / max(small["full"][i], 1e-9), 2)
+                    for i, p in enumerate(GREP_MIX)
+                },
+                "per_pattern_growth_trigram": {
+                    p: round(big["fast"][i] / max(small["fast"][i], 1e-9), 2)
+                    for i, p in enumerate(GREP_MIX)
+                },
+            }
+        return out
     finally:
+        for d in tmp_dirs:
+            shutil.rmtree(d, ignore_errors=True)
         spark.stop()
 
 
@@ -453,7 +544,12 @@ def main() -> None:
         return
     if "--grep-once" in sys.argv:
         i = sys.argv.index("--grep-once")
-        print(json.dumps(run_grep(sys.argv[i + 1], sys.argv[i + 2])))
+        extra = sys.argv[i + 3:i + 5]
+        print(json.dumps(run_grep(
+            sys.argv[i + 1], sys.argv[i + 2],
+            sf_dir=extra[0] if len(extra) == 2 else None,
+            small_replicas=int(extra[1]) if len(extra) == 2 else 0,
+        )))
         return
     if "--queries-once" in sys.argv:
         i = sys.argv.index("--queries-once")
@@ -520,7 +616,9 @@ def main() -> None:
             ab_env, pin_master=f"local[{CPUS}]",
         )
         grep = _json_subprocess(
-            ["--grep-once", f"local[{CPUS}]", corpus_dir], dict(os.environ)
+            ["--grep-once", f"local[{CPUS}]", corpus_dir, SF_DIR,
+             str(max(1, REPLICAS // 4))],
+            dict(os.environ),
         )
     finally:
         shutil.rmtree(corpus_dir, ignore_errors=True)
@@ -548,6 +646,7 @@ def main() -> None:
         "grep_per_pattern_full": grep["per_pattern_full"],
         "grep_per_pattern_trigram": grep["per_pattern_trigram"],
         "grep_speedup": grep["grep_speedup"],
+        "grep_scaling": grep.get("grep_scaling"),
         "per_query_warm_sec": queries["per_query"],
         "per_dsl_query_warm_sec": dsl["per_query"],
         "positional_postings_per_sec": round(build_pos["postings_per_sec"], 1),

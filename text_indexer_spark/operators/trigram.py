@@ -225,6 +225,26 @@ def required_grams(pattern: str, min_literal: int = N) -> list[str]:
     return sorted(set(grams))
 
 
+def candidate_ids(
+    trigrams: DataFrame, pattern: str, id_col: str = "doc_id"
+) -> DataFrame | None:
+    """The superset of doc ids that can possibly match ``pattern``:
+    IN-pruned gram scan → per-doc distinct-gram count == all required
+    grams (conjunctive containment). ``None`` when the pattern yields no
+    usable literal (callers must full-scan). Carries the ``_g`` count
+    column so callers can build cross-side predicates (see
+    ``grep_trigram``)."""
+    grams = required_grams(pattern)
+    if not grams:
+        return None
+    return (
+        trigrams.filter(F.col("gram").isin(grams))
+        .groupBy(id_col)
+        .agg(F.count_distinct("gram").alias("_g"))
+        .filter(F.col("_g") == len(grams))
+    )
+
+
 def grep_trigram(
     corpus: DataFrame,
     trigrams: DataFrame,
@@ -239,15 +259,9 @@ def grep_trigram(
     aggregation narrows to candidate ids, and the corpus scan runs the
     real regex behind a semi-join — only candidate documents are read.
     No usable literal → identical full-scan fallback."""
-    grams = required_grams(pattern)
-    if not grams:
+    cand = candidate_ids(trigrams, pattern, id_col=id_col)
+    if cand is None:
         return regex_grep(corpus, pattern, text_col=text_col, id_col=id_col)
-    cand = (
-        trigrams.filter(F.col("gram").isin(grams))
-        .groupBy(id_col)
-        .agg(F.count_distinct("gram").alias("_g"))
-        .filter(F.col("_g") == len(grams))
-    )
     return (
         corpus.join(cand, id_col, "inner")
         .withColumn(
