@@ -84,6 +84,8 @@ _R3_PRIORITY = [
     "optimized_postings",
     "trigram_postings",
     "regex_grep_trigram",
+    "code_ident_postings",
+    "search_code_ident",
 ]
 
 

@@ -1419,6 +1419,94 @@ def sql_regex_grep_trigram() -> str:
     )
 
 
+#: identifier-shaped probe for the code-search gates: camelCase +
+#: snake_case + an acronym run, tokenizing to ["table", "hash", "scan"]
+CODE_IDENT_QUERY = "TableHash_scan"
+
+
+def _camel_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents with a deterministic identifier-shaped rendering of each
+    doc's token stream (camelCase-join) — derives code-like text from the
+    flat testdata vocabulary INSIDE the query, so the Spark gate and the
+    DuckDB oracle both compute it from the same table."""
+    from text_indexer_spark.operators.codetok import camelcase_column
+    from text_indexer_spark.tokenizer import tokenize_column
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.select(
+        "doc_id", camelcase_column(tokenize_column(F.col("text"))).alias("ident")
+    )
+
+
+def _sql_camel_docs_cte() -> str:
+    from text_indexer_spark.operators.codetok import duckdb_camelcase_sql
+    from text_indexer_spark.tokenizer import duckdb_tokens_sql
+
+    camel = duckdb_camelcase_sql(duckdb_tokens_sql("text"))
+    return f"camel AS (SELECT doc_id, {camel} AS ident FROM documents)"
+
+
+def q_code_ident_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-identifier tokenization (camelCase / snake_case / acronym
+    runs, ``operators/codetok.py``): (doc_id, term, tf) postings under
+    the identifier splitter — same shape as the default build's postings
+    so sharding/encode/WAND consume it unchanged."""
+    from text_indexer_spark.operators.codetok import ident_postings
+
+    return ident_postings(_camel_docs(spark, sf_dir), text_col="ident")
+
+
+def sql_code_ident_postings() -> str:
+    from text_indexer_spark.operators.codetok import duckdb_ident_tokens_sql
+
+    return (
+        f"WITH {_sql_camel_docs_cte()}, toks AS ("
+        f"SELECT doc_id, unnest({duckdb_ident_tokens_sql('ident')}) AS term "
+        "FROM camel) "
+        "SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2"
+    )
+
+
+def q_search_code_ident(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive search where BOTH sides sub-tokenize identifiers: the
+    query ``TableHash_scan`` splits to [table, hash, scan] and matches
+    documents whose identifier postings contain all three — the lookup a
+    whitespace index cannot serve."""
+    from text_indexer_spark.operators.codetok import (
+        ident_postings,
+        split_identifiers_text,
+    )
+
+    terms = split_identifiers_text(CODE_IDENT_QUERY)
+    posts = ident_postings(_camel_docs(spark, sf_dir), text_col="ident")
+    return (
+        posts.filter(F.col("term").isin(terms))
+        .groupBy("doc_id")
+        .agg(F.count_distinct("term").alias("_n"))
+        .filter(F.col("_n") == len(terms))
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
+
+
+def sql_search_code_ident() -> str:
+    from text_indexer_spark.operators.codetok import (
+        duckdb_ident_tokens_sql,
+        split_identifiers_text,
+    )
+
+    terms = split_identifiers_text(CODE_IDENT_QUERY)
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    return (
+        f"WITH {_sql_camel_docs_cte()}, toks AS ("
+        f"SELECT doc_id, unnest({duckdb_ident_tokens_sql('ident')}) AS term "
+        "FROM camel) "
+        f"SELECT doc_id FROM toks WHERE term IN ({in_list}) "
+        f"GROUP BY doc_id HAVING count(DISTINCT term) = {len(terms)} "
+        "ORDER BY doc_id"
+    )
+
+
 def sql_wand_bm25_topk() -> str:
     from text_indexer_spark.driver_queries import sql_bm25_topk
 
@@ -1562,6 +1650,8 @@ def queries():
         "optimized_postings": q_optimized_postings,
         "trigram_postings": q_trigram_postings,
         "regex_grep_trigram": q_regex_grep_trigram,
+        "code_ident_postings": q_code_ident_postings,
+        "search_code_ident": q_search_code_ident,
     }
 
 
@@ -1613,4 +1703,6 @@ def oracle_sql():
         "optimized_postings": sql_optimized_postings(),
         "trigram_postings": sql_trigram_postings(),
         "regex_grep_trigram": sql_regex_grep_trigram(),
+        "code_ident_postings": sql_code_ident_postings(),
+        "search_code_ident": sql_search_code_ident(),
     }

@@ -54,8 +54,17 @@ def char_bigram_tokenize(texts: "pd.Series") -> "pd.Series":
     return base.map(grams)
 
 
+def _ident_tokenize(texts: "pd.Series") -> "pd.Series":
+    from text_indexer_spark.operators.codetok import ident_tokenize_series
+
+    return ident_tokenize_series(texts)
+
+
 DEFAULT_REGISTRY: dict[str, Tokenizer] = {
     "zh": char_bigram_tokenize,
+    # source code routes to identifier sub-tokenization (camelCase /
+    # snake_case / acronym runs — operators/codetok.py)
+    "code": _ident_tokenize,
 }
 
 
