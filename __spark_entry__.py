@@ -86,6 +86,7 @@ _R3_PRIORITY = [
     "regex_grep_trigram",
     "code_ident_postings",
     "search_code_ident",
+    "trigram_sync_postings",
 ]
 
 

@@ -172,3 +172,43 @@ def test_cli_clean(spark, tmp_path, capsys):
     assert stats["contaminated"] == 1
     kept = {r["doc_id"] for r in spark.read.parquet(out).collect()}
     assert kept == {1}
+
+
+def test_cli_grep_lifecycle(spark, corpus_dir, tmp_path, capsys):
+    """grep-ingest → grep (indexed) ≡ grep (full scan) → sync with a
+    tombstone → compact, all through argv."""
+    tri = str(tmp_path / "tri")
+    rc = cli.main(["--master", "local[4]", "grep-ingest",
+                   "--corpus", corpus_dir, "--tri-index", tri])
+    assert rc == 0
+    assert json.loads(capsys.readouterr().out.strip().splitlines()[-1])["version"] == 1
+
+    args_common = ["--master", "local[4]", "grep", "--corpus", corpus_dir,
+                   "--pattern", "T[a-z]+ler"]
+    rc = cli.main(args_common + ["--tri-index", tri])
+    assert rc == 0
+    indexed = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    rc = cli.main(args_common)
+    assert rc == 0
+    full = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert indexed == full and len(indexed) >= 1
+
+    # tombstone every doc -> indexed grep returns nothing
+    import pyspark.sql.functions as F
+    ids = str(tmp_path / "ids")
+    spark.read.parquet(corpus_dir).select(
+        F.xxhash64("repo", "path").alias("doc_id")
+    ).write.parquet(ids)
+    empty_add = str(tmp_path / "empty")
+    spark.read.parquet(corpus_dir).limit(0).write.parquet(empty_add)
+    rc = cli.main(["--master", "local[4]", "grep-ingest", "--corpus", empty_add,
+                   "--tri-index", tri, "--removed-ids", ids])
+    assert rc == 0
+    capsys.readouterr()
+    rc = cli.main(args_common + ["--tri-index", tri])
+    assert rc == 0
+    assert capsys.readouterr().out.strip() == ""
+
+    rc = cli.main(["--master", "local[4]", "grep-compact", "--tri-index", tri])
+    assert rc == 0
+    assert json.loads(capsys.readouterr().out.strip().splitlines()[-1])["version"] == 3

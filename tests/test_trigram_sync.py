@@ -1,0 +1,151 @@
+"""Committed trigram index: segments + tombstones + compaction
+(operators/trigram.py, the LSM section)."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from text_indexer_spark.operators.highlight import regex_grep
+from text_indexer_spark.operators.trigram import (
+    grep_trigram,
+    read_committed_trigrams,
+    trigram_commit,
+    trigram_compact,
+    trigram_postings,
+)
+
+
+@pytest.fixture
+def tri_dir():
+    d = tempfile.mkdtemp(prefix="tri_sync_test_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _rel(df):
+    return sorted((r["doc_id"], r["gram"]) for r in df.collect())
+
+
+def test_initial_ingest_equals_postings(spark, tri_dir):
+    docs = _docs(spark, [(1, "hello world"), (2, "worldly")])
+    assert trigram_commit(docs, tri_dir) == 1
+    assert _rel(read_committed_trigrams(spark, tri_dir)) == _rel(
+        trigram_postings(docs)
+    )
+
+
+def test_add_remove_reindex_lifecycle(spark, tri_dir):
+    v1 = _docs(spark, [(1, "alpha beta"), (2, "gamma delta"), (3, "epsilon")])
+    trigram_commit(v1, tri_dir)
+    # sync: add doc 4, remove doc 2, reindex doc 3 with new text
+    adds = _docs(spark, [(4, "zeta eta"), (3, "THETA iota")])
+    removed = spark.createDataFrame([(2,), (3,)], "doc_id long")
+    trigram_commit(adds, tri_dir, removed_ids=removed)
+    expect = _docs(
+        spark, [(1, "alpha beta"), (3, "THETA iota"), (4, "zeta eta")]
+    )
+    assert _rel(read_committed_trigrams(spark, tri_dir)) == _rel(
+        trigram_postings(expect)
+    )
+
+
+def test_remove_then_readd(spark, tri_dir):
+    trigram_commit(_docs(spark, [(1, "first text")]), tri_dir)
+    # remove entirely (empty add set still commits a segment)
+    trigram_commit(
+        _docs(spark, []),
+        tri_dir,
+        removed_ids=spark.createDataFrame([(1,)], "doc_id long"),
+    )
+    assert _rel(read_committed_trigrams(spark, tri_dir)) == []
+    # re-add with different content: newer segment beats old tombstone
+    trigram_commit(_docs(spark, [(1, "second text")]), tri_dir)
+    assert _rel(read_committed_trigrams(spark, tri_dir)) == _rel(
+        trigram_postings(_docs(spark, [(1, "second text")]))
+    )
+
+
+def test_compaction_preserves_view_and_drops_tombstones(spark, tri_dir):
+    trigram_commit(_docs(spark, [(1, "aaa bbb"), (2, "ccc ddd")]), tri_dir)
+    trigram_commit(
+        _docs(spark, [(3, "eee fff")]),
+        tri_dir,
+        removed_ids=spark.createDataFrame([(1,)], "doc_id long"),
+    )
+    before = _rel(read_committed_trigrams(spark, tri_dir))
+    v = trigram_compact(spark, tri_dir)
+    after = _rel(read_committed_trigrams(spark, tri_dir))
+    assert before == after
+    from text_indexer_spark.operators.trigram import _tri_manifest
+
+    ver, manifest = _tri_manifest(tri_dir)
+    assert ver == v
+    assert len(manifest["segments"]) == 1
+    assert manifest["tombstones"] == {}
+
+
+def test_grep_over_synced_index_equals_full_scan(spark, tri_dir):
+    docs = _docs(
+        spark,
+        [
+            (1, "the quick brown fox"),
+            (2, "quicksilver surfer"),
+            (3, "slow turtle"),
+        ],
+    )
+    trigram_commit(docs, tri_dir)
+    update = _docs(spark, [(3, "quite quick now"), (4, "quiche eater")])
+    removed = spark.createDataFrame([(3,), (1,)], "doc_id long")
+    trigram_commit(update, tri_dir, removed_ids=removed)
+    live = _docs(
+        spark,
+        [
+            (2, "quicksilver surfer"),
+            (3, "quite quick now"),
+            (4, "quiche eater"),
+        ],
+    )
+    tri = read_committed_trigrams(spark, tri_dir)
+    got = sorted(
+        (r["doc_id"], r["n_matches"])
+        for r in grep_trigram(live, tri, "quic[a-z]+").collect()
+    )
+    want = sorted(
+        (r["doc_id"], r["n_matches"])
+        for r in regex_grep(live, "quic[a-z]+").collect()
+    )
+    assert got == want and len(got) == 3
+
+
+def test_read_missing_index_raises(spark, tri_dir):
+    with pytest.raises(FileNotFoundError):
+        read_committed_trigrams(spark, tri_dir)
+
+
+def test_driver_gate_matches_oracle(spark):
+    import duckdb
+
+    import __spark_entry__ as entry
+
+    sf = "/root/testdata/sf0.001"
+    sdf = entry.queries()["trigram_sync_postings"](spark, sf)
+    got = sorted((r["doc_id"], r["gram"]) for r in sdf.collect())
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    want = sorted(
+        (a, b)
+        for a, b in con.execute(
+            entry.oracle_sql()["trigram_sync_postings"]
+        ).fetchall()
+    )
+    assert got == want

@@ -267,6 +267,78 @@ def cmd_clean(args) -> int:
     return 0
 
 
+def _grep_docs(corpus):
+    """Normalize a corpus frame to (doc_id, text): accepts the engine's
+    native (doc_id, text) shape or the source-table shape (repo, path,
+    …, content) the build consumes."""
+    from pyspark.sql import functions as F
+
+    cols = set(corpus.columns)
+    if "text" not in cols:
+        if "content" not in cols:
+            raise SystemExit("grep: corpus needs a text or content column")
+        corpus = corpus.withColumn("text", F.col("content"))
+    if "doc_id" not in cols:
+        if not {"repo", "path"} <= cols:
+            raise SystemExit("grep: corpus needs doc_id or repo+path columns")
+        corpus = corpus.withColumn("doc_id", F.xxhash64("repo", "path"))
+    return corpus.select("doc_id", "text")
+
+
+def cmd_grep(args) -> int:
+    """Regex grep over a corpus, trigram-index accelerated when a
+    committed gram index exists (``grep-ingest``/``grep-compact``
+    maintain it); transparent full-scan fallback otherwise."""
+    from text_indexer_spark.operators.highlight import regex_grep
+    from text_indexer_spark.operators.trigram import (
+        grep_trigram,
+        read_committed_trigrams,
+    )
+
+    spark = _spark(args)
+    corpus = _grep_docs(spark.read.parquet(args.corpus))
+    if args.tri_index:
+        tri = read_committed_trigrams(spark, args.tri_index)
+        hits = grep_trigram(corpus, tri, args.pattern)
+    else:
+        hits = regex_grep(corpus, args.pattern)
+    for r in hits.orderBy("doc_id").limit(args.limit).collect():
+        print(json.dumps({"doc_id": r["doc_id"], "n_matches": r["n_matches"]}))
+    return 0
+
+
+def cmd_grep_ingest(args) -> int:
+    """Build (or sync) the committed trigram index for a corpus."""
+    from pyspark.sql import functions as F
+
+    from text_indexer_spark.operators.trigram import trigram_commit
+
+    spark = _spark(args)
+    corpus = _grep_docs(spark.read.parquet(args.corpus))
+    removed = None
+    if args.removed_ids:
+        removed = spark.read.parquet(args.removed_ids).select(
+            F.col("doc_id")
+        )
+    version = trigram_commit(
+        corpus, args.tri_index, removed_ids=removed,
+        num_partitions=args.partitions,
+    )
+    print(json.dumps({"tri_index": args.tri_index, "version": version}))
+    return 0
+
+
+def cmd_grep_compact(args) -> int:
+    """Fold the committed trigram index's segment/tombstone tail back
+    into one sorted base segment."""
+    from text_indexer_spark.operators.trigram import trigram_compact
+
+    spark = _spark(args)
+    version = trigram_compact(spark, args.tri_index, num_partitions=args.partitions)
+    print(json.dumps({"tri_index": args.tri_index, "version": version}))
+    return 0
+
+
 def cmd_vacuum(args) -> int:
     """Retention over the immutable version chain (streaming sync
     output): drop all but the newest N committed versions."""
@@ -367,6 +439,35 @@ def main(argv: list[str] | None = None) -> int:
     cl.add_argument("--evalset", default=None, help="parquet of benchmark docs")
     cl.add_argument("--decontam-n", type=int, default=8)
     cl.set_defaults(fn=cmd_clean)
+
+    g = sub.add_parser(
+        "grep", help="regex grep (trigram-index accelerated with --tri-index)"
+    )
+    g.add_argument("--corpus", required=True)
+    g.add_argument("--pattern", required=True)
+    g.add_argument("--tri-index", default=None)
+    g.add_argument("--limit", type=int, default=100)
+    g.set_defaults(fn=cmd_grep)
+
+    gi = sub.add_parser(
+        "grep-ingest",
+        help="build/sync the committed trigram index (segments + tombstones)",
+    )
+    gi.add_argument("--corpus", required=True, help="added/reindexed docs parquet")
+    gi.add_argument("--tri-index", required=True)
+    gi.add_argument(
+        "--removed-ids", default=None,
+        help="parquet of doc_id to tombstone (removed + reindexed)",
+    )
+    gi.add_argument("--partitions", type=int, default=None)
+    gi.set_defaults(fn=cmd_grep_ingest)
+
+    gc = sub.add_parser(
+        "grep-compact", help="fold trigram segments+tombstones into one base"
+    )
+    gc.add_argument("--tri-index", required=True)
+    gc.add_argument("--partitions", type=int, default=None)
+    gc.set_defaults(fn=cmd_grep_compact)
 
     v = sub.add_parser(
         "vacuum", help="delete all but the newest N committed index versions"

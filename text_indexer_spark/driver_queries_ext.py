@@ -1419,6 +1419,64 @@ def sql_regex_grep_trigram() -> str:
     )
 
 
+_TRI_SYNC_CACHE: dict[str, str] = {}
+
+
+def q_trigram_sync_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lifecycle gate for the COMMITTED trigram index (LSM segments +
+    tombstones, ``operators/trigram.py``): initial ingest → one sync
+    (adds + removes) → one reindex sync (re-add with reversed text),
+    then the live merged view — must equal the trigram relation over the
+    surviving doc set computed relationally by the oracle."""
+    from text_indexer_spark.operators.trigram import (
+        read_committed_trigrams,
+        trigram_commit,
+    )
+
+    if sf_dir not in _TRI_SYNC_CACHE:
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        d = tempfile.mkdtemp(prefix="driver_tri_sync_")
+        trigram_commit(docs.filter(F.col("doc_id") % 5 != 0), d)
+        trigram_commit(
+            docs.filter((F.col("doc_id") % 5 == 0) & (F.col("doc_id") % 2 == 0)),
+            d,
+            removed_ids=docs.filter(F.col("doc_id") % 3 == 0).select("doc_id"),
+        )
+        trigram_commit(
+            docs.filter(F.col("doc_id") % 15 == 0).select(
+                "doc_id", F.reverse(F.col("text")).alias("text")
+            ),
+            d,
+            removed_ids=docs.filter(F.col("doc_id") % 15 == 0).select("doc_id"),
+        )
+        _TRI_SYNC_CACHE[sf_dir] = d
+    return read_committed_trigrams(spark, _TRI_SYNC_CACHE[sf_dir])
+
+
+def sql_trigram_sync_postings() -> str:
+    grams = (
+        "unnest(list_distinct(list_transform("
+        "range(1, greatest(length(text) - 1, 1)), "
+        "i -> substr(lower(text), i, 3)))) AS gram"
+    )
+    # survivors of the three commits, derived relationally:
+    #   seg1 (id%5!=0)          minus ts2 (id%3==0)   [ts3 can't hit seg1]
+    #   seg2 (id%10==0)         minus ts3 (id%15==0)
+    #   seg3 (id%15==0, reversed text) — no later tombstone
+    return (
+        "WITH live AS ("
+        "SELECT doc_id, text FROM documents "
+        "WHERE doc_id % 5 <> 0 AND doc_id % 3 <> 0 "
+        "UNION ALL "
+        "SELECT doc_id, text FROM documents "
+        "WHERE doc_id % 10 = 0 AND doc_id % 15 <> 0 "
+        "UNION ALL "
+        "SELECT doc_id, reverse(text) AS text FROM documents "
+        "WHERE doc_id % 15 = 0) "
+        f"SELECT doc_id, {grams} FROM live"
+    )
+
+
 #: identifier-shaped probe for the code-search gates: camelCase +
 #: snake_case + an acronym run, tokenizing to ["table", "hash", "scan"]
 CODE_IDENT_QUERY = "TableHash_scan"
@@ -1652,6 +1710,7 @@ def queries():
         "regex_grep_trigram": q_regex_grep_trigram,
         "code_ident_postings": q_code_ident_postings,
         "search_code_ident": q_search_code_ident,
+        "trigram_sync_postings": q_trigram_sync_postings,
     }
 
 
@@ -1705,4 +1764,5 @@ def oracle_sql():
         "regex_grep_trigram": sql_regex_grep_trigram(),
         "code_ident_postings": sql_code_ident_postings(),
         "search_code_ident": sql_search_code_ident(),
+        "trigram_sync_postings": sql_trigram_sync_postings(),
     }

@@ -320,3 +320,160 @@ def substring_candidates(
         .filter(F.col("_g") == len(grams))
         .select(id_col)
     )
+
+# ---------------------------------------------------------------------------
+# Committed trigram index: LSM-style segments + tombstones
+# ---------------------------------------------------------------------------
+# The persisted, incrementally-maintained form of the gram index — the
+# same durability contract as the committed posting-list index
+# (index_sync.py) and the registry state (registry.py): immutable
+# parquet segments, a versioned JSON manifest, and an atomically swapped
+# LATEST pointer, so a crash mid-sync never publishes a torn index.
+#
+# Layout under ``tri_dir``:
+#     LATEST                    -> committed version number
+#     manifest_v{V}.json        -> {"segments": [..], "tombstones": {seg: V}}
+#     seg_{V}/                  gram-sorted parquet (id, gram), immutable
+#     ts_{V}/                   parquet (id,) — docs dead as of version V
+#
+# Read view: a tombstone of version V kills a doc's rows in segments
+# STRICTLY OLDER than V — a reindex commits the doc's new rows and its
+# tombstone under the same version, and the new rows must survive their
+# own commit (replace-on-reindex); remove-then-re-add also works (the
+# re-added rows live in a newer segment). This is the standard
+# segment/tombstone merge rule (Lucene deletes, LSM trees) and is
+# exactly SQL: union segments (each tagged with its version), left join
+# the per-doc max tombstone version, keep seg_ver >= ts_ver.
+#
+# At 100 TB: syncs touch only the delta (one small sorted segment + one
+# tombstone list, no rewrite of the base); probes push the gram IN-list
+# into EVERY segment scan (row-group pruned, segments are gram-sorted);
+# tombstones are sync-sized, broadcast by AQE. Compaction folds the
+# view back into one sorted base segment when the tail grows — same
+# role as ``index_optimize`` for the token index.
+
+
+def _tri_manifest(tri_dir: str) -> tuple[int, dict]:
+    from text_indexer_spark import storage
+
+    ptr = storage.read_bytes(storage.join(tri_dir, "LATEST"))
+    if ptr is None:
+        return 0, {"segments": [], "tombstones": {}}
+    v = int(ptr.decode().strip())
+    m = storage.read_json(storage.join(tri_dir, f"manifest_v{v:06d}.json"))
+    return v, m
+
+
+def _tri_commit(tri_dir: str, version: int, manifest: dict) -> None:
+    from text_indexer_spark import storage
+
+    storage.write_json_atomic(
+        storage.join(tri_dir, f"manifest_v{version:06d}.json"), manifest
+    )
+    storage.write_bytes_atomic(
+        storage.join(tri_dir, "LATEST"), str(version).encode()
+    )
+
+
+def _write_segment(
+    tri: DataFrame, seg_dir: str, num_partitions: int | None
+) -> None:
+    if num_partitions:
+        tri = tri.repartitionByRange(num_partitions, "gram")
+    else:
+        tri = tri.repartitionByRange("gram")
+    tri.sortWithinPartitions("gram").write.mode("overwrite").parquet(seg_dir)
+
+
+def trigram_commit(
+    corpus: DataFrame,
+    tri_dir: str,
+    removed_ids: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_partitions: int | None = None,
+) -> int:
+    """Commit one sync against the trigram index at ``tri_dir``.
+
+    ``corpus`` holds the ADDED or REINDEXED documents (their grams form
+    the new segment); ``removed_ids`` the doc ids whose old rows must
+    die — pass reindexed ids here too (replace-on-reindex, same rule as
+    ``sync.apply_diff_to_postings``). First call on an empty dir is the
+    initial ingest. Returns the committed version."""
+    from text_indexer_spark import storage
+
+    cur, manifest = _tri_manifest(tri_dir)
+    version = cur + 1
+    seg = f"seg_{version:06d}"
+    tri = trigram_postings(corpus, text_col=text_col, id_col=id_col)
+    _write_segment(tri, storage.join(tri_dir, seg), num_partitions)
+    manifest["segments"] = manifest["segments"] + [seg]
+    if removed_ids is not None:
+        ts = f"ts_{version:06d}"
+        removed_ids.select(F.col(id_col)).write.mode("overwrite").parquet(
+            storage.join(tri_dir, ts)
+        )
+        manifest["tombstones"] = {**manifest["tombstones"], ts: version}
+    _tri_commit(tri_dir, version, manifest)
+    return version
+
+
+def read_committed_trigrams(
+    spark, tri_dir: str, id_col: str = "doc_id"
+) -> DataFrame:
+    """The live (id, gram) view of a committed trigram index: segments
+    unioned (each tagged with its commit version), rows killed by any
+    STRICTLY-newer tombstone naming their doc (same-version rows survive:
+    that's a reindex's own commit). Gram IN-lists still push into every
+    segment scan."""
+    from text_indexer_spark import storage
+
+    _, manifest = _tri_manifest(tri_dir)
+    if not manifest["segments"]:
+        raise FileNotFoundError(f"no committed trigram index at {tri_dir}")
+    parts = []
+    for seg in manifest["segments"]:
+        ver = int(seg.rsplit("_", 1)[1])
+        parts.append(
+            spark.read.parquet(storage.join(tri_dir, seg)).withColumn(
+                "_seg_ver", F.lit(ver)
+            )
+        )
+    view = parts[0]
+    for p in parts[1:]:
+        view = view.unionByName(p)
+    if manifest["tombstones"]:
+        ts_parts = [
+            spark.read.parquet(storage.join(tri_dir, ts)).withColumn(
+                "_ts_ver", F.lit(ver)
+            )
+            for ts, ver in manifest["tombstones"].items()
+        ]
+        tomb = ts_parts[0]
+        for p in ts_parts[1:]:
+            tomb = tomb.unionByName(p)
+        tomb = tomb.groupBy(id_col).agg(F.max("_ts_ver").alias("_ts_ver"))
+        view = (
+            view.join(tomb, id_col, "left")
+            .filter(F.col("_ts_ver").isNull() | (F.col("_seg_ver") >= F.col("_ts_ver")))
+        )
+    return view.select(id_col, "gram")
+
+
+def trigram_compact(
+    spark, tri_dir: str, id_col: str = "doc_id",
+    num_partitions: int | None = None,
+) -> int:
+    """Fold the live view into ONE fresh gram-sorted segment and commit
+    a manifest with no tombstones — the ``index_optimize`` analogue.
+    Old segments stay on disk until vacuumed (readers of older versions
+    keep working; the LATEST swap is atomic)."""
+    from text_indexer_spark import storage
+
+    cur, _ = _tri_manifest(tri_dir)
+    view = read_committed_trigrams(spark, tri_dir, id_col=id_col)
+    version = cur + 1
+    seg = f"seg_{version:06d}"
+    _write_segment(view, storage.join(tri_dir, seg), num_partitions)
+    _tri_commit(tri_dir, version, {"segments": [seg], "tombstones": {}})
+    return version
