@@ -294,3 +294,37 @@ def test_optimize_rewrite_is_shuffle_free(spark, tmp_path):
     # num_shards rows; the heavy IO happens file-local inside the task
     m = optimize_index(spark, idx, out)
     assert m["optimized"] is True and m["num_shards"] == 2
+
+
+def test_committed_trigram_grep_plan(spark, tmp_path):
+    """Grep over the COMMITTED (segmented) trigram index keeps every
+    100 TB property through the union: the gram IN-list is pushed into
+    EVERY segment scan, tombstones and candidates are broadcast (never a
+    corpus shuffle), and the verification regex stays in the join
+    condition — above the join, candidates only."""
+    from text_indexer_spark.operators.trigram import (
+        grep_trigram,
+        read_committed_trigrams,
+        trigram_commit,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"hello world {i} quicksilver") for i in range(50)],
+        "doc_id long, text string",
+    )
+    d = str(tmp_path / "tri")
+    trigram_commit(docs, d)
+    trigram_commit(
+        docs.limit(5), d,
+        removed_ids=spark.createDataFrame([(1,), (2,)], "doc_id long"),
+    )
+    q = grep_trigram(docs, read_committed_trigrams(spark, d), "quic[a-z]+")
+    plan = formatted_plan(q)
+    # both segment scans carry the pushed gram IN-list
+    assert plan.count("In(gram, [qui,uic])") == 2
+    # tombstone max-version join + candidate join are both broadcast
+    assert broadcast_join_count(q) >= 2
+    assert "CartesianProduct" not in plan
+    # the regex runs as a join condition (post-join, candidate rows only),
+    # never as a standalone filter Catalyst could push below the join
+    assert "Join condition: ((cast(size(regexp_extract_all" in plan

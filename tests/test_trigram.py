@@ -176,3 +176,33 @@ def test_substring_candidates_superset_and_verified(spark, docs):
     assert {r["doc_id"] for r in verified.collect()} == truth
     with pytest.raises(ValueError):
         substring_candidates(trigram_postings(docs), "ab")
+
+
+def test_substring_search_equals_like(spark):
+    from text_indexer_spark.operators.trigram import (
+        substring_search,
+        trigram_postings,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the vector stream merges"),
+            (2, "VECTOR STReam shouting"),
+            (3, "vectors only"),
+            (4, "no match here"),
+            (5, "ctor str literal"),
+        ],
+        "doc_id long, text string",
+    )
+    tri = trigram_postings(docs)
+    for needle in ["ctor str", "VeCtOr s", "zz", "no match here", "q"]:
+        got = sorted(
+            r["doc_id"] for r in substring_search(docs, tri, needle).collect()
+        )
+        want = sorted(
+            r["doc_id"]
+            for r in docs.filter(
+                F.contains(F.lower("text"), F.lit(needle.lower()))
+            ).collect()
+        )
+        assert got == want, needle

@@ -1477,6 +1477,33 @@ def sql_trigram_sync_postings() -> str:
     )
 
 
+#: substring probe CROSSING a token boundary — the lookup the inverted
+#: token index cannot serve at all ("vector str..." tail+head chars)
+SUBSTRING_NEEDLE = "ctor str"
+
+
+def q_substring_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Case-insensitive substring match served from the trigram index
+    (``substring_search``): conjunctive gram candidates, ``contains``
+    verification above the join — must equal the naive LIKE relation."""
+    from text_indexer_spark.operators.trigram import (
+        substring_search,
+        trigram_postings,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return substring_search(
+        docs, trigram_postings(docs), SUBSTRING_NEEDLE
+    ).orderBy("doc_id")
+
+
+def sql_substring_search() -> str:
+    return (
+        "SELECT doc_id FROM documents "
+        f"WHERE contains(lower(text), '{SUBSTRING_NEEDLE}') ORDER BY doc_id"
+    )
+
+
 #: identifier-shaped probe for the code-search gates: camelCase +
 #: snake_case + an acronym run, tokenizing to ["table", "hash", "scan"]
 CODE_IDENT_QUERY = "TableHash_scan"
@@ -1711,6 +1738,7 @@ def queries():
         "code_ident_postings": q_code_ident_postings,
         "search_code_ident": q_search_code_ident,
         "trigram_sync_postings": q_trigram_sync_postings,
+        "substring_search": q_substring_search,
     }
 
 
@@ -1765,4 +1793,5 @@ def oracle_sql():
         "code_ident_postings": sql_code_ident_postings(),
         "search_code_ident": sql_search_code_ident(),
         "trigram_sync_postings": sql_trigram_sync_postings(),
+        "substring_search": sql_substring_search(),
     }

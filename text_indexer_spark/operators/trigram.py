@@ -321,6 +321,54 @@ def substring_candidates(
         .select(id_col)
     )
 
+
+def substring_search(
+    corpus: DataFrame,
+    trigrams: DataFrame,
+    needle: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Case-insensitive substring match (``LIKE '%needle%'``) served
+    from the trigram index: candidates from the conjunctive gram filter,
+    ``contains`` verification held ABOVE the candidate join via the
+    cross-side predicate (same reasoning as ``grep_trigram`` — a bare
+    one-sided filter would be pushed below the join and re-scan the
+    whole corpus). Needles shorter than one gram fall back to the full
+    scan, same relation."""
+    lneedle = needle.lower()
+    if len(lneedle) < N:
+        return corpus.filter(
+            F.contains(F.lower(F.col(text_col)), F.lit(lneedle))
+        ).select(id_col)
+    cand = (
+        trigrams.filter(
+            F.col("gram").isin(
+                sorted({lneedle[i:i + N] for i in range(len(lneedle) - N + 1)})
+            )
+        )
+        .groupBy(id_col)
+        .agg(F.count_distinct("gram").alias("_g"))
+        .filter(
+            F.col("_g")
+            == len({lneedle[i:i + N] for i in range(len(lneedle) - N + 1)})
+        )
+    )
+    return (
+        corpus.join(cand, id_col, "inner")
+        .filter(
+            (
+                F.when(
+                    F.contains(F.lower(F.col(text_col)), F.lit(lneedle)),
+                    F.lit(1),
+                ).otherwise(F.lit(0))
+                * F.col("_g")
+            )
+            > 0
+        )
+        .select(id_col)
+    )
+
 # ---------------------------------------------------------------------------
 # Committed trigram index: LSM-style segments + tombstones
 # ---------------------------------------------------------------------------
