@@ -512,6 +512,49 @@ def run_grep(
         spark.stop()
 
 
+def _grep_baseline_paragraph(grep: dict, n_docs: int) -> str:
+    """BASELINE.md paragraph for the trigram grep segment — reports the
+    wall-times honestly (both sides are fixed-job-overhead-bound at
+    bench scale) and carries the scale argument with the deterministic
+    work counters."""
+    wc = grep.get("grep_work_counters", {})
+    per = wc.get("per_pattern", {})
+    counter_bits = "; ".join(
+        f"`{p}`: {c['gram_rows_pct']}% of gram-index rows read, "
+        f"{c['verified_docs_pct']}% of docs regex-verified"
+        for p, c in per.items()
+    )
+    sc = grep.get("grep_scaling") or {}
+    sc_bit = ""
+    if sc:
+        sc_bit = (
+            f"Re-timed on a {sc['size_ratio']:.0f}× smaller corpus, "
+            f"full-scan time grew {sc['full_scan_growth']}× vs the probe's "
+            f"{sc['trigram_growth']}× — at THIS corpus size both numbers are "
+            "dominated by fixed per-job cost, which is exactly the point: "
+            "the corpus is too small for any index to pay off in wall-time, "
+            "so the counters above, not the clock, carry the 100 TB case "
+            "(full scan does 100% of the per-byte work at any size; the "
+            "probe's share is the verified-docs fraction plus a row-group-"
+            "pruned gram read). "
+        )
+    return (
+        "Trigram content grep (regex/substring without a full scan; "
+        "benched on the flat gram-sorted layout — the committed LSM form "
+        "adds segments+tombstones for incremental sync with the same "
+        "probe plan): warm full-scan regex "
+        f"{grep['grep_full_scan_sec']} s vs indexed probe "
+        f"{grep['grep_trigram_sec']} s per pattern over "
+        f"{n_docs:,} docs (ingest {grep['trigram_ingest_sec']} s one-time, "
+        "gram-sorted for row-group pruning). "
+        f"Measured per-pattern work: {counter_bits}. "
+        + sc_bit
+        + "Plan-asserted: gram IN-list pushed into every segment scan, "
+        "tombstones + candidates broadcast, verification regex held above "
+        "the candidate join.\n\n"
+    )
+
+
 def _pretouch(path: str) -> None:
     """Read every file under ``path`` once so the OS page cache is warm
     before the first timed run — otherwise run 1 of each variant pays
@@ -844,7 +887,8 @@ def main() -> None:
                 "prefixes, wildcards and boolean glue — same serving shape "
                 "as WAND (one pruned scan, per-shard kernels, global "
                 "TakeOrderedAndProject).\n\n"
-                "Reference baseline: the reference (vbutrim/text-indexer) "
+                + _grep_baseline_paragraph(grep, build["n_docs"])
+                + "Reference baseline: the reference (vbutrim/text-indexer) "
                 "publishes no benchmark numbers (no perf tests in the repo; "
                 "its only instrumentation is UI wall-clock text, "
                 "`ui/.../Indexer.kt:119-126`), so these measurements are the "
