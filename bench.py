@@ -690,6 +690,7 @@ def main() -> None:
         "grep_per_pattern_trigram": grep["per_pattern_trigram"],
         "grep_speedup": grep["grep_speedup"],
         "grep_scaling": grep.get("grep_scaling"),
+        "grep_work_counters": grep.get("grep_work_counters"),
         "per_query_warm_sec": queries["per_query"],
         "per_dsl_query_warm_sec": dsl["per_query"],
         "positional_postings_per_sec": round(build_pos["postings_per_sec"], 1),
