@@ -724,6 +724,12 @@ def main() -> None:
             for p in os.environ.get("SPARK_GRAFT_SCALING_PAIRS", "1:4,2:8").split(",")
         ]
         sreps = int(os.environ.get("SPARK_GRAFT_SCALING_REPLICAS", "800"))
+        # repetitions per config (best-of-N): the single shared VM's
+        # run-to-run noise is the dominant error term — N=2 once let a
+        # lucky local[2] run print a superlinear 1→2 speedup; more reps
+        # converge every config to its true ceiling before ratios are
+        # taken
+        n_reps = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "3"))
         configs = sorted({n for p in pairs for n in p})
         # materialize the scaling corpus ONCE at full parallelism, in its
         # own subprocess — datagen is not part of the measured build and
@@ -735,9 +741,11 @@ def main() -> None:
         )
         _pretouch(scorpus)
         best: dict[int, dict] = {}
-        for _ in range(2):
+        all_runs: dict[int, list[float]] = {n: [] for n in configs}
+        for _ in range(n_reps):
             for n in configs:
                 r = run_build_subprocess(f"local[{n}]", SF_DIR, sreps, corpus_dir=scorpus)
+                all_runs[n].append(round(r["postings_per_sec"], 1))
                 if n not in best or r["postings_per_sec"] > best[n]["postings_per_sec"]:
                     old = best.get(n)
                     if old:
@@ -757,7 +765,12 @@ def main() -> None:
                     / ((n_large / n_small) * s["postings_per_sec"]), 3
                 ),
             })
-        result["scaling"] = {"pairs": pair_stats, **pair_stats[0]}
+        result["scaling"] = {
+            "pairs": pair_stats,
+            "reps_per_config": n_reps,
+            "postings_per_sec_all_runs": all_runs,
+            **pair_stats[0],
+        }
 
         any_cfg = best[configs[-1]]
         stage_names = list(any_cfg.get("stage_sec", {}))
@@ -821,8 +834,13 @@ def main() -> None:
                 f"({any_cfg['n_docs']:,} docs, {any_cfg['n_postings']:,} postings), "
                 "identical input at every parallelism level. Each config runs "
                 "in a fresh interpreter + JVM, CPU-pinned (`taskset`) to "
-                "exactly its core budget; best of 2 runs per config (single "
-                "shared VM → noisy neighbors).\n\n"
+                f"exactly its core budget; best of {n_reps} interleaved runs "
+                "per config (single shared VM → noisy neighbors; all-run "
+                "postings/sec per config: "
+                + "; ".join(
+                    f"local[{n}] {all_runs[n]}" for n in configs
+                )
+                + ").\n\n"
                 + head + "\n" + sep + "\n" + "\n".join(rows) + "\n\n"
                 + "**Scaling efficiency N→4N cores "
                 + ", ".join(f"{p['pair']}: **{p['efficiency']:.3f}**" for p in pair_stats)
