@@ -847,7 +847,11 @@ def main() -> None:
                 + "** — target ≥ 0.8 per the BASELINE.json north rule; the "
                 "N-vs-4N-cores comparison is the sandbox stand-in for N vs 4N "
                 "executors (driver instruction: no real cluster available "
-                "here).\n\n"
+                "here). Efficiencies are ratios of best-of-N throughputs; "
+                "the all-run lists above show the shared VM's run-to-run "
+                "spread, so a ratio slightly above 1.0 is measurement noise "
+                "(a slow small-config session), not a property of the plan "
+                "— read the pair set together, not any single ratio.\n\n"
                 + eff_tables + "\n\n"
                 "Attribution (what the breakdown shows): the WIDE stage — "
                 "tokenize + the single content shuffle + per-shard postings "
