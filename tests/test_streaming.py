@@ -350,3 +350,74 @@ def test_stream_dedup_seen_catalog_bounds_state(spark, tmp_path):
     got = spark.read.parquet(out)
     # alpha was pre-seen via the catalog -> only beta is admitted
     assert [r["content"] for r in got.collect()] == ["beta content"]
+
+
+def test_stream_trigram_maintenance(spark, tmp_path):
+    """Streamed upserts + tombstones into the committed trigram index ≡
+    trigram postings over the final corpus state."""
+    from pyspark.sql import functions as F
+
+    from text_indexer_spark.operators.trigram import (
+        read_committed_trigrams,
+        trigram_postings,
+    )
+    from text_indexer_spark.streaming.sync_stream import (
+        run_stream_trigram_maintenance,
+    )
+
+    tri = str(tmp_path / "tri")
+    schema = (
+        "repo string, path string, commit string, lang string, "
+        "content string, event_time timestamp, deleted boolean"
+    )
+    import datetime as dt
+
+    t0 = dt.datetime(2026, 1, 1)
+    drop = str(tmp_path / "drops")
+    os.makedirs(drop)
+    # batch 1: two docs, one of them upserted TWICE in the same batch
+    # (event_time decides; 'stale text' must never reach the index)
+    b1 = spark.createDataFrame(
+        [
+            ("r1", "a.txt", "c1", "txt", "stale text", t0, False),
+            ("r1", "a.txt", "c2", "txt", "alpha bravo charlie", t0 + dt.timedelta(seconds=5), False),
+            ("r1", "b.txt", "c1", "txt", "delta echo foxtrot", t0, False),
+        ],
+        schema,
+    )
+    b1.coalesce(1).write.mode("append").parquet(drop)
+    q, version = run_stream_trigram_maintenance(
+        spark, drop, str(tmp_path / "ckpt1"), tri
+    )
+    q.awaitTermination(120)
+    assert version() >= 1
+
+    # batch 2 (fresh stream run): tombstone b.txt, add c.txt
+    drop2 = str(tmp_path / "drops2")
+    os.makedirs(drop2)
+    b2 = spark.createDataFrame(
+        [
+            ("r1", "b.txt", "c1", "txt", None, t0, True),
+            ("r1", "c.txt", "c1", "txt", "golf hotel india", t0, False),
+        ],
+        schema,
+    )
+    b2.coalesce(1).write.mode("append").parquet(drop2)
+    q2, version2 = run_stream_trigram_maintenance(
+        spark, drop2, str(tmp_path / "ckpt2"), tri
+    )
+    q2.awaitTermination(120)
+    assert version2() > 0
+
+    final = spark.createDataFrame(
+        [("r1", "a.txt", "alpha bravo charlie"), ("r1", "c.txt", "golf hotel india")],
+        "repo string, path string, text string",
+    ).select(F.xxhash64("repo", "path").alias("doc_id"), "text")
+    got = sorted(
+        (r["doc_id"], r["gram"])
+        for r in read_committed_trigrams(spark, tri).collect()
+    )
+    want = sorted(
+        (r["doc_id"], r["gram"]) for r in trigram_postings(final).collect()
+    )
+    assert got == want

@@ -149,3 +149,62 @@ def test_driver_gate_matches_oracle(spark):
         ).fetchall()
     )
     assert got == want
+
+
+def test_randomized_lifecycle_differential(spark, tri_dir):
+    """Random op sequence (add / remove / reindex / compact) replayed
+    against a driver-side truth dict: after EVERY commit the live view
+    must equal trigram postings over the truth corpus."""
+    import random
+
+    from text_indexer_spark.operators.trigram import trigram_postings
+
+    rng = random.Random(42)
+    words = ["alpha", "bravo", "charlie", "delta", "echo", "fox", "golf"]
+
+    def text():
+        return " ".join(rng.choice(words) for _ in range(rng.randrange(2, 7)))
+
+    truth: dict[int, str] = {}
+    next_id = 0
+    for step in range(12):
+        op = rng.choice(["add", "add", "remove", "reindex", "compact"])
+        if op == "compact":
+            if not _tri_exists(tri_dir):
+                continue
+            trigram_compact(spark, tri_dir)
+        else:
+            adds: list[tuple[int, str]] = []
+            removed: list[int] = []
+            if op == "add" or not truth:
+                for _ in range(rng.randrange(1, 4)):
+                    adds.append((next_id, text()))
+                    next_id += 1
+            elif op == "remove":
+                for doc in rng.sample(sorted(truth), min(2, len(truth))):
+                    removed.append(doc)
+                    del truth[doc]
+            else:  # reindex: replace content of existing docs
+                for doc in rng.sample(sorted(truth), min(2, len(truth))):
+                    adds.append((doc, text()))
+                    removed.append(doc)
+            for doc, t in adds:
+                truth[doc] = t
+            trigram_commit(
+                _docs(spark, adds),
+                tri_dir,
+                removed_ids=(
+                    spark.createDataFrame([(d,) for d in removed], "doc_id long")
+                    if removed
+                    else None
+                ),
+            )
+        want = _rel(trigram_postings(_docs(spark, sorted(truth.items()))))
+        got = _rel(read_committed_trigrams(spark, tri_dir))
+        assert got == want, f"step {step} op {op}"
+
+
+def _tri_exists(tri_dir: str) -> bool:
+    from text_indexer_spark.operators.trigram import _tri_manifest
+
+    return _tri_manifest(tri_dir)[0] > 0

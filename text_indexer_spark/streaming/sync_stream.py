@@ -173,3 +173,61 @@ def run_stream_sync(
     else:
         q = writer.trigger(processingTime="10 seconds").start()
     return q
+
+
+def run_stream_trigram_maintenance(
+    spark: SparkSession,
+    drop_dir: str,
+    checkpoint_dir: str,
+    tri_dir: str,
+    max_files_per_trigger: int = 16,
+):
+    """Streaming maintenance of the COMMITTED trigram index: each
+    micro-batch of upserts/tombstones becomes ONE ``trigram_commit`` —
+    every batch doc's old rows are tombstoned and non-deleted docs
+    re-add their grams in the same commit (replace semantics, identical
+    to the batch path). The LSM layout is already versioned internally,
+    so no external versions directory is needed; foreachBatch's
+    one-micro-batch-at-a-time guarantee serializes commits, and a crash
+    between segment write and the LATEST swap leaves only an
+    unreferenced orphan directory (the manifest pointer is atomic).
+
+    Within a batch, multiple upserts of the same document collapse to
+    the newest by ``event_time`` (``max_by``) — segments must hold one
+    row-set per doc. Returns (query, get_version)."""
+    from text_indexer_spark.operators.trigram import trigram_commit
+
+    state = {"version": 0}
+
+    def apply_batch(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        docs = batch_df.withColumn("doc_id", F.xxhash64("repo", "path"))
+        deleted = (
+            F.coalesce(F.col("deleted"), F.lit(False))
+            if "deleted" in batch_df.columns
+            else F.lit(False)
+        )
+        docs = docs.withColumn("_del", deleted)
+        order = (
+            F.col("event_time")
+            if "event_time" in batch_df.columns
+            else F.monotonically_increasing_id()
+        )
+        latest = docs.groupBy("doc_id").agg(
+            F.max_by(F.struct("content", "_del"), order).alias("last")
+        )
+        adds = latest.filter(~F.col("last._del")).select(
+            "doc_id", F.col("last.content").alias("text")
+        )
+        removed = latest.select("doc_id")
+        state["version"] = trigram_commit(adds, tri_dir, removed_ids=removed)
+
+    stream = corpus_change_stream(spark, drop_dir, max_files_per_trigger)
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    return q, (lambda: state["version"])
