@@ -295,13 +295,23 @@ def trigram_ingest(
     query's grams (runtime row-group pruning; at 100 TB this is the
     difference between scanning the whole gram index per grep and
     reading a handful of blocks). One extra shuffle at ingest, paid
-    once."""
+    once.
+
+    The range key is (gram, doc_id), not gram alone: stop-word-like hot
+    grams (`" th"`, `"the"`) have corpus-sized posting lists, and a
+    gram-only range partitioner must put all copies of one value in ONE
+    partition — the exact skew the build's salted merge avoids for hot
+    terms. The secondary key lets the range sampler split a hot gram at
+    doc-id boundaries across many partitions; every partition stays
+    bounded, and gram row-group min/max stats stay exactly as tight."""
     tri = trigram_postings(corpus, text_col=text_col, id_col=id_col)
     if num_partitions:
-        tri = tri.repartitionByRange(num_partitions, "gram")
+        tri = tri.repartitionByRange(num_partitions, "gram", id_col)
     else:
-        tri = tri.repartitionByRange("gram")
-    tri.sortWithinPartitions("gram").write.mode("overwrite").parquet(out_dir)
+        tri = tri.repartitionByRange("gram", id_col)
+    tri.sortWithinPartitions("gram", id_col).write.mode("overwrite").parquet(
+        out_dir
+    )
 
 
 def substring_candidates(
@@ -424,13 +434,18 @@ def _tri_commit(tri_dir: str, version: int, manifest: dict) -> None:
 
 
 def _write_segment(
-    tri: DataFrame, seg_dir: str, num_partitions: int | None
+    tri: DataFrame, seg_dir: str, num_partitions: int | None,
+    id_col: str = "doc_id",
 ) -> None:
+    # (gram, id) range key — hot grams split across partitions, see
+    # trigram_ingest
     if num_partitions:
-        tri = tri.repartitionByRange(num_partitions, "gram")
+        tri = tri.repartitionByRange(num_partitions, "gram", id_col)
     else:
-        tri = tri.repartitionByRange("gram")
-    tri.sortWithinPartitions("gram").write.mode("overwrite").parquet(seg_dir)
+        tri = tri.repartitionByRange("gram", id_col)
+    tri.sortWithinPartitions("gram", id_col).write.mode("overwrite").parquet(
+        seg_dir
+    )
 
 
 def trigram_commit(
@@ -454,7 +469,7 @@ def trigram_commit(
     version = cur + 1
     seg = f"seg_{version:06d}"
     tri = trigram_postings(corpus, text_col=text_col, id_col=id_col)
-    _write_segment(tri, storage.join(tri_dir, seg), num_partitions)
+    _write_segment(tri, storage.join(tri_dir, seg), num_partitions, id_col)
     manifest["segments"] = manifest["segments"] + [seg]
     if removed_ids is not None:
         ts = f"ts_{version:06d}"
@@ -522,6 +537,6 @@ def trigram_compact(
     view = read_committed_trigrams(spark, tri_dir, id_col=id_col)
     version = cur + 1
     seg = f"seg_{version:06d}"
-    _write_segment(view, storage.join(tri_dir, seg), num_partitions)
+    _write_segment(view, storage.join(tri_dir, seg), num_partitions, id_col)
     _tri_commit(tri_dir, version, {"segments": [seg], "tombstones": {}})
     return version
