@@ -94,3 +94,26 @@ def test_prefix_pushdown_reaches_scan(spark, tmp_path):
     df = spark.read.parquet(p).filter(F.col("term").startswith("st"))
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "StartsWith(term,st)" in plan, plan
+
+
+def test_grep_lines_multiline(spark):
+    from text_indexer_spark.operators.highlight import grep_lines
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha query\nquery beta\nno hit"),
+            (2, "nothing"),
+            (3, "quick\n\nquery"),
+        ],
+        "doc_id long, text string",
+    )
+    got = sorted(
+        (r["doc_id"], r["line_no"], r["line"])
+        for r in grep_lines(docs, "qu[a-z]+").collect()
+    )
+    assert got == [
+        (1, 1, "alpha query"),
+        (1, 2, "query beta"),
+        (3, 1, "quick"),
+        (3, 3, "query"),
+    ]

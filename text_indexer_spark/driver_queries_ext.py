@@ -1477,6 +1477,32 @@ def sql_trigram_sync_postings() -> str:
     )
 
 
+def q_grep_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """grep -n over the corpus (``highlight.grep_lines``): per-LINE
+    matches with 1-based line numbers. The testdata text is single-line,
+    so the gate derives a multi-line rendering inside the query (every
+    token on its own line — both engines compute it from the same
+    table), then greps it."""
+    from text_indexer_spark.operators.highlight import grep_lines
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.translate(F.col("text"), " ", "\n").alias("text")
+    )
+    return grep_lines(docs, "qu[a-z]+").orderBy("doc_id", "line_no")
+
+
+def sql_grep_lines() -> str:
+    return (
+        "WITH lined AS (SELECT doc_id, replace(text, ' ', chr(10)) AS text "
+        "FROM documents), ex AS (SELECT doc_id, "
+        "unnest(string_split(text, chr(10))) AS line, "
+        "unnest(range(1, len(string_split(text, chr(10))) + 1)) AS line_no "
+        "FROM lined) "
+        "SELECT doc_id, line_no::INT AS line_no, line FROM ex "
+        "WHERE regexp_matches(line, 'qu[a-z]+') ORDER BY doc_id, line_no"
+    )
+
+
 #: substring probe CROSSING a token boundary — the lookup the inverted
 #: token index cannot serve at all ("vector str..." tail+head chars)
 SUBSTRING_NEEDLE = "ctor str"
@@ -1739,6 +1765,7 @@ def queries():
         "search_code_ident": q_search_code_ident,
         "trigram_sync_postings": q_trigram_sync_postings,
         "substring_search": q_substring_search,
+        "grep_lines": q_grep_lines,
     }
 
 
@@ -1794,4 +1821,5 @@ def oracle_sql():
         "search_code_ident": sql_search_code_ident(),
         "trigram_sync_postings": sql_trigram_sync_postings(),
         "substring_search": sql_substring_search(),
+        "grep_lines": sql_grep_lines(),
     }

@@ -101,6 +101,28 @@ def regex_grep(
     )
 
 
+def grep_lines(
+    corpus: DataFrame,
+    pattern: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """``grep -n``: (id, line_no, line) for every content LINE matching
+    the pattern — the per-line result shape a code-search UI renders.
+    One codegen'd pass: split on newline → posexplode → rlike filter in
+    the same stage; no Python, no shuffle. Compose with the trigram
+    index by semi-joining ``candidate_ids`` first (the explode then runs
+    over candidates only)."""
+    return (
+        corpus.select(
+            F.col(id_col),
+            F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+        )
+        .filter(F.col("line").rlike(pattern))
+        .select(id_col, (F.col("pos") + 1).alias("line_no"), "line")
+    )
+
+
 def snippets_for_query(
     corpus: DataFrame,
     postings: DataFrame,
