@@ -81,7 +81,9 @@ _R3_PRIORITY = [
     "lang_id_nb",
     "fuzzy_terms2",
     "search_dsl_fuzzy2",
-    "search_dsl_fuzzy2_index",
+    # search_dsl_fuzzy2_index shares its entire path with
+    # search_dsl_fuzzy_index (above) + fuzzy_terms2; its window slot goes
+    # to grep_lines (a distinct code path) — it stays pytest-replayed
     "optimized_postings",
     "trigram_postings",
     "regex_grep_trigram",
@@ -89,6 +91,7 @@ _R3_PRIORITY = [
     "search_code_ident",
     "trigram_sync_postings",
     "substring_search",
+    "grep_lines",
 ]
 
 
