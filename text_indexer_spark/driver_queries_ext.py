@@ -1477,6 +1477,93 @@ def sql_trigram_sync_postings() -> str:
     )
 
 
+def _kotlin_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents rendered as Kotlin-shaped source derived from each
+    doc's tokens INSIDE the query (both engines compute it from the same
+    table): ``fun <t1>_<t2>() {}\\nclass <T3> { val <t4> = 1 }``; docs
+    with fewer than 4 tokens are dropped on both sides."""
+    from text_indexer_spark.tokenizer import tokenize_column
+
+    toks = tokenize_column(F.col("text"))
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", toks.alias("toks"))
+        .filter(F.size("toks") >= 4)
+    )
+    cap3 = F.concat(
+        F.upper(F.substring(F.element_at("toks", 3), 1, 1)),
+        F.substring(F.element_at("toks", 3), 2, 2147483647),
+    )
+    code = F.concat(
+        F.lit("fun "), F.element_at("toks", 1), F.lit("_"),
+        F.element_at("toks", 2), F.lit("() {}\nclass "), cap3,
+        F.lit(" { val "), F.element_at("toks", 4), F.lit(" = 1 }"),
+    )
+    return docs.select(
+        "doc_id", code.alias("text"), F.lit("kotlin").alias("lang")
+    )
+
+
+def _sql_kotlin_docs_cte() -> str:
+    from text_indexer_spark.tokenizer import duckdb_tokens_sql
+
+    toks = duckdb_tokens_sql("text")
+    return (
+        f"toked AS (SELECT doc_id, {toks} AS toks FROM documents), "
+        "kot AS (SELECT doc_id, 'fun ' || toks[1] || '_' || toks[2] || "
+        "'() {}' || chr(10) || 'class ' || upper(toks[3][1:1]) || "
+        "toks[3][2:] || ' { val ' || toks[4] || ' = 1 }' AS text "
+        "FROM toked WHERE len(toks) >= 4)"
+    )
+
+
+#: one regexp_extract_all+unnest per kotlin declaration kind, unioned —
+#: must stay in lockstep with symbols.SYMBOL_PATTERNS['kotlin']
+_SQL_KOTLIN_SYMS = (
+    "syms AS ("
+    "SELECT doc_id, 'function' AS kind, "
+    "unnest(regexp_extract_all(text, '\\bfun\\s+([A-Za-z_][A-Za-z0-9_]*)', 1)) AS symbol FROM kot "
+    "UNION ALL SELECT doc_id, 'class', "
+    "unnest(regexp_extract_all(text, '\\bclass\\s+([A-Za-z_][A-Za-z0-9_]*)', 1)) FROM kot "
+    "UNION ALL SELECT doc_id, 'value', "
+    "unnest(regexp_extract_all(text, '\\bval\\s+([A-Za-z_][A-Za-z0-9_]*)', 1)) FROM kot)"
+)
+
+
+def q_symbol_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ctags-lite definition index (``operators/symbols.py``): per-lang
+    declaration regexes in one codegen scan → (symbol, kind, doc_id,
+    n_defs) postings."""
+    from text_indexer_spark.operators.symbols import symbol_postings
+
+    return symbol_postings(_kotlin_docs(spark, sf_dir))
+
+
+def sql_symbol_postings() -> str:
+    return (
+        f"WITH {_sql_kotlin_docs_cte()}, {_SQL_KOTLIN_SYMS} "
+        "SELECT symbol, kind, doc_id, count(*)::BIGINT AS n_defs "
+        "FROM syms GROUP BY 1, 2, 3"
+    )
+
+
+def q_search_symbol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Definition lookup: docs declaring ``class Query`` (the 'query'
+    token capitalized by the derivation) with definition counts."""
+    from text_indexer_spark.operators.symbols import search_symbol
+
+    return search_symbol(_kotlin_docs(spark, sf_dir), "Query", kind="class")
+
+
+def sql_search_symbol() -> str:
+    return (
+        f"WITH {_sql_kotlin_docs_cte()}, {_SQL_KOTLIN_SYMS} "
+        "SELECT doc_id, kind, count(*)::BIGINT AS n_defs FROM syms "
+        "WHERE symbol = 'Query' AND kind = 'class' "
+        "GROUP BY doc_id, kind ORDER BY doc_id, kind"
+    )
+
+
 def q_grep_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """grep -n over the corpus (``highlight.grep_lines``): per-LINE
     matches with 1-based line numbers. The testdata text is single-line,
@@ -1766,6 +1853,8 @@ def queries():
         "trigram_sync_postings": q_trigram_sync_postings,
         "substring_search": q_substring_search,
         "grep_lines": q_grep_lines,
+        "symbol_postings": q_symbol_postings,
+        "search_symbol": q_search_symbol,
     }
 
 
@@ -1822,4 +1911,6 @@ def oracle_sql():
         "trigram_sync_postings": sql_trigram_sync_postings(),
         "substring_search": sql_substring_search(),
         "grep_lines": sql_grep_lines(),
+        "symbol_postings": sql_symbol_postings(),
+        "search_symbol": sql_search_symbol(),
     }
