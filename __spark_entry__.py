@@ -65,11 +65,12 @@ _R3_PRIORITY = [
     "search_dsl_fuzzy",
     "search_dsl_fuzzy_index",
     "search_dsl_snippets",
-    # hygiene tier (never driver-verified)
+    # hygiene tier (never driver-verified); the two *_kept_corpus
+    # variants are thin anti-joins over their in-window siblings — their
+    # slots go to the symbol gates (distinct code paths), they stay
+    # pytest-replayed
     "decontam_hits",
-    "decontam_kept_corpus",
     "repetition_stats",
-    "repetition_kept_corpus",
     "fuzzy_terms",
     "search_fuzzy",
     "tokenize_by_lang",
@@ -92,6 +93,8 @@ _R3_PRIORITY = [
     "trigram_sync_postings",
     "substring_search",
     "grep_lines",
+    "symbol_postings",
+    "search_symbol",
 ]
 
 
