@@ -5,14 +5,21 @@
 DuckDB oracle (see text_indexer_spark/driver_queries.py).
 
 Registration ORDER matters: the driver's correctness gate evaluates the
-first 50 entries of ``queries()`` in dict order.  Round 2 verified
-registrations 1-50 (CORRECTNESS_r02.json); round 3 therefore leads with
-the gates that have never had a driver row — the WAND serving family,
-paging/codec, serving tier, boolean/DSL tier, hygiene tier, multimodal,
-and every gate added in round 3 (lang-ID NB, fuzzy d=2, index optimize,
-trigram family, code-ident family) — which now exactly fill the window.
-All queries remain oracle-replayed in
-``tests/test_driver_contract.py`` regardless of window position.
+first 50 entries of ``queries()`` in dict order.  Round 2 verified one
+50-gate window (CORRECTNESS_r02.json), round 3 the other
+(CORRECTNESS_r03.json, overlap 1).  Round 4 rotates back: the window
+holds the 3 gates that have never had a driver row, the 2 gates whose
+code changed this round (Unicode-routing ``tokenize_by_lang``,
+CAS-commit ``trigram_sync_postings``), and 45 of the 49 r2 gates now
+stale by one round.  The 4 r2 gates left out (``search_and_empty``,
+``quality_kept_corpus``, ``dedup_kept_corpus``, ``ann_ivf_full_probe``)
+are each a thin variant of an IN-window sibling sharing its code path
+(empty-token guard over ``search_and``; anti-join wrappers over
+``quality_scores``/``dedup_clusters``; the unpersisted twin of
+``ann_ivf_indexed_full_probe`` — same quantizer + per-list scorer, same
+oracle) and each already has an r2 green row.  All 102 queries remain
+oracle-replayed at HEAD in ``tests/test_driver_contract.py`` regardless
+of window position.
 """
 
 from __future__ import annotations
@@ -29,77 +36,70 @@ from text_indexer_spark import (
     driver_queries_serving,
 )
 
-#: Gates promoted to the head of the registry for round 3 — every query
-#: registered after ``split_hash`` in rounds 1-2, i.e. everything whose
-#: only verification so far is pytest.  38 entries; the driver's
-#: 50-query window covers all of them plus the first 12 legacy gates.
-_R3_PRIORITY = [
-    # WAND / codec / merge serving path (changed in r2; last driver row r1)
-    "wand_bm25_topk",
-    "wand_bm25_topk_or",
-    "wand_bm25_batch",
-    "wand_bm25_scoped",
-    "decoded_postings",
-    "merged_decoded_postings",
-    "search_results_page",
-    # serving tier (never driver-verified)
-    "search_scoped",
-    "search_facets",
-    "bm25_msm",
-    "more_like_this",
-    "term_suggest",
-    "ngram_counts",
-    "tfidf_vectors",
-    "bm25f_topk",
-    "term_suggest_fuzzy",
-    # boolean / DSL tier (never driver-verified)
-    "search_boolean",
-    "search_boolean_not",
-    "boolean_from_index",
-    "search_boolean_ranked",
-    "search_dsl",
-    "search_dsl_index",
-    "search_dsl_ranked",
-    "search_dsl_ranked_index",
-    "search_dsl_near",
-    "search_dsl_fuzzy",
-    "search_dsl_fuzzy_index",
-    "search_dsl_snippets",
-    # hygiene tier (never driver-verified); the two *_kept_corpus
-    # variants are thin anti-joins over their in-window siblings — their
-    # slots go to the symbol gates (distinct code paths), they stay
-    # pytest-replayed
-    "decontam_hits",
-    "repetition_stats",
-    "fuzzy_terms",
-    "search_fuzzy",
+#: The round-4 window: 50 entries, all of which land driver rows this
+#: round.  Head = 3 never-driver-verified gates + the 2 gates whose
+#: code changed since their r3 row; tail = the 45 kept r2 gates in
+#: their r2 registration order (see module docstring for the 4
+#: excluded thin wrappers).  Every r3-window gate is unchanged since
+#: its r3 green row (the one touched file, multimodal.py, only
+#: widened an except clause on malformed payloads) and stays
+#: pytest-oracle-replayed.
+_R4_PRIORITY = [
+    "search_dsl_fuzzy2_index",
+    "decontam_kept_corpus",
+    "repetition_kept_corpus",
     "tokenize_by_lang",
-    "pii_stats",
-    # multimodal (no driver row in either round)
-    "multimodal_meta",
-    "multimodal_frames",
-    # new in r3 (never driver-verified by definition)
-    "lang_id_nb",
-    "fuzzy_terms2",
-    "search_dsl_fuzzy2",
-    # search_dsl_fuzzy2_index shares its entire path with
-    # search_dsl_fuzzy_index (above) + fuzzy_terms2; its window slot goes
-    # to grep_lines (a distinct code path) — it stays pytest-replayed
-    "optimized_postings",
-    "trigram_postings",
-    "regex_grep_trigram",
-    "code_ident_postings",
-    "search_code_ident",
     "trigram_sync_postings",
-    "substring_search",
-    "grep_lines",
-    "symbol_postings",
-    "search_symbol",
+    "term_stats",
+    "doc_stats",
+    "corpus_stats",
+    "search_and",
+    "search_paths",
+    "search_prefix",
+    "search_wildcard",
+    "search_snippets",
+    "regex_grep",
+    "bm25_topk",
+    "sync_diff",
+    "sync_apply_postings",
+    "dir_rollup",
+    "remove_dir",
+    "registry_listing",
+    "dedup_exact",
+    "dedup_minhash_sigs",
+    "dedup_lsh_pairs",
+    "dedup_ngram_jaccard",
+    "hot_shingles",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "dedup_clusters",
+    "neardup_cosine",
+    "neardup_cosine_lsh",
+    "neardup_clusters_cosine",
+    "ann_cosine_topk",
+    "ann_ivf_indexed_full_probe",
+    "lang_id",
+    "quality_scores",
+    "token_counts",
+    "doc_fingerprints",
+    "doc_chunks",
+    "packed_chunks",
+    "term_cooccurrence",
+    "term_expansion",
+    "search_expanded",
+    "phrase_match",
+    "proximity_match",
+    "phrase_match_index",
+    "proximity_match_index",
+    "decoded_positions",
+    "sample_hash",
+    "sample_stratified",
+    "split_hash",
 ]
 
 
 def _ordered(merged: dict) -> dict:
-    head = {k: merged[k] for k in _R3_PRIORITY if k in merged}
+    head = {k: merged[k] for k in _R4_PRIORITY if k in merged}
     tail = {k: v for k, v in merged.items() if k not in head}
     return {**head, **tail}
 

@@ -185,6 +185,30 @@ def test_decode_corrupt_payload(spark, media):
     assert rows[0]["kind"] == "image" and rows[0]["width"] == image_dims(0)[0]
 
 
+def test_decode_truncated_header_degrades(spark, media):
+    """A payload that passes the magic-byte sniff but dies mid-header
+    (struct.error from unpack_from, not ValueError) must degrade to an
+    'unknown' row under strict=False instead of killing the task."""
+    # a RIFF/WAVE container whose fmt chunk claims 16 bytes but is cut
+    # after 6 — struct.unpack_from("<H", body, 14) fails with struct.error
+    cut_wav = b"RIFF" + (36).to_bytes(4, "little") + b"WAVE" + b"fmt " + (
+        16
+    ).to_bytes(4, "little") + b"\x01\x00\x02\x00\x44\xac"
+    # a BMP whose header is cut before the dimension fields
+    cut_bmp = b"BM" + bytes(52)  # 54 bytes total, zeroed header fields
+    corrupt = spark.createDataFrame(
+        [(901, cut_wav), (902, cut_bmp[:16])],
+        "media_id long, payload binary",
+    )
+    both = media.select("media_id", "payload").unionByName(corrupt)
+    rows = {r["media_id"]: r for r in decode_media(both, strict=False).collect()}
+    assert rows[901]["kind"] == "unknown" and rows[901]["width"] is None
+    assert rows[902]["kind"] == "unknown"
+    assert rows[0]["kind"] == "image"  # healthy rows unaffected
+    with pytest.raises(Exception, match="(struct|media|unpack)"):
+        decode_media(both, strict=True).collect()
+
+
 def test_decode_deterministic(media):
     a = {r["media_id"]: r for r in decode_media(media).collect()}
     b = {r["media_id"]: r for r in decode_media(media).collect()}

@@ -208,3 +208,36 @@ def _tri_exists(tri_dir: str) -> bool:
     from text_indexer_spark.operators.trigram import _tri_manifest
 
     return _tri_manifest(tri_dir)[0] > 0
+
+
+def test_concurrent_commit_detected(spark, tri_dir):
+    """A writer whose manifest base was overtaken by another commit must
+    fail with ConcurrentCommitError, not silently shadow the winner
+    (advice r3: unguarded read-modify-write of the LATEST pointer)."""
+    from text_indexer_spark import storage
+    from text_indexer_spark.operators.trigram import _tri_commit
+
+    trigram_commit(_docs(spark, [(1, "first text")]), tri_dir)  # v1
+    # simulate writer B landing v2 after writer A read the v1 manifest:
+    # A's commit (also targeting v2) must now fail the pointer swap
+    storage.write_bytes_atomic(storage.join(tri_dir, "LATEST"), b"2")
+    with pytest.raises(storage.ConcurrentCommitError, match="v2, expected v1"):
+        _tri_commit(tri_dir, 2, {"segments": ["seg_000002"], "tombstones": {}})
+    # the winner's pointer is untouched
+    assert storage.read_bytes(storage.join(tri_dir, "LATEST")) == b"2"
+
+
+def test_registry_concurrent_save_detected(spark, tri_dir):
+    from text_indexer_spark import storage
+    from text_indexer_spark.operators import registry
+
+    state = registry.empty_state(spark)
+    assert registry.save_state(state, tri_dir) == 1
+    # another writer advances the pointer between this writer's version
+    # read and its swap: emulate by racing two saves off the same read
+    storage.write_bytes_atomic(storage.join(tri_dir, "LATEST"), b"5")
+    # save_state re-reads (sees 5) and commits 6 cleanly...
+    assert registry.save_state(state, tri_dir) == 6
+    # ...but a stale swap fails loudly
+    with pytest.raises(storage.ConcurrentCommitError):
+        storage.swap_latest(tri_dir, 4, 5)

@@ -308,7 +308,12 @@ def cmd_grep(args) -> int:
 
 
 def cmd_grep_ingest(args) -> int:
-    """Build (or sync) the committed trigram index for a corpus."""
+    """Build (or sync) the committed trigram index for a corpus.
+
+    Single-writer per index dir: run one ingest/compact at a time
+    against a given ``--tri-index``; a concurrent commit fails with
+    ``ConcurrentCommitError`` (guarded LATEST swap) rather than being
+    silently lost — rerun the loser against the new version."""
     from pyspark.sql import functions as F
 
     from text_indexer_spark.operators.trigram import trigram_commit

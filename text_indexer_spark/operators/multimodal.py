@@ -292,7 +292,11 @@ def decode_media(media: DataFrame, strict: bool = True) -> DataFrame:
                 raw = bytes(payload) if payload is not None else b""
                 try:
                     kind, w, h, nf, feat = _decode_one(raw)
-                except ValueError:
+                except (ValueError, struct.error):
+                    # struct.error: a truncated header chunk fails inside
+                    # struct.unpack_from before any ValueError guard runs
+                    # (e.g. a WAV whose fmt chunk is cut mid-field) — it
+                    # must degrade like any other malformed payload
                     if strict:
                         raise
                     kind, w, h, nf, feat = "unknown", None, None, None, None

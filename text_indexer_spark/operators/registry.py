@@ -325,9 +325,10 @@ def save_state(state: DataFrame, state_dir: str) -> int:
     version = cur + 1
     vdir = storage.join(state_dir, f"state_v{version:06d}")
     state.write.mode("overwrite").parquet(vdir)
-    storage.write_bytes_atomic(
-        storage.join(state_dir, "LATEST"), str(version).encode()
-    )
+    # guarded pointer swap: a concurrent save_state against the same dir
+    # fails loudly instead of silently shadowing this version — see
+    # storage.swap_latest for the single-writer contract
+    storage.swap_latest(state_dir, cur, version)
     return version
 
 

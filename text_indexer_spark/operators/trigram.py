@@ -428,9 +428,10 @@ def _tri_commit(tri_dir: str, version: int, manifest: dict) -> None:
     storage.write_json_atomic(
         storage.join(tri_dir, f"manifest_v{version:06d}.json"), manifest
     )
-    storage.write_bytes_atomic(
-        storage.join(tri_dir, "LATEST"), str(version).encode()
-    )
+    # guarded pointer swap: fails (ConcurrentCommitError) instead of
+    # silently dropping a concurrent writer's commit — see
+    # storage.swap_latest for the single-writer contract
+    storage.swap_latest(tri_dir, version - 1, version)
 
 
 def _write_segment(

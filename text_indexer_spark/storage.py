@@ -116,6 +116,37 @@ def write_bytes_atomic(path: str, payload: bytes) -> None:
             out.write(payload)
 
 
+class ConcurrentCommitError(RuntimeError):
+    """Another writer advanced the LATEST pointer between this commit's
+    manifest read and its pointer write — the commit would silently
+    drop that writer's version, so it fails instead."""
+
+
+def swap_latest(dir_path: str, expected_version: int, new_version: int) -> None:
+    """Advance ``dir_path``/LATEST from ``expected_version`` to
+    ``new_version``, failing if a concurrent writer moved it first.
+
+    The committed-index entry points (``trigram_commit``,
+    ``registry.save_state``) are single-writer by contract — the
+    streaming path serializes through foreachBatch, and concurrent CLI
+    runs against one index dir are unsupported.  This guard turns a
+    violated contract into a loud ``ConcurrentCommitError`` instead of a
+    silently lost commit: the pointer is re-read immediately before the
+    atomic write, shrinking the lost-update window from the whole build
+    to the read-write gap (a fencing-token store would close it fully;
+    local FS + object stores offer none portably)."""
+    ptr = join(dir_path, "LATEST")
+    raw = read_bytes(ptr)
+    cur = int(raw.decode().strip()) if raw is not None else 0
+    if cur != expected_version:
+        raise ConcurrentCommitError(
+            f"LATEST at {dir_path} is v{cur}, expected v{expected_version}: "
+            "a concurrent writer committed first; re-read its manifest and "
+            "retry this sync against the new version"
+        )
+    write_bytes_atomic(ptr, str(new_version).encode())
+
+
 def write_json_atomic(path: str, payload: dict) -> None:
     write_bytes_atomic(
         path, json.dumps(payload, indent=2, sort_keys=True).encode("utf-8")
