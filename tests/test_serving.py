@@ -238,6 +238,15 @@ def test_bm25f_partial_weights_ignore_unweighted_fields(spark):
     ]
     # doc 3 matches only in the unweighted field — it must not rank
     assert {r["doc_id"] for r in got} == {1, 2}
+    # a weight key naming NO existing field is inert: mixed-known/
+    # unknown weights score exactly like the known subset alone (the
+    # unknown field contributes no postings, no lengths, no df)
+    mixed = bm25f_topk(
+        both, ["needle"], {"body": 2.0, "nope": 9.0}, k=3, round_to=6
+    ).collect()
+    assert [(r["doc_id"], r["score"]) for r in mixed] == [
+        (r["doc_id"], r["score"]) for r in want
+    ]
 
 
 def test_suggest_terms_fuzzy(spark):

@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from text_indexer_spark.functions.bm25 import B, K1
 from text_indexer_spark.sources.tables import load_table
 from text_indexer_spark.tokenizer import duckdb_tokens_sql, tokenize_column
+from text_indexer_spark.unicode_fixture import with_fixture_sql
 
 # Fixed query-term sets (all present in the testdata vocabulary).
 AND_TERMS = ["spark", "join", "window"]
@@ -168,10 +169,15 @@ def q_search_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_regex_grep(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Regex content scan (the grep tier the inverted index can't serve)."""
+    """Regex content scan (the grep tier the inverted index can't serve).
+    Runs over documents ∪ the multi-byte fixture (unicode_fixture.py) so
+    the scan is driver-exercised on CJK/accented/emoji text."""
     from text_indexer_spark.operators.highlight import regex_grep
+    from text_indexer_spark.unicode_fixture import docs_with_fixture
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = docs_with_fixture(
+        load_table(spark, sf_dir, "documents")
+    ).select("doc_id", "text")
     return regex_grep(docs, GREP_REGEX)
 
 
@@ -478,7 +484,7 @@ def oracle_sql() -> dict[str, str]:
         "search_prefix": sql_search_prefix(PREFIX + "%"),
         "search_wildcard": sql_search_prefix(WILDCARD),
         "search_snippets": sql_search_snippets(),
-        "regex_grep": sql_regex_grep(),
+        "regex_grep": with_fixture_sql(sql_regex_grep()),
         "bm25_topk": sql_bm25_topk(),
         "sync_diff": sql_sync_diff(),
         "sync_apply_postings": sql_sync_apply_postings(),

@@ -23,6 +23,7 @@ from text_indexer_spark.operators import (
     textstats,
 )
 from text_indexer_spark.sources.tables import load_table
+from text_indexer_spark.unicode_fixture import with_fixture_sql as _ufix
 from text_indexer_spark.tokenizer import duckdb_tokens_sql
 
 MINHASHES = 8
@@ -534,7 +535,11 @@ def q_ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------- textstats
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return textstats.lang_id(load_table(spark, sf_dir, "documents"))
+    from text_indexer_spark.unicode_fixture import docs_with_fixture
+
+    return textstats.lang_id(
+        docs_with_fixture(load_table(spark, sf_dir, "documents"))
+    )
 
 
 def sql_lang_id() -> str:
@@ -619,7 +624,11 @@ SELECT doc_id, lang AS pred_lang FROM (
 
 
 def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return textstats.quality_scores(load_table(spark, sf_dir, "documents"))
+    from text_indexer_spark.unicode_fixture import docs_with_fixture
+
+    return textstats.quality_scores(
+        docs_with_fixture(load_table(spark, sf_dir, "documents"))
+    )
 
 
 def sql_quality() -> str:
@@ -681,7 +690,11 @@ FROM documents WHERE doc_id IN (
 
 
 def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return textstats.token_counts(load_table(spark, sf_dir, "documents"))
+    from text_indexer_spark.unicode_fixture import docs_with_fixture
+
+    return textstats.token_counts(
+        docs_with_fixture(load_table(spark, sf_dir, "documents"))
+    )
 
 
 def sql_token_counts() -> str:
@@ -1433,8 +1446,12 @@ def q_trigram_sync_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
         trigram_commit,
     )
 
+    from text_indexer_spark.unicode_fixture import docs_with_fixture
+
     if sf_dir not in _TRI_SYNC_CACHE:
-        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        docs = docs_with_fixture(
+            load_table(spark, sf_dir, "documents")
+        ).select("doc_id", "text")
         d = tempfile.mkdtemp(prefix="driver_tri_sync_")
         trigram_commit(docs.filter(F.col("doc_id") % 5 != 0), d)
         trigram_commit(
@@ -1876,11 +1893,11 @@ def oracle_sql():
         "ann_cosine_topk": sql_ann_topk(),
         "ann_ivf_full_probe": sql_ann_topk(),
         "ann_ivf_indexed_full_probe": sql_ann_topk(),
-        "lang_id": sql_lang_id(),
+        "lang_id": _ufix(sql_lang_id()),
         "lang_id_nb": sql_lang_id_nb(),
-        "quality_scores": sql_quality(),
+        "quality_scores": _ufix(sql_quality()),
         "quality_kept_corpus": sql_quality_kept(),
-        "token_counts": sql_token_counts(),
+        "token_counts": _ufix(sql_token_counts()),
         "doc_fingerprints": sql_fingerprints(),
         "doc_chunks": sql_doc_chunks(),
         "packed_chunks": sql_packed_chunks(),
@@ -1908,7 +1925,7 @@ def oracle_sql():
         "regex_grep_trigram": sql_regex_grep_trigram(),
         "code_ident_postings": sql_code_ident_postings(),
         "search_code_ident": sql_search_code_ident(),
-        "trigram_sync_postings": sql_trigram_sync_postings(),
+        "trigram_sync_postings": _ufix(sql_trigram_sync_postings()),
         "substring_search": sql_substring_search(),
         "grep_lines": sql_grep_lines(),
         "symbol_postings": sql_symbol_postings(),

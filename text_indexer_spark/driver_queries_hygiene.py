@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from text_indexer_spark.operators import decontam, fuzzy, textstats
 from text_indexer_spark.sources.tables import load_table
+from text_indexer_spark.unicode_fixture import with_fixture_sql as _ufix
 from text_indexer_spark.tokenizer import (
     duckdb_tokens_sql,
     duckdb_word_ngrams_sql,
@@ -166,12 +167,18 @@ def sql_repetition_kept() -> str:
 def q_tokenize_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language tokenizer dispatch inside one mapInPandas pass:
     zh docs segment as character bigrams, everything else uses the
-    delimiter tokenizer."""
+    delimiter tokenizer.  Runs over documents ∪ the multi-byte fixture
+    (unicode_fixture.py) so the zh route is driver-exercised on REAL
+    CJK text (the testdata zh rows are ASCII), and the default route on
+    accented/Cyrillic/Greek/emoji text."""
     from text_indexer_spark.operators.langroute import (
         tokenize_postings_by_lang,
     )
+    from text_indexer_spark.unicode_fixture import docs_with_fixture
 
-    return tokenize_postings_by_lang(load_table(spark, sf_dir, "documents"))
+    return tokenize_postings_by_lang(
+        docs_with_fixture(load_table(spark, sf_dir, "documents"))
+    )
 
 
 def sql_tokenize_by_lang() -> str:
@@ -313,6 +320,6 @@ def oracle_sql():
         "fuzzy_terms": sql_fuzzy_terms(),
         "fuzzy_terms2": sql_fuzzy_terms2(),
         "search_fuzzy": sql_search_fuzzy(),
-        "tokenize_by_lang": sql_tokenize_by_lang(),
+        "tokenize_by_lang": _ufix(sql_tokenize_by_lang()),
         "pii_stats": sql_pii_stats(),
     }
