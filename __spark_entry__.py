@@ -8,16 +8,20 @@ Registration ORDER matters: the driver's correctness gate evaluates the
 first 50 entries of ``queries()`` in dict order.  Round 2 verified one
 50-gate window (CORRECTNESS_r02.json), round 3 the other
 (CORRECTNESS_r03.json, overlap 1).  Round 4 rotates back: the window
-holds the 3 gates that have never had a driver row, the 2 gates whose
-code changed this round (Unicode-routing ``tokenize_by_lang``,
-CAS-commit ``trigram_sync_postings``), and 45 of the 49 r2 gates now
-stale by one round.  The 4 r2 gates left out (``search_and_empty``,
-``quality_kept_corpus``, ``dedup_kept_corpus``, ``ann_ivf_full_probe``)
-are each a thin variant of an IN-window sibling sharing its code path
-(empty-token guard over ``search_and``; anti-join wrappers over
+holds the 3 gates that have never had a driver row, the new-in-r4
+``regex_grep_pushdown`` gate, the 3 gates whose code changed this round
+(Unicode-routing ``tokenize_by_lang``, CAS-commit
+``trigram_sync_postings``, and ``trigram_postings`` after its
+O(len²)→O(len) gram-extraction rewrite), and 43 of the 49 r2 gates now
+stale by one round.  The 6 r2 gates left out (``search_and_empty``,
+``quality_kept_corpus``, ``dedup_kept_corpus``, ``ann_ivf_full_probe``,
+``sample_stratified``, ``split_hash``) are each a thin variant of an
+IN-window sibling sharing its code path (empty-token guard over
+``search_and``; anti-join wrappers over
 ``quality_scores``/``dedup_clusters``; the unpersisted twin of
 ``ann_ivf_indexed_full_probe`` — same quantizer + per-list scorer, same
-oracle) and each already has an r2 green row.  All 102 queries remain
+oracle; the content-stable-xxhash64 siblings of ``sample_hash``) and
+each already has an r2 green row.  All 103 queries remain
 oracle-replayed at HEAD in ``tests/test_driver_contract.py`` regardless
 of window position.
 """
@@ -37,17 +41,24 @@ from text_indexer_spark import (
 )
 
 #: The round-4 window: 50 entries, all of which land driver rows this
-#: round.  Head = 3 never-driver-verified gates + the 2 gates whose
-#: code changed since their r3 row; tail = the 45 kept r2 gates in
-#: their r2 registration order (see module docstring for the 4
-#: excluded thin wrappers).  Every r3-window gate is unchanged since
-#: its r3 green row (the one touched file, multimodal.py, only
-#: widened an except clause on malformed payloads) and stays
-#: pytest-oracle-replayed.
+#: round.  Head = 3 never-driver-verified gates, the NEW r4 gate
+#: (``regex_grep_pushdown`` — id-pushdown probe form), and the 3 gates
+#: whose code changed this round (Unicode-routing ``tokenize_by_lang``;
+#: CAS-commit ``trigram_sync_postings``; ``trigram_postings`` itself,
+#: whose gram extraction was rewritten O(len²)→O(len) this round);
+#: tail = 43 of the 45 kept r2 gates in their r2 registration order
+#: (see module docstring for the 4 excluded thin wrappers; r4 also
+#: displaces ``sample_stratified``/``split_hash``, the two
+#: content-stable-hash siblings of the in-window ``sample_hash`` —
+#: same xxhash64 mechanism, both r2-green).  Every r3-window gate is
+#: unchanged since its r3 green row except the trigram family, which
+#: is re-admitted above.
 _R4_PRIORITY = [
     "search_dsl_fuzzy2_index",
     "decontam_kept_corpus",
     "repetition_kept_corpus",
+    "regex_grep_pushdown",
+    "trigram_postings",
     "tokenize_by_lang",
     "trigram_sync_postings",
     "term_stats",

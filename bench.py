@@ -607,7 +607,156 @@ def run_grep(
         spark.stop()
 
 
-def _grep_baseline_paragraph(grep: dict, n_docs: int) -> str:
+#: big-docs grep mix (run_grep_big): one rare literal (the scanner's
+#: best case — java.util.regex skips via the literal, so the index may
+#: only tie), one leading-\w+ regex (the scanner must backtrack per
+#: position — the shape that pays per byte), one moderate-frequency
+#: needle at 1% of docs (candidate row-group pruning mostly defeated —
+#: the probe's honest worst case at this selectivity)
+GREP_BIG_PATTERNS = [
+    "zqvxkwjbn_rare",
+    "\\w+qvxkwjbn_rare\\([^)]*\\)",
+    "[a-z]+_zmed\\(arg_one, [a-z_]+\\)",
+]
+
+
+def big_docs_corpus(spark, n_docs: int, words_per_doc: int):
+    """Deterministic code-file-sized corpus: ``n_docs`` docs of
+    ``words_per_doc`` pseudo-random vocab words (~9 KB each at 1500 —
+    the size of a real source file, where per-byte scan work dominates
+    fixed job cost), with two planted needles: a rare call site in
+    0.1% of docs and a moderate one in 1%. Pure JVM expressions, no
+    data dependency, reproducible byte-for-byte (hash-seeded)."""
+    from pyspark.sql import functions as F
+
+    word = lambda seed: F.concat(  # noqa: E731
+        F.lit("w"),
+        F.lpad(F.pmod(F.xxhash64(seed), F.lit(2048)).cast("string"), 4, "0"),
+    )
+    return spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.array_join(
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(words_per_doc)),
+                    lambda j: word(F.col("id") * 1000003 + j),
+                ),
+                " ",
+            ),
+            F.when(
+                F.pmod(F.col("id"), F.lit(1000)) == 0,
+                F.lit(" zqvxkwjbn_rare(arg_one, arg_two)"),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.pmod(F.col("id"), F.lit(100)) == 7,
+                F.lit(" kqjzw_zmed(arg_one, arg_two)"),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+
+
+def run_grep_big(master: str, n_docs: int, words_per_doc: int) -> dict:
+    """The grep crossover measured where it physically lives: docs of
+    source-file size. The replicated-testdata corpora hold ~1.5 MB of
+    DISTINCT text (297-char docs), so a full regex scan there never
+    leaves the fixed-job-cost regime and no index can beat it in
+    wall-clock (r3/r4 xl finding). Here the corpus is ~1.8 GB of
+    distinct content, the full scan pays per byte, and the probe is the
+    id-PUSHDOWN form (candidate ids collected — bounded — and pushed
+    into the doc_id-sorted corpus scan as an IN-list: row-group pruning
+    reads only candidate blocks, the Zoekt/Code Search shape)."""
+    from pyspark.sql import functions as F
+
+    from text_indexer_spark.operators.highlight import regex_grep
+    from text_indexer_spark.operators.trigram import (
+        candidate_ids,
+        grep_trigram_pushdown,
+        required_grams,
+        trigram_ingest,
+    )
+    from text_indexer_spark.session import get_spark
+
+    spark = get_spark("bench-grep-big", master=master)
+    corp_dir = tempfile.mkdtemp(prefix="bench_grep_big_corp_")
+    tri_dir = tempfile.mkdtemp(prefix="bench_grep_big_tri_")
+    try:
+        t0 = time.time()
+        big_docs_corpus(spark, n_docs, words_per_doc).repartitionByRange(
+            64, "doc_id"
+        ).sortWithinPartitions("doc_id").write.mode("overwrite").parquet(
+            corp_dir
+        )
+        gen_sec = time.time() - t0
+        corpus = spark.read.parquet(corp_dir)
+        n = corpus.count()
+        total_mb = (
+            corpus.select(F.sum(F.length("text"))).collect()[0][0] / 1e6
+        )
+        t0 = time.time()
+        trigram_ingest(corpus, tri_dir)
+        ingest_sec = time.time() - t0
+        tri = spark.read.parquet(tri_dir)
+        tri_rows = tri.count()
+
+        per_full: dict[str, float] = {}
+        per_push: dict[str, float] = {}
+        hits: dict[str, int] = {}
+        counters: dict[str, dict] = {}
+        for p in GREP_BIG_PATTERNS:
+            for store, fn in (
+                (per_full, lambda: regex_grep(corpus, p)),
+                (per_push, lambda: grep_trigram_pushdown(corpus, tri, p)),
+            ):
+                best = float("inf")
+                for _ in range(2):  # pass 2 = warm plans; best kept
+                    t0 = time.time()
+                    hits[p] = fn().count()
+                    best = min(best, time.time() - t0)
+                store[p] = round(best, 4)
+            grams = required_grams(p)
+            cand = candidate_ids(tri, p)
+            counters[p] = {
+                "grams": len(grams),
+                "gram_rows": tri.filter(F.col("gram").isin(grams)).count(),
+                "candidates": cand.count() if cand is not None else n,
+                "hits": hits[p],
+            }
+        full_total = sum(per_full.values())
+        push_total = sum(per_push.values())
+        saved = full_total / len(per_full) - push_total / len(per_push)
+        return {
+            "n_docs": n,
+            "words_per_doc": words_per_doc,
+            "corpus_mb": round(total_mb, 1),
+            "gen_sec": round(gen_sec, 1),
+            "ingest_sec": round(ingest_sec, 1),
+            "gram_index_rows": tri_rows,
+            "per_pattern_full": per_full,
+            "per_pattern_pushdown": per_push,
+            "per_pattern_speedup": {
+                p: round(per_full[p] / max(per_push[p], 1e-9), 2)
+                for p in GREP_BIG_PATTERNS
+            },
+            "speedup": round(full_total / max(push_total, 1e-9), 2),
+            "patterns_to_break_even": (
+                round(ingest_sec / saved, 1) if saved > 0 else None
+            ),
+            "work_counters": {
+                p: {
+                    **c,
+                    "gram_rows_pct": round(100.0 * c["gram_rows"] / max(tri_rows, 1), 3),
+                    "verified_docs_pct": round(100.0 * c["candidates"] / max(n, 1), 3),
+                }
+                for p, c in counters.items()
+            },
+        }
+    finally:
+        shutil.rmtree(corp_dir, ignore_errors=True)
+        shutil.rmtree(tri_dir, ignore_errors=True)
+        spark.stop()
+
+
+def _grep_baseline_paragraph(grep: dict, n_docs: int, grep_big: dict | None = None) -> str:
     """BASELINE.md paragraph for the trigram grep segment — reports the
     wall-times honestly (both sides are fixed-job-overhead-bound at
     bench scale) and carries the scale argument with the deterministic
@@ -667,6 +816,42 @@ def _grep_baseline_paragraph(grep: dict, n_docs: int) -> str:
         + "Plan-asserted: gram IN-list pushed into every segment scan, "
         "tombstones + candidates broadcast, verification regex held above "
         "the candidate join.\n\n"
+        + (_grep_big_paragraph(grep_big) if grep_big else "")
+    )
+
+
+def _grep_big_paragraph(gb: dict) -> str:
+    per = ", ".join(
+        f"`{p}` {s}×" for p, s in gb["per_pattern_speedup"].items()
+    )
+    amort = gb.get("patterns_to_break_even")
+    wc = "; ".join(
+        f"`{p}`: {c['gram_rows_pct']}% gram rows, {c['verified_docs_pct']}% "
+        f"docs verified, {c['hits']} hits"
+        for p, c in gb["work_counters"].items()
+    )
+    return (
+        "Grep crossover at source-file scale (big-docs segment): "
+        f"{gb['n_docs']:,} deterministic synthetic docs of "
+        f"{gb['words_per_doc']} vocab words (~9 KB each, "
+        f"{gb['corpus_mb']:.0f} MB distinct content — the regime where "
+        "the full scan pays per byte instead of per job): full-scan "
+        f"regex total {sum(gb['per_pattern_full'].values()):.2f} s vs "
+        "id-pushdown trigram probe "
+        f"{sum(gb['per_pattern_pushdown'].values()):.2f} s over "
+        f"{len(gb['per_pattern_full'])} patterns — aggregate speedup "
+        f"**{gb['speedup']}×** (per-pattern {per}); one-time ingest "
+        f"{gb['ingest_sec']} s"
+        + (
+            f" amortizes after ~{amort:.0f} patterns"
+            if amort else ""
+        )
+        + f". Probe work: {wc}. The probe collects the (bounded, capped) "
+        "candidate ids and pushes them as an IN-list into the "
+        "doc_id-sorted corpus scan — row-group pruning reads only "
+        "candidate blocks, so the verify regex touches the candidate "
+        "docs' bytes only; above the cap it degrades to the broadcast "
+        "semi-join form.\n\n"
     )
 
 
@@ -708,6 +893,12 @@ def main() -> None:
             sf_dir=extra[0] if len(extra) >= 2 else None,
             small_replicas=int(extra[1]) if len(extra) >= 2 else 0,
             xl_replicas=int(extra[2]) if len(extra) >= 3 else 0,
+        )))
+        return
+    if "--grep-big-once" in sys.argv:
+        i = sys.argv.index("--grep-big-once")
+        print(json.dumps(run_grep_big(
+            sys.argv[i + 1], int(sys.argv[i + 2]), int(sys.argv[i + 3])
         )))
         return
     if "--queries-once" in sys.argv:
@@ -777,8 +968,17 @@ def main() -> None:
         grep = _json_subprocess(
             ["--grep-once", f"local[{CPUS}]", corpus_dir, SF_DIR,
              str(max(1, REPLICAS // 4)),
-             os.environ.get("SPARK_GRAFT_GREP_XL_REPLICAS",
-                            str(REPLICAS * 10))],
+             # tiny-doc xl off by default since r4: at 1M replicated
+             # 297-char docs the scan never leaves the fixed-cost
+             # regime (~1.5 MB distinct text) — the big-docs segment
+             # below measures the crossover where it physically lives
+             os.environ.get("SPARK_GRAFT_GREP_XL_REPLICAS", "0")],
+            dict(os.environ),
+        )
+        grep_big = _json_subprocess(
+            ["--grep-big-once", f"local[{CPUS}]",
+             os.environ.get("SPARK_GRAFT_GREP_BIG_DOCS", "200000"),
+             os.environ.get("SPARK_GRAFT_GREP_BIG_WORDS", "1500")],
             dict(os.environ),
         )
     finally:
@@ -822,6 +1022,10 @@ def main() -> None:
         "grep_scaling": grep.get("grep_scaling"),
         "grep_work_counters": grep.get("grep_work_counters"),
         "grep_xl": grep_xl or None,
+        "grep_big": grep_big,
+        "grep_big_speedup": grep_big["speedup"],
+        "grep_big_docs": grep_big["n_docs"],
+        "grep_big_mb": grep_big["corpus_mb"],
         "per_query_warm_sec": queries["per_query"],
         "per_dsl_query_warm_sec": dsl["per_query"],
         "positional_postings_per_sec": round(build_pos["postings_per_sec"], 1),
@@ -1032,8 +1236,14 @@ def main() -> None:
                 "vs the tf-only build at sf0.1 — median of paired same-JVM "
                 "A/B rounds, per-round spread "
                 f"{result['positional_build_overhead_rounds_pct']}%. "
-                "The time delta is INDISTINGUISHABLE FROM THIS VM'S NOISE "
-                "(rounds straddle zero run-to-run); the deterministic "
+                + (
+                    "All rounds positive: the paired design separates the "
+                    "~5% effect from this VM's ±25-40% cross-process noise. "
+                    if min(result["positional_build_overhead_rounds_pct"]) > 0
+                    else "The time delta is INDISTINGUISHABLE FROM THIS "
+                    "VM'S NOISE (rounds straddle zero run-to-run). "
+                )
+                + "The deterministic "
                 "witness that the variant does strictly more work is the "
                 "index itself: the positional posting lists are "
                 f"{result['positional_index_bytes_overhead_pct']}% larger "
@@ -1046,7 +1256,7 @@ def main() -> None:
                 "prefixes, wildcards and boolean glue — same serving shape "
                 "as WAND (one pruned scan, per-shard kernels, global "
                 "TakeOrderedAndProject).\n\n"
-                + _grep_baseline_paragraph(grep, build["n_docs"])
+                + _grep_baseline_paragraph(grep, build["n_docs"], grep_big)
                 + "Reference baseline: the reference (vbutrim/text-indexer) "
                 "publishes no benchmark numbers (no perf tests in the repo; "
                 "its only instrumentation is UI wall-clock text, "
@@ -1085,6 +1295,9 @@ def main() -> None:
         "grep_speedup": result["grep_speedup"],
         "grep_xl_speedup": result["grep_xl_speedup"],
         "grep_xl_docs": result["grep_xl_docs"],
+        "grep_big_speedup": result["grep_big_speedup"],
+        "grep_big_docs": result["grep_big_docs"],
+        "grep_big_mb": result["grep_big_mb"],
         "cpus": CPUS,
         "replicas": REPLICAS,
         "detail_file": "BENCH/bench_detail.json",

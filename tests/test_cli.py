@@ -212,3 +212,37 @@ def test_cli_grep_lifecycle(spark, corpus_dir, tmp_path, capsys):
     rc = cli.main(["--master", "local[4]", "grep-compact", "--tri-index", tri])
     assert rc == 0
     assert json.loads(capsys.readouterr().out.strip().splitlines()[-1])["version"] == 3
+
+
+def test_cli_grep_line_numbers(spark, corpus_dir, tmp_path, capsys):
+    """grep -n: per-line rows, indexed ≡ full scan, and the lines/line
+    numbers agree with a Python re reference over the same parquet."""
+    import re
+
+    tri = str(tmp_path / "tri_n")
+    rc = cli.main(["--master", "local[4]", "grep-ingest",
+                   "--corpus", corpus_dir, "--tri-index", tri])
+    assert rc == 0
+    capsys.readouterr()
+
+    pattern = "count_2"
+    args_common = ["--master", "local[4]", "grep", "--corpus", corpus_dir,
+                   "--pattern", pattern, "-n"]
+    rc = cli.main(args_common + ["--tri-index", tri])
+    assert rc == 0
+    indexed = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    rc = cli.main(args_common)
+    assert rc == 0
+    full = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert indexed == full and len(indexed) >= 2  # two lines in Example.kt
+
+    import pyspark.sql.functions as F
+    want = []
+    for r in spark.read.parquet(corpus_dir).select(
+        F.xxhash64("repo", "path").alias("doc_id"), "content"
+    ).collect():
+        for i, line in enumerate(r["content"].split("\n"), start=1):
+            if re.search(pattern, line):
+                want.append({"doc_id": r["doc_id"], "line_no": i, "line": line})
+    key = lambda h: (h["doc_id"], h["line_no"])
+    assert sorted(indexed, key=key) == sorted(want, key=key)

@@ -267,6 +267,32 @@ def test_trigram_grep_prunes_with_index(spark, tmp_path):
     )
 
 
+def test_trigram_grep_pushdown_prunes_corpus_scan(spark, tmp_path):
+    """The id-pushdown probe: candidate doc ids land as an IN-list ON
+    THE CORPUS SCAN itself (PushedFilters → row-group pruning on an
+    id-sorted layout), the plan has NO join, and the regex evaluates
+    only above that pruned scan."""
+    from text_indexer_spark.operators.trigram import (
+        grep_trigram_pushdown,
+        trigram_postings,
+    )
+
+    corp_dir = str(tmp_path / "corp")
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    # serving layout: corpus sorted by doc_id so id IN-lists prune blocks
+    docs.repartitionByRange(4, "doc_id").sortWithinPartitions(
+        "doc_id"
+    ).write.parquet(corp_dir)
+    corpus = spark.read.parquet(corp_dir)
+    tri = trigram_postings(corpus).cache()
+
+    q = grep_trigram_pushdown(corpus, tri, "quer[a-z]+")
+    plan = formatted_plan(q)
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    assert has_pushed_filter(q, "doc_id")  # the IN-list reached the scan
+    assert q.count() > 0  # non-degenerate: candidates existed
+
+
 def test_trigram_grep_fallback_is_full_scan(spark):
     """No usable literal → the SAME full-scan relation/plan as
     regex_grep: no joins, no aggregation, one corpus scan."""

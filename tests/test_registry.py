@@ -255,3 +255,63 @@ def test_registry_state_persist_roundtrip(spark, tmp_path):
     assert save_state(s2, sd) == 2
     assert load_state_version(sd) == 2
     assert key(load_state(spark, sd)) == key(s2)
+
+
+def test_registry_durable_multi_op_survives_restart(spark, tmp_path):
+    """Opt-in durable mode: a chained op sequence with ``persist_dir``
+    commits one parquet version per op, produces the same state as the
+    in-memory sequence, and a FRESH session resumes from LATEST (no
+    lineage back to the session that wrote it)."""
+    from text_indexer_spark.operators.registry import (
+        add_dir_source,
+        add_file_sources,
+        empty_state,
+        load_state,
+        load_state_version,
+        remove_items,
+    )
+
+    sd = str(tmp_path / "durable_registry")
+    key = lambda df: sorted(
+        (r["repo"], r["path"], r["kind"], r["doc_id"], r["status"])
+        for r in df.collect()
+    )
+    files = spark.createDataFrame(
+        [("r", "a/b/f1.txt", 1)], "repo string, path string, doc_id long"
+    )
+    dirs = spark.createDataFrame([("r", "a")], "repo string, path string")
+    swept = spark.createDataFrame(
+        [("r", "a/f2.txt", 2), ("r", "a/c/f3.txt", 3)],
+        "repo string, path string, doc_id long",
+    )
+    removed = spark.createDataFrame(
+        [("r", "a/b/f1.txt", False)],
+        "repo string, path string, still_exists boolean",
+    )
+
+    # durable sequence: each op loads nothing from executor memory —
+    # its input is the previous committed version
+    s = add_file_sources(empty_state(spark), files, persist_dir=sd)
+    assert load_state_version(sd) == 1
+    s = add_dir_source(s, dirs, swept, persist_dir=sd)
+    assert load_state_version(sd) == 2
+    s = remove_items(s, removed, persist_dir=sd)
+    assert load_state_version(sd) == 3
+
+    # reference sequence, purely in-memory
+    m = add_file_sources(empty_state(spark), files)
+    m = add_dir_source(m, dirs, swept)
+    m = remove_items(m, removed)
+    assert key(s) == key(m)
+
+    # 'restart': a fresh session state reads LATEST from disk only
+    fresh = spark.newSession()
+    resumed = load_state(fresh, sd)
+    assert key(resumed) == key(m)
+    # and the resumed catalog supports further ops
+    more = fresh.createDataFrame(
+        [("r", "z/new.txt", 9)], "repo string, path string, doc_id long"
+    )
+    s4 = add_file_sources(resumed, more, persist_dir=sd)
+    assert load_state_version(sd) == 4
+    assert ("r", "z/new.txt", "file", 9, "independent") in key(s4)

@@ -158,6 +158,27 @@ def test_grep_trigram_equals_full_scan(spark, docs, pattern):
     assert got == want, pattern
 
 
+@pytest.mark.parametrize("max_ids", [10_000, 1])
+@pytest.mark.parametrize("pattern", GREP_PATTERNS)
+def test_grep_trigram_pushdown_equals_full_scan(spark, docs, pattern, max_ids):
+    """The id-pushdown probe returns the identical relation at every
+    cap: above the cap it must silently degrade to the join form, at a
+    generous cap it serves from the pushed IN-list."""
+    from text_indexer_spark.operators.trigram import grep_trigram_pushdown
+
+    tri = trigram_postings(docs).cache()
+    want = sorted(
+        (r["doc_id"], r["n_matches"]) for r in regex_grep(docs, pattern).collect()
+    )
+    got = sorted(
+        (r["doc_id"], r["n_matches"])
+        for r in grep_trigram_pushdown(
+            docs, tri, pattern, max_pushdown_ids=max_ids
+        ).collect()
+    )
+    assert got == want, (pattern, max_ids)
+
+
 def test_substring_candidates_superset_and_verified(spark, docs):
     needle = "curious"
     cand = substring_candidates(trigram_postings(docs), needle)

@@ -288,17 +288,43 @@ def _grep_docs(corpus):
 def cmd_grep(args) -> int:
     """Regex grep over a corpus, trigram-index accelerated when a
     committed gram index exists (``grep-ingest``/``grep-compact``
-    maintain it); transparent full-scan fallback otherwise."""
-    from text_indexer_spark.operators.highlight import regex_grep
+    maintain it); transparent full-scan fallback otherwise.
+
+    ``-n/--line-numbers`` emits one row per matching LINE
+    (doc_id, line_no, line) — the ``grep -n`` shape a code-search UI
+    renders. With an index, the per-line explode runs over candidate
+    documents only (``candidate_ids`` semi-join ahead of the
+    posexplode, the composition highlight.grep_lines documents)."""
+    from text_indexer_spark.operators.highlight import grep_lines, regex_grep
     from text_indexer_spark.operators.trigram import (
+        candidate_ids,
         grep_trigram,
         read_committed_trigrams,
     )
 
     spark = _spark(args)
     corpus = _grep_docs(spark.read.parquet(args.corpus))
-    if args.tri_index:
-        tri = read_committed_trigrams(spark, args.tri_index)
+    tri = (
+        read_committed_trigrams(spark, args.tri_index)
+        if args.tri_index
+        else None
+    )
+    if args.line_numbers:
+        docs = corpus
+        if tri is not None:
+            cand = candidate_ids(tri, args.pattern)
+            if cand is not None:
+                docs = corpus.join(
+                    cand.select("doc_id"), "doc_id", "left_semi"
+                )
+        hits = grep_lines(docs, args.pattern)
+        for r in hits.orderBy("doc_id", "line_no").limit(args.limit).collect():
+            print(json.dumps({
+                "doc_id": r["doc_id"], "line_no": r["line_no"],
+                "line": r["line"],
+            }))
+        return 0
+    if tri is not None:
         hits = grep_trigram(corpus, tri, args.pattern)
     else:
         hits = regex_grep(corpus, args.pattern)
@@ -452,6 +478,10 @@ def main(argv: list[str] | None = None) -> int:
     g.add_argument("--pattern", required=True)
     g.add_argument("--tri-index", default=None)
     g.add_argument("--limit", type=int, default=100)
+    g.add_argument(
+        "-n", "--line-numbers", action="store_true",
+        help="emit per-line matches (doc_id, line_no, line) like grep -n",
+    )
     g.set_defaults(fn=cmd_grep)
 
     gi = sub.add_parser(

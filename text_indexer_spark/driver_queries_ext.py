@@ -1432,6 +1432,26 @@ def sql_regex_grep_trigram() -> str:
     )
 
 
+def q_regex_grep_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The id-PUSHDOWN probe form of the trigram grep: candidate ids
+    are collected (bounded) and pushed as an IN-list into the corpus
+    scan — row-group pruning reads candidate blocks only, the
+    Zoekt/Code Search access shape (``trigram.grep_trigram_pushdown``).
+    Must equal the full-scan relation exactly; same oracle as the
+    join-form gate."""
+    from text_indexer_spark.operators.trigram import (
+        grep_trigram_pushdown,
+        trigram_postings,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return grep_trigram_pushdown(docs, trigram_postings(docs), TRIGRAM_REGEX)
+
+
+def sql_regex_grep_pushdown() -> str:
+    return sql_regex_grep_trigram()
+
+
 _TRI_SYNC_CACHE: dict[str, str] = {}
 
 
@@ -1865,6 +1885,7 @@ def queries():
         "optimized_postings": q_optimized_postings,
         "trigram_postings": q_trigram_postings,
         "regex_grep_trigram": q_regex_grep_trigram,
+        "regex_grep_pushdown": q_regex_grep_pushdown,
         "code_ident_postings": q_code_ident_postings,
         "search_code_ident": q_search_code_ident,
         "trigram_sync_postings": q_trigram_sync_postings,
@@ -1923,6 +1944,7 @@ def oracle_sql():
         "optimized_postings": sql_optimized_postings(),
         "trigram_postings": sql_trigram_postings(),
         "regex_grep_trigram": sql_regex_grep_trigram(),
+        "regex_grep_pushdown": sql_regex_grep_pushdown(),
         "code_ident_postings": sql_code_ident_postings(),
         "search_code_ident": sql_search_code_ident(),
         "trigram_sync_postings": _ufix(sql_trigram_sync_postings()),

@@ -56,14 +56,26 @@ def empty_state(spark) -> DataFrame:
     return spark.createDataFrame([], ITEM_SCHEMA)
 
 
-def _commit(state: DataFrame) -> DataFrame:
+def _commit(state: DataFrame, persist_dir: str | None = None) -> DataFrame:
     """Materialize the new state and cut lineage. Every public op ends
     here: an op references its input state several times, so N chained
     ops WITHOUT a cut would recompute the state O(k^N) times (the same
-    blow-up ``cluster.connected_components`` cuts per round). The state
-    is one row per registered item — a catalog update materializing the
-    catalog is its honest cost; a deployment would persist state as a
-    table between ops (same cut, durable)."""
+    blow-up ``cluster.connected_components`` cuts per round).
+
+    Two modes, same single materialization either way:
+
+    * default — ``localCheckpoint`` (executor-memory-resident): right
+      for a sequence of ops inside one job/session;
+    * ``persist_dir`` — the durable mode for long-lived catalogs: the
+      new state is committed as the next parquet version under
+      ``persist_dir`` (``save_state``'s guarded LATEST swap) and the op
+      returns the frame READ BACK from that version, so the parquet
+      write doubles as the lineage cut, chained ops build on committed
+      bytes rather than executor memory, and a crash/restart resumes
+      from LATEST with nothing lost."""
+    if persist_dir is not None:
+        save_state(state, persist_dir)
+        return load_state(state.sparkSession, persist_dir)
     return state.localCheckpoint(eager=True)
 
 
@@ -98,17 +110,22 @@ def _materialize_parents(state: DataFrame, keys: DataFrame) -> DataFrame:
     return state.unionByName(missing)
 
 
-def add_file_sources(state: DataFrame, files: DataFrame) -> DataFrame:
+def add_file_sources(
+    state: DataFrame, files: DataFrame, persist_dir: str | None = None
+) -> DataFrame:
     """Explicit file adds: new or existing files become INDEPENDENT
     (``IndexedDocuments.kt:57-59`` promotes on explicit add)."""
     f = files.select(
         "repo", "path", F.lit("file").alias("kind"),
         F.col("doc_id").cast("long"), F.lit(INDEPENDENT).alias("status"),
     )
-    return _commit(_materialize_parents(_upsert(state, f), f))
+    return _commit(_materialize_parents(_upsert(state, f), f), persist_dir)
 
 
-def add_dir_source(state: DataFrame, dirs: DataFrame, swept_files: DataFrame) -> DataFrame:
+def add_dir_source(
+    state: DataFrame, dirs: DataFrame, swept_files: DataFrame,
+    persist_dir: str | None = None,
+) -> DataFrame:
     """Add directories as independent sources sweeping ``swept_files``.
 
     Order mirrors ``DocumentsIndexer.kt:113`` (dirs marked BEFORE files
@@ -157,13 +174,16 @@ def add_dir_source(state: DataFrame, dirs: DataFrame, swept_files: DataFrame) ->
         F.col("doc_id").cast("long"), F.lit(NESTED).alias("status"),
     )
     new_files = f.join(state.select("repo", "path"), ["repo", "path"], "left_anti")
-    return _commit(_materialize_parents(state.unionByName(new_files), f))
+    return _commit(
+        _materialize_parents(state.unionByName(new_files), f), persist_dir
+    )
 
 
 def remove_items(
     state: DataFrame,
     files_to_remove: DataFrame | None = None,
     dirs_to_remove: DataFrame | None = None,
+    persist_dir: str | None = None,
 ) -> DataFrame:
     """Remove files/dirs from the registry.
 
@@ -258,7 +278,9 @@ def remove_items(
         .join(live_anc, ["repo", "path"], "left_anti")
         .select("repo", "path")
     )
-    return _commit(survivors.join(dead, ["repo", "path"], "left_anti"))
+    return _commit(
+        survivors.join(dead, ["repo", "path"], "left_anti"), persist_dir
+    )
 
 
 def list_indexed(state: DataFrame, sources_only: bool = False) -> DataFrame:
