@@ -205,7 +205,11 @@ def test_decode_truncated_header_degrades(spark, media):
     assert rows[901]["kind"] == "unknown" and rows[901]["width"] is None
     assert rows[902]["kind"] == "unknown"
     assert rows[0]["kind"] == "image"  # healthy rows unaffected
-    with pytest.raises(Exception, match="(struct|media|unpack)"):
+    # whichever corrupt row's task dies first surfaces: the cut WAV
+    # raises struct.error ("unpack requires..."), the cut BMP a
+    # ValueError ("not a BMP payload") — both must count as a strict
+    # failure, so the match covers both message families
+    with pytest.raises(Exception, match="(struct|media|unpack|BMP|payload)"):
         decode_media(both, strict=True).collect()
 
 
