@@ -214,6 +214,27 @@ def test_cli_grep_lifecycle(spark, corpus_dir, tmp_path, capsys):
     assert json.loads(capsys.readouterr().out.strip().splitlines()[-1])["version"] == 3
 
 
+def test_cli_grep_pushdown(spark, corpus_dir, tmp_path, capsys):
+    """grep --pushdown ≡ grep (join form) ≡ full scan, including with a
+    cap that forces the join fallback."""
+    tri = str(tmp_path / "tri_p")
+    rc = cli.main(["--master", "local[4]", "grep-ingest",
+                   "--corpus", corpus_dir, "--tri-index", tri])
+    assert rc == 0
+    capsys.readouterr()
+    args_common = ["--master", "local[4]", "grep", "--corpus", corpus_dir,
+                   "--pattern", "T[a-z]+ler"]
+    outs = []
+    for extra in ([], ["--tri-index", tri],
+                  ["--tri-index", tri, "--pushdown"],
+                  ["--tri-index", tri, "--pushdown", "--pushdown-cap", "1"]):
+        rc = cli.main(args_common + extra)
+        assert rc == 0
+        outs.append([json.loads(l)
+                     for l in capsys.readouterr().out.strip().splitlines()])
+    assert outs[0] == outs[1] == outs[2] == outs[3] and len(outs[0]) >= 1
+
+
 def test_cli_grep_line_numbers(spark, corpus_dir, tmp_path, capsys):
     """grep -n: per-line rows, indexed ≡ full scan, and the lines/line
     numbers agree with a Python re reference over the same parquet."""

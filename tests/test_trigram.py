@@ -53,6 +53,28 @@ def test_trigram_postings_matches_python(spark, docs):
     assert got == want
 
 
+def test_trigram_postings_unicode_codepoints(spark):
+    """The split('')-based extraction must stay CODEPOINT-identical to
+    Python slicing on multi-byte text — non-BMP emoji (surrogate pairs
+    in the JVM), CJK, combining accents. Pins the O(len) rewrite to the
+    same semantics the old substr form had."""
+    texts = [
+        (1, "ab\U0001F600cd\U0001F680ef"),      # non-BMP emoji between ascii
+        (2, "搜索引擎索引构建"),                    # CJK
+        (3, "café crème"),                # combining accent + latin-1
+        (4, "Ω≈ç√∫˜µ≤"),                        # symbols
+        (5, "\U0001F600\U0001F680\U0001F916"),  # emoji-only
+    ]
+    d = spark.createDataFrame(texts, "doc_id long, text string")
+    want = set()
+    for i, t in texts:
+        lt = t.lower()
+        for k in range(max(len(lt) - 2, 0)):
+            want.add((i, lt[k:k + 3]))
+    got = {(r["doc_id"], r["gram"]) for r in trigram_postings(d).collect()}
+    assert got == want
+
+
 def test_trigram_postings_short_docs(spark):
     d = spark.createDataFrame(
         [(1, ""), (2, "ab"), (3, "abc"), (4, None)],

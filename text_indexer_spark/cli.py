@@ -294,7 +294,12 @@ def cmd_grep(args) -> int:
     (doc_id, line_no, line) — the ``grep -n`` shape a code-search UI
     renders. With an index, the per-line explode runs over candidate
     documents only (``candidate_ids`` semi-join ahead of the
-    posexplode, the composition highlight.grep_lines documents)."""
+    posexplode, the composition highlight.grep_lines documents).
+
+    ``--pushdown`` (with ``--tri-index``) serves the id-pushdown probe:
+    candidate ids collected (capped at ``--pushdown-cap``) and pushed
+    into the corpus scan — on a doc_id-sorted corpus, row-group pruning
+    reads candidate blocks only."""
     from text_indexer_spark.operators.highlight import grep_lines, regex_grep
     from text_indexer_spark.operators.trigram import (
         candidate_ids,
@@ -325,7 +330,20 @@ def cmd_grep(args) -> int:
             }))
         return 0
     if tri is not None:
-        hits = grep_trigram(corpus, tri, args.pattern)
+        if args.pushdown:
+            from text_indexer_spark.operators.trigram import (
+                grep_trigram_pushdown,
+            )
+
+            # collects the capped candidate-id list and pushes it into
+            # the corpus scan (row-group pruning on an id-sorted
+            # layout); degrades to the join form past the cap
+            hits = grep_trigram_pushdown(
+                corpus, tri, args.pattern,
+                max_pushdown_ids=args.pushdown_cap,
+            )
+        else:
+            hits = grep_trigram(corpus, tri, args.pattern)
     else:
         hits = regex_grep(corpus, args.pattern)
     for r in hits.orderBy("doc_id").limit(args.limit).collect():
@@ -482,6 +500,13 @@ def main(argv: list[str] | None = None) -> int:
         "-n", "--line-numbers", action="store_true",
         help="emit per-line matches (doc_id, line_no, line) like grep -n",
     )
+    g.add_argument(
+        "--pushdown", action="store_true",
+        help="push candidate ids into the corpus scan (row-group pruning "
+        "on a doc_id-sorted corpus; selective patterns read candidate "
+        "blocks only)",
+    )
+    g.add_argument("--pushdown-cap", type=int, default=10_000)
     g.set_defaults(fn=cmd_grep)
 
     gi = sub.add_parser(
