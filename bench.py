@@ -848,10 +848,13 @@ def _grep_big_paragraph(gb: dict) -> str:
         )
         + f". Probe work: {wc}. The probe collects the (bounded, capped) "
         "candidate ids and pushes them as an IN-list into the "
-        "doc_id-sorted corpus scan — row-group pruning reads only "
-        "candidate blocks, so the verify regex touches the candidate "
-        "docs' bytes only; above the cap it degrades to the broadcast "
-        "semi-join form.\n\n"
+        "doc_id-sorted corpus scan; the verify regex runs over candidate "
+        "rows only, which is where the measured win comes from at this "
+        "scale (row-group SKIPPING additionally bites when selectivity "
+        "beats docs-per-row-group — true at 100 TB layouts, not at "
+        "~2k-doc bench row groups, verified by an inFilterThreshold "
+        "A/B); above the cap it degrades to the broadcast semi-join "
+        "form.\n\n"
     )
 
 

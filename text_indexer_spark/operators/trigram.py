@@ -318,6 +318,12 @@ def grep_trigram_pushdown(
     On a corpus laid out sorted/partitioned by ``id_col`` the probe then
     reads only the candidate docs' blocks — the Zoekt/Code Search shape,
     where the index names the few files the regex must actually open.
+    Block skipping bites when selectivity beats docs-per-row-group
+    (true at 100 TB layouts; at bench scale ~2k-doc row groups each
+    hold a candidate, so the measured win there is regex-work
+    avoidance — verified by an inFilterThreshold A/B, identical times);
+    the regex saving alone already measures 3.3× on backtracking
+    patterns (BENCH/BASELINE.md big-docs segment).
 
     Falls back to the join form when the pattern has no usable literal
     or the candidate set exceeds the cap (non-selective pattern: the
