@@ -377,3 +377,69 @@ def test_redact_pii_idempotent_and_zero_shuffle(spark):
     twice = redact_pii(once)
     assert once.collect() == twice.collect()
     assert count_exchanges(once) == 0
+
+
+# ---------------------------------------------------------- bloom tier
+def test_bloom_no_false_negatives_and_deterministic(spark):
+    docs = _docs(
+        spark,
+        [(i, f"tok{i} alpha beta gamma tok{i + 1} delta") for i in range(40)],
+    )
+    ev = decontam.eval_ngrams(docs, n=3)
+    bloom = decontam.bloom_build(ev, bits_per_key=16, k=7)
+    # every member gram must probe positive (Bloom guarantee), and the
+    # build must be deterministic (pure hash of the gram set)
+    assert ev.filter(~decontam.bloom_contains(bloom, F.col("gram"))).count() == 0
+    again = decontam.bloom_build(ev, bits_per_key=16, k=7)
+    assert again == bloom
+
+
+def test_bloom_candidates_superset_and_selective(spark):
+    corpus = _docs(
+        spark,
+        [(i, f"w{i}a w{i}b w{i}c w{i}d w{i}e") for i in range(1, 50)]
+        + [(100, "needle one two three four")],
+    )
+    ev = decontam.eval_ngrams(_docs(spark, [(0, "needle one two three")]), n=4)
+    bloom = decontam.bloom_build(ev)
+    cand = decontam.bloom_candidates(corpus, bloom, n=4)
+    ids = {r["doc_id"] for r in cand.select("doc_id").collect()}
+    assert 100 in ids  # superset of the truly contaminated doc
+    # the prefilter must actually prune on disjoint-vocabulary docs
+    assert len(ids) < 25
+
+
+def test_decontaminate_bloom_equals_exact(spark):
+    # adversarial shape: near-miss grams (share 3 of 4 words) populate
+    # the corpus so the exact verify stage has real FPs to burn off
+    corpus = _docs(
+        spark,
+        [
+            (1, "alpha beta gamma delta tail"),
+            (2, "alpha beta gamma other words"),
+            (3, "completely disjoint vocabulary here"),
+            (4, "x alpha beta gamma delta"),
+            (5, None),
+        ],
+    )
+    ev = decontam.eval_ngrams(_docs(spark, [(0, "alpha beta gamma delta")]), n=4)
+    exact = sorted(
+        r["doc_id"] for r in decontam.decontaminate(corpus, ev, n=4).collect()
+    )
+    blm = sorted(
+        r["doc_id"]
+        for r in decontam.decontaminate_bloom(corpus, ev, n=4).collect()
+    )
+    assert exact == blm == [2, 3, 5]
+
+
+def test_bloom_candidates_is_single_scan_no_shuffle(spark):
+    from text_indexer_spark.plans.checks import count_exchanges
+
+    docs = _docs(spark, [(1, "a b c d e"), (2, "f g h i j")])
+    ev = decontam.eval_ngrams(docs, n=3)
+    bloom = decontam.bloom_build(ev)
+    cand = decontam.bloom_candidates(docs, bloom, n=3)
+    assert count_exchanges(cand) == 0
+    plan = cand._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan

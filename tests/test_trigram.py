@@ -249,3 +249,45 @@ def test_substring_search_equals_like(spark):
             ).collect()
         )
         assert got == want, needle
+
+
+# ------------------------------------------------------------ batch grep
+def test_grep_batch_equals_per_pattern_union(spark, docs):
+    from text_indexer_spark.operators.trigram import grep_trigram_batch
+
+    tri = trigram_postings(docs)
+    pats = [
+        "index",          # indexed literal
+        "quer[a-z]+",     # indexed via required literal "quer"
+        "s.m",            # no usable literal -> fallback scan tier
+        "zzqxnope",       # indexed, zero matches
+    ]
+    batch = {
+        (r["pattern"], r["doc_id"]): r["n_matches"]
+        for r in grep_trigram_batch(docs, tri, pats).collect()
+    }
+    single: dict = {}
+    for p in pats:
+        for r in grep_trigram(docs, tri, p).collect():
+            single[(p, r["doc_id"])] = r["n_matches"]
+    assert batch == single and len(batch) > 0
+
+
+def test_grep_batch_dedups_patterns_and_rejects_empty(spark, docs):
+    from text_indexer_spark.operators.trigram import grep_trigram_batch
+
+    tri = trigram_postings(docs)
+    once = grep_trigram_batch(docs, tri, ["index"]).collect()
+    twice = grep_trigram_batch(docs, tri, ["index", "index"]).collect()
+    assert sorted(map(tuple, once)) == sorted(map(tuple, twice))
+    with pytest.raises(ValueError):
+        grep_trigram_batch(docs, tri, [])
+
+
+def test_grep_batch_fallback_tier_is_join_free(spark, docs):
+    from text_indexer_spark.operators.trigram import grep_trigram_batch
+
+    tri = trigram_postings(docs)
+    out = grep_trigram_batch(docs, tri, ["s.m", "a.b"])  # both fallback
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan  # one exploded multi-regex scan, no join

@@ -1452,6 +1452,35 @@ def sql_regex_grep_pushdown() -> str:
     return sql_regex_grep_trigram()
 
 
+#: mixed batch: two trigram-indexed patterns + one with no usable
+#: literal (shares the single fallback scan pass) — the amortization
+#: shape the round-4 crossover bench motivated
+GREP_BATCH = ["quer[a-z]+", "stream", "s[a-z]+m"]
+
+
+def q_regex_grep_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-pattern grep: ONE gram-index probe + ONE verify pass for
+    the indexed patterns, one shared full-scan pass for literal-free
+    ones (``trigram.grep_trigram_batch``) — must equal the per-pattern
+    union exactly."""
+    from text_indexer_spark.operators.trigram import (
+        grep_trigram_batch,
+        trigram_postings,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return grep_trigram_batch(docs, trigram_postings(docs), GREP_BATCH)
+
+
+def sql_regex_grep_batch() -> str:
+    return " UNION ALL ".join(
+        f"SELECT '{p}' AS pattern, doc_id, "
+        f"length(regexp_extract_all(text, '{p}'))::INT AS n_matches "
+        f"FROM documents WHERE length(regexp_extract_all(text, '{p}')) > 0"
+        for p in GREP_BATCH
+    )
+
+
 _TRI_SYNC_CACHE: dict[str, str] = {}
 
 
@@ -1886,6 +1915,7 @@ def queries():
         "trigram_postings": q_trigram_postings,
         "regex_grep_trigram": q_regex_grep_trigram,
         "regex_grep_pushdown": q_regex_grep_pushdown,
+        "regex_grep_batch": q_regex_grep_batch,
         "code_ident_postings": q_code_ident_postings,
         "search_code_ident": q_search_code_ident,
         "trigram_sync_postings": q_trigram_sync_postings,
@@ -1945,6 +1975,7 @@ def oracle_sql():
         "trigram_postings": sql_trigram_postings(),
         "regex_grep_trigram": sql_regex_grep_trigram(),
         "regex_grep_pushdown": sql_regex_grep_pushdown(),
+        "regex_grep_batch": sql_regex_grep_batch(),
         "code_ident_postings": sql_code_ident_postings(),
         "search_code_ident": sql_search_code_ident(),
         "trigram_sync_postings": _ufix(sql_trigram_sync_postings()),

@@ -18,12 +18,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from text_indexer_spark.operators import decontam, fuzzy, textstats
+from text_indexer_spark.operators import decontam, fuzzy, linededup, textstats
 from text_indexer_spark.sources.tables import load_table
 from text_indexer_spark.unicode_fixture import with_fixture_sql as _ufix
 from text_indexer_spark.tokenizer import (
     duckdb_tokens_sql,
     duckdb_word_ngrams_sql,
+    tokenize_column,
 )
 
 DECONTAM_N = 4
@@ -32,6 +33,8 @@ TOP2_MAX = 0.05
 FUZZY_TERM = "ag"          # 1 edit from both "a" and "agg"
 FUZZY_QUERY = "keys tble"  # typos of "key" and "table"
 ROUND = 4
+LINE_W = 3      # tokens per derived line (see _multiline_docs)
+LINE_MIN_DOCS = 2
 
 
 def _vocab_sql() -> str:
@@ -160,6 +163,106 @@ def sql_repetition_kept() -> str:
         "THEN la.dup_lines / la.n_lines ELSE 0 END) <= 0.3 "
         f"AND (CASE WHEN coalesce(ga.n_grams, 0) > 0 "
         f"THEN gbest.c / ga.n_grams ELSE 0 END) <= {TOP2_MAX}"
+    )
+
+
+def q_decontam_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered decontamination: the broadcast shrinks from the
+    eval-gram strings to m/64 packed longs and the exact verify join
+    only sees bloom-positive docs.  No false negatives -> the output is
+    IDENTICAL to the exact operator, so the gate shares
+    ``sql_decontam_kept``'s oracle — the driver proves the scale path
+    computes the same relation as the exact one."""
+    docs = load_table(spark, sf_dir, "documents")
+    ev = decontam.eval_ngrams(
+        docs.filter(F.col("doc_id") % EVAL_MOD == 0), n=DECONTAM_N
+    )
+    return decontam.decontaminate_bloom(docs, ev, n=DECONTAM_N).select(
+        "doc_id", "n_chars"
+    )
+
+
+# ------------------------------------------------------------ line dedup
+# The testdata documents are single-line word soup, so the gates derive
+# a deterministic MULTI-LINE corpus inside the query (the same move as
+# code_ident_postings): each doc's token stream is folded into lines of
+# LINE_W tokens.  With the corpus's small vocabulary, 3-token lines
+# repeat heavily across documents (1,413 of 7,460 distinct lines occur
+# in ≥2 docs at sf0.01; 26 docs end up fully boilerplate) — exactly the
+# structure the C4 line rule exists to kill.
+def _multiline_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokenize_column(F.coalesce(F.col("text"), F.lit("")))
+    n_lines = F.ceil(F.size(toks) / LINE_W).cast("int")
+    lines = F.when(
+        F.size(toks) > 0,
+        F.transform(
+            F.sequence(F.lit(1), n_lines),
+            lambda i: F.concat_ws(
+                " ", F.slice(toks, (i - 1) * LINE_W + 1, LINE_W)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return docs.select(
+        "doc_id", F.array_join(lines, "\n").alias("text")
+    )
+
+
+def _linededup_ctes() -> str:
+    toks = f"list_filter({duckdb_tokens_sql('text')}, x -> x <> '')"
+    w = LINE_W
+    return (
+        f"ml AS (SELECT doc_id, list_transform("
+        f"range(1, (len({toks}) + {w - 1}) // {w} + 1), "
+        f"i -> {{'line_no': i, 'line': array_to_string("
+        f"list_slice({toks}, (i-1)*{w}+1, (i-1)*{w}+{w}), ' ')}}) AS lst "
+        f"FROM documents), "
+        f"lns AS (SELECT doc_id, unnest(lst) AS s FROM ml), "
+        f"ln AS (SELECT doc_id, s.line_no AS line_no, s.line AS line "
+        f"FROM lns), "
+        f"shared AS (SELECT line FROM ln WHERE trim(line) <> '' "
+        f"GROUP BY line HAVING count(DISTINCT doc_id) >= {LINE_MIN_DOCS})"
+    )
+
+
+def q_line_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return linededup.line_dedup_stats(
+        _multiline_docs(spark, sf_dir), min_docs=LINE_MIN_DOCS
+    )
+
+
+def sql_line_dedup_stats() -> str:
+    return (
+        f"WITH {_linededup_ctes()} "
+        "SELECT doc_id, count(*)::BIGINT AS n_lines, "
+        "sum(CASE WHEN line IN (SELECT line FROM shared) THEN 1 ELSE 0 "
+        "END)::BIGINT AS n_shared_lines, "
+        "round(sum(CASE WHEN line IN (SELECT line FROM shared) THEN 1 "
+        "ELSE 0 END) / count(*), 4) AS shared_line_frac "
+        "FROM ln WHERE trim(line) <> '' GROUP BY doc_id"
+    )
+
+
+def q_line_dedup_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
+    kept = linededup.dedup_lines(
+        _multiline_docs(spark, sf_dir), min_docs=LINE_MIN_DOCS
+    )
+    return kept.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_kept_chars"),
+        F.md5(F.col("text")).alias("text_md5"),
+    )
+
+
+def sql_line_dedup_kept() -> str:
+    return (
+        f"WITH {_linededup_ctes()} "
+        "SELECT doc_id, "
+        "length(string_agg(line, chr(10) ORDER BY line_no))::BIGINT "
+        "AS n_kept_chars, "
+        "md5(string_agg(line, chr(10) ORDER BY line_no)) AS text_md5 "
+        "FROM ln WHERE trim(line) <> '' "
+        "AND line NOT IN (SELECT line FROM shared) GROUP BY doc_id"
     )
 
 
@@ -301,6 +404,9 @@ def queries():
     return {
         "decontam_hits": q_decontam_hits,
         "decontam_kept_corpus": q_decontam_kept,
+        "decontam_bloom_kept": q_decontam_bloom,
+        "line_dedup_stats": q_line_dedup_stats,
+        "line_dedup_kept": q_line_dedup_kept,
         "repetition_stats": q_repetition,
         "repetition_kept_corpus": q_repetition_kept,
         "fuzzy_terms": q_fuzzy_terms,
@@ -315,6 +421,9 @@ def oracle_sql():
     return {
         "decontam_hits": sql_decontam_hits(),
         "decontam_kept_corpus": sql_decontam_kept(),
+        "decontam_bloom_kept": sql_decontam_kept(),
+        "line_dedup_stats": sql_line_dedup_stats(),
+        "line_dedup_kept": sql_line_dedup_kept(),
         "repetition_stats": sql_repetition(),
         "repetition_kept_corpus": sql_repetition_kept(),
         "fuzzy_terms": sql_fuzzy_terms(),

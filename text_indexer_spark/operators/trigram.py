@@ -356,6 +356,103 @@ def grep_trigram_pushdown(
     )
 
 
+def grep_trigram_batch(
+    corpus: DataFrame,
+    trigrams: DataFrame,
+    patterns: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Multi-pattern grep in ONE index probe + ONE verify pass:
+    ``(pattern, doc_id, n_matches)`` for every pattern, identical to
+    running ``grep_trigram`` per pattern and unioning.
+
+    The round-4 crossover measurements (BENCH/BASELINE.md big-docs
+    segment) put numbers on what kills single-pattern index grep at
+    bench scale: the FIXED per-job cost (~0.165 s/job on this VM) and
+    the per-probe index scan, which a full corpus scan pays once no
+    matter how many regexes it evaluates.  Batching restores the
+    index's advantage arithmetic: the gram IN-list of the whole batch
+    is pushed into ONE postings scan (row-group pruning intact — the
+    union of a few patterns' grams is still a sliver), candidates come
+    back per (pattern, doc) from ONE aggregation, and the verify tier
+    runs each pattern's regex only over ITS candidate docs, all inside
+    one job.  Patterns with no usable literal share ONE full-scan
+    fallback pass (a generator-exploded pattern column — no join, the
+    multi-regex scan every grep service runs for such patterns), so a
+    mixed batch costs one probe + one scan instead of 2×|patterns|
+    jobs.
+
+    Mechanics per pattern: conjunctive containment is checked with a
+    per-(pattern, doc) distinct-gram count against the pattern's
+    required-gram count (the batched form of ``candidate_ids``); the
+    verify ``regexp_count`` takes the PATTERN COLUMN, so the expression
+    references both join sides and Catalyst cannot push it below the
+    join into the corpus scan (the hazard ``grep_trigram`` defuses
+    with its cross-side predicate — structurally impossible here).
+    Duplicate patterns are deduped; order of the output is undefined
+    (relation semantics, like every grep in this module)."""
+    pats = list(dict.fromkeys(patterns))
+    if not pats:
+        raise ValueError("patterns must be non-empty")
+    spark = corpus.sparkSession
+    indexed: list[tuple[str, list[str]]] = []
+    fallback: list[str] = []
+    for p in pats:
+        grams = required_grams(p)
+        (indexed if grams else fallback).append((p, grams) if grams else p)
+
+    parts: list[DataFrame] = []
+    if indexed:
+        pat_rows = spark.createDataFrame(
+            [(p, len(g)) for p, g in indexed], "pattern string, _need int"
+        )
+        gram_rows = spark.createDataFrame(
+            sorted({(g, p) for p, gs in indexed for g in gs}),
+            "gram string, pattern string",
+        )
+        all_grams = sorted({g for p, gs in indexed for g in gs})
+        cand = (
+            trigrams.filter(F.col("gram").isin(all_grams))
+            .join(F.broadcast(gram_rows), "gram")
+            .groupBy("pattern", id_col)
+            .agg(F.count_distinct("gram").alias("_g"))
+            .join(F.broadcast(pat_rows), "pattern")
+            .filter(F.col("_g") == F.col("_need"))
+            .select("pattern", id_col)
+        )
+        parts.append(
+            corpus.join(cand, id_col)
+            .withColumn(
+                "n_matches",
+                F.regexp_count(F.col(text_col), F.col("pattern")),
+            )
+            .filter(F.col("n_matches") > 0)
+            .select("pattern", id_col, "n_matches")
+        )
+    if fallback:
+        pat_arr = F.array(
+            *[F.struct(F.lit(p).alias("pattern")) for p in fallback]
+        )
+        parts.append(
+            corpus.select(
+                F.col(id_col), F.col(text_col), F.explode(pat_arr).alias("_p")
+            )
+            .select(
+                F.col("_p.pattern").alias("pattern"),
+                F.col(id_col),
+                F.regexp_count(F.col(text_col), F.col("_p.pattern")).alias(
+                    "n_matches"
+                ),
+            )
+            .filter(F.col("n_matches") > 0)
+        )
+    out = parts[0]
+    for df in parts[1:]:
+        out = out.unionByName(df)
+    return out
+
+
 def trigram_ingest(
     corpus: DataFrame,
     out_dir: str,
