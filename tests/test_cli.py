@@ -267,3 +267,88 @@ def test_cli_grep_line_numbers(spark, corpus_dir, tmp_path, capsys):
                 want.append({"doc_id": r["doc_id"], "line_no": i, "line": line})
     key = lambda h: (h["doc_id"], h["line_no"])
     assert sorted(indexed, key=key) == sorted(want, key=key)
+
+
+def test_cli_clean_bloom_equals_exact(spark, tmp_path, capsys):
+    src = str(tmp_path / "dirty_b")
+    rows = [
+        (1, "a solid paragraph of reasonable natural language text that "
+            "keeps going long enough to clear the quality length gate and "
+            "mentions nothing from any benchmark at all " * 3, "en"),
+        (4, "the secret benchmark sentence appears here verbatim today "
+            "surrounded by plenty of otherwise fine filler words that "
+            "easily clear every quality and repetition threshold " * 3, "en"),
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string, lang string").write.parquet(src)
+    ev = str(tmp_path / "eval_b")
+    spark.createDataFrame(
+        [(100, "the secret benchmark sentence appears here verbatim today")],
+        "doc_id long, text string",
+    ).write.parquet(ev)
+
+    outs = {}
+    for mode, extra in (("exact", []), ("bloom", ["--decontam-bloom"])):
+        out = str(tmp_path / f"cleaned_{mode}")
+        rc = cli.main([
+            "--master", "local[4]", "clean", "--corpus", src, "--out", out,
+            "--evalset", ev, "--decontam-n", "6",
+            "--max-dup-line-frac", "0.5", *extra,
+        ])
+        assert rc == 0
+        stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert stats["contaminated"] == 1
+        outs[mode] = sorted(
+            r["doc_id"] for r in spark.read.parquet(out).collect()
+        )
+    assert outs["exact"] == outs["bloom"] == [1]
+
+
+def test_cli_grep_multi_pattern_batch(spark, tmp_path, capsys):
+    src = str(tmp_path / "grepsrc")
+    spark.createDataFrame(
+        [(1, "alpha query beta"), (2, "query stream query"), (3, "nothing")],
+        "doc_id long, text string",
+    ).write.parquet(src)
+    rc = cli.main([
+        "--master", "local[4]", "grep", "--corpus", src,
+        "--pattern", "quer[a-z]+", "--pattern", "s.re",
+    ])
+    assert rc == 0
+    got = {
+        (j["pattern"], j["doc_id"]): j["n_matches"]
+        for j in map(json.loads, capsys.readouterr().out.strip().splitlines())
+    }
+    assert got == {
+        ("quer[a-z]+", 1): 1, ("quer[a-z]+", 2): 2, ("s.re", 2): 1,
+    }
+    # -n with multiple patterns must refuse
+    with pytest.raises(SystemExit):
+        cli.main([
+            "grep", "--corpus", src, "-n",
+            "--pattern", "a", "--pattern", "b",
+        ])
+
+
+def test_cli_dedup_lines(spark, tmp_path, capsys):
+    src = str(tmp_path / "linesrc")
+    spark.createDataFrame(
+        [
+            (1, "all rights reserved\nkeep me one"),
+            (2, "all rights reserved\nkeep me two"),
+            (3, "all rights reserved"),
+        ],
+        "doc_id long, text string",
+    ).write.parquet(src)
+    out = str(tmp_path / "lineout")
+    rc = cli.main([
+        "--master", "local[4]", "dedup-lines", "--corpus", src, "--out", out,
+    ])
+    assert rc == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats == {
+        "rows_in": 3, "rows_kept": 2, "rows_dropped": 1, "shared_lines": 1,
+    }
+    kept = {
+        r["doc_id"]: r["text"] for r in spark.read.parquet(out).collect()
+    }
+    assert kept == {1: "keep me one", 2: "keep me two"}

@@ -243,12 +243,21 @@ def cmd_clean(args) -> int:
             ]
             parts.append(F.coalesce(F.col(text_col), F.lit("")))
             kept = kept.withColumn("doc_id", F.xxhash64(*parts))
+        flag_src = kept
+        if args.decontam_bloom:
+            # scale path: bloom-prefilter the corpus so the exact gram
+            # join (and the hit count) only touch bloom-positive docs;
+            # superset guarantee keeps the count and output exact
+            bloom = decontam.bloom_build(ev)
+            flag_src = decontam.bloom_candidates(
+                kept, bloom, n=args.decontam_n, text_col=text_col
+            )
         hits = decontam.contamination_hits(
-            kept, ev, n=args.decontam_n, text_col=text_col
+            flag_src, ev, n=args.decontam_n, text_col=text_col
         )
         n_contaminated = hits.count()
-        kept = decontam.decontaminate(
-            kept, ev, n=args.decontam_n, text_col=text_col
+        kept = kept.join(
+            F.broadcast(hits.select("doc_id")), "doc_id", "left_anti"
         )
         if id_col is None:
             kept = kept.drop("doc_id")
@@ -261,6 +270,33 @@ def cmd_clean(args) -> int:
                 "rows_kept": n_out,
                 "rows_dropped": n_in - n_out,
                 "contaminated": n_contaminated,
+            }
+        )
+    )
+    return 0
+
+
+def cmd_dedup_lines(args) -> int:
+    """Corpus-wide line dedup (C4/CCNet rule): lines occurring in
+    ``--min-docs`` distinct documents are removed from every document,
+    text reassembled in order, all-boilerplate docs dropped
+    (``operators/linededup.py``)."""
+    from text_indexer_spark.operators import linededup
+
+    spark = _spark(args)
+    corpus = _grep_docs(spark.read.parquet(args.corpus))
+    n_in = corpus.count()
+    n_shared = linededup.shared_lines(corpus, min_docs=args.min_docs).count()
+    kept = linededup.dedup_lines(corpus, min_docs=args.min_docs)
+    kept.write.mode("overwrite").parquet(args.out)
+    n_out = spark.read.parquet(args.out).count()
+    print(
+        json.dumps(
+            {
+                "rows_in": n_in,
+                "rows_kept": n_out,
+                "rows_dropped": n_in - n_out,
+                "shared_lines": n_shared,
             }
         )
     )
@@ -299,11 +335,17 @@ def cmd_grep(args) -> int:
     ``--pushdown`` (with ``--tri-index``) serves the id-pushdown probe:
     candidate ids collected (capped at ``--pushdown-cap``) and pushed
     into the corpus scan — on a doc_id-sorted corpus, row-group pruning
-    reads candidate blocks only."""
+    reads candidate blocks only.
+
+    ``--pattern`` repeats: N patterns run as ONE batch (one index
+    probe + one verify pass for the indexed ones, one shared scan for
+    the rest — ``trigram.grep_trigram_batch``), amortizing the fixed
+    per-job cost; output rows carry their pattern."""
     from text_indexer_spark.operators.highlight import grep_lines, regex_grep
     from text_indexer_spark.operators.trigram import (
         candidate_ids,
         grep_trigram,
+        grep_trigram_batch,
         read_committed_trigrams,
     )
 
@@ -314,6 +356,21 @@ def cmd_grep(args) -> int:
         if args.tri_index
         else None
     )
+    if len(args.pattern) > 1:
+        if args.line_numbers or args.pushdown:
+            raise SystemExit(
+                "grep: -n/--pushdown take exactly one --pattern"
+            )
+        hits = grep_trigram_batch(corpus, tri, args.pattern)
+        for r in (
+            hits.orderBy("pattern", "doc_id").limit(args.limit).collect()
+        ):
+            print(json.dumps({
+                "pattern": r["pattern"], "doc_id": r["doc_id"],
+                "n_matches": r["n_matches"],
+            }))
+        return 0
+    args.pattern = args.pattern[0]
     if args.line_numbers:
         docs = corpus
         if tri is not None:
@@ -487,13 +544,31 @@ def main(argv: list[str] | None = None) -> int:
     cl.add_argument("--max-top-2gram-frac", type=float, default=0.2)
     cl.add_argument("--evalset", default=None, help="parquet of benchmark docs")
     cl.add_argument("--decontam-n", type=int, default=8)
+    cl.add_argument(
+        "--decontam-bloom", action="store_true",
+        help="bloom-prefilter the corpus before the exact gram join "
+        "(same output; broadcast shrinks to packed bits — the large-"
+        "evalset path)",
+    )
     cl.set_defaults(fn=cmd_clean)
+
+    dl = sub.add_parser(
+        "dedup-lines",
+        help="remove lines shared across >=N docs (C4 boilerplate rule)",
+    )
+    dl.add_argument("--corpus", required=True)
+    dl.add_argument("--out", required=True)
+    dl.add_argument("--min-docs", type=int, default=2)
+    dl.set_defaults(fn=cmd_dedup_lines)
 
     g = sub.add_parser(
         "grep", help="regex grep (trigram-index accelerated with --tri-index)"
     )
     g.add_argument("--corpus", required=True)
-    g.add_argument("--pattern", required=True)
+    g.add_argument(
+        "--pattern", required=True, action="append",
+        help="regex; repeat for a one-pass multi-pattern batch",
+    )
     g.add_argument("--tri-index", default=None)
     g.add_argument("--limit", type=int, default=100)
     g.add_argument(

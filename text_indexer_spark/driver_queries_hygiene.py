@@ -266,6 +266,44 @@ def sql_line_dedup_kept() -> str:
     )
 
 
+# ------------------------------------------------------- bigram LM score
+LM_K = 0.5
+
+
+def q_lm_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality scoring: add-k bigram model trained on
+    the corpus, every doc scored by mean bigram log-prob + perplexity
+    (``operators/lm.py``), replayed count-for-count by the oracle."""
+    from text_indexer_spark.operators.lm import lm_self_score
+
+    return lm_self_score(load_table(spark, sf_dir, "documents"), k=LM_K)
+
+
+def sql_lm_ppl() -> str:
+    toks = f"list_filter({duckdb_tokens_sql('text')}, x -> x <> '')"
+    k = LM_K
+    return f"""
+WITH lt AS (SELECT doc_id, {toks} AS toks FROM documents),
+b AS (SELECT doc_id, s['w1'] AS w1, s['w2'] AS w2 FROM (
+  SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+      i -> {{'w1': toks[i], 'w2': toks[i+1]}})) AS s
+  FROM lt WHERE len(toks) >= 2)),
+c2 AS (SELECT w1, w2, count(*)::DOUBLE AS c12 FROM b GROUP BY w1, w2),
+u AS (SELECT unnest(toks) AS w1 FROM lt),
+c1 AS (SELECT w1, count(*)::DOUBLE AS c1 FROM u GROUP BY w1),
+v AS (SELECT count(*)::DOUBLE AS v FROM c1),
+sc AS (SELECT doc_id,
+         round(ln((c2.c12 + {k}) / (c1.c1 + {k} * (SELECT v FROM v)))
+               * 10000000.0)::BIGINT AS ilogp
+       FROM b JOIN c2 USING (w1, w2) JOIN c1 USING (w1))
+SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+       round((sum(ilogp)::DOUBLE / count(*)) / 10000000.0, 5) AS avg_logp,
+       round(exp(-round((sum(ilogp)::DOUBLE / count(*)) / 10000000.0, 5)), 3)
+       AS ppl
+FROM sc GROUP BY doc_id
+"""
+
+
 # ---------------------------------------------------------- lang routing
 def q_tokenize_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language tokenizer dispatch inside one mapInPandas pass:
@@ -407,6 +445,7 @@ def queries():
         "decontam_bloom_kept": q_decontam_bloom,
         "line_dedup_stats": q_line_dedup_stats,
         "line_dedup_kept": q_line_dedup_kept,
+        "lm_ppl": q_lm_ppl,
         "repetition_stats": q_repetition,
         "repetition_kept_corpus": q_repetition_kept,
         "fuzzy_terms": q_fuzzy_terms,
@@ -424,6 +463,7 @@ def oracle_sql():
         "decontam_bloom_kept": sql_decontam_kept(),
         "line_dedup_stats": sql_line_dedup_stats(),
         "line_dedup_kept": sql_line_dedup_kept(),
+        "lm_ppl": sql_lm_ppl(),
         "repetition_stats": sql_repetition(),
         "repetition_kept_corpus": sql_repetition_kept(),
         "fuzzy_terms": sql_fuzzy_terms(),

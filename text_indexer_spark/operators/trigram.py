@@ -358,7 +358,7 @@ def grep_trigram_pushdown(
 
 def grep_trigram_batch(
     corpus: DataFrame,
-    trigrams: DataFrame,
+    trigrams: DataFrame | None,
     patterns: list[str],
     text_col: str = "text",
     id_col: str = "doc_id",
@@ -391,7 +391,9 @@ def grep_trigram_batch(
     join into the corpus scan (the hazard ``grep_trigram`` defuses
     with its cross-side predicate — structurally impossible here).
     Duplicate patterns are deduped; order of the output is undefined
-    (relation semantics, like every grep in this module)."""
+    (relation semantics, like every grep in this module).  With
+    ``trigrams=None`` (no index available) every pattern rides the
+    shared fallback scan — still one corpus pass for the whole batch."""
     pats = list(dict.fromkeys(patterns))
     if not pats:
         raise ValueError("patterns must be non-empty")
@@ -399,7 +401,7 @@ def grep_trigram_batch(
     indexed: list[tuple[str, list[str]]] = []
     fallback: list[str] = []
     for p in pats:
-        grams = required_grams(p)
+        grams = required_grams(p) if trigrams is not None else []
         (indexed if grams else fallback).append((p, grams) if grams else p)
 
     parts: list[DataFrame] = []
