@@ -354,3 +354,41 @@ def test_committed_trigram_grep_plan(spark, tmp_path):
     # the regex runs as a join condition (post-join, candidate rows only),
     # never as a standalone filter Catalyst could push below the join
     assert "Join condition: ((cast(size(regexp_extract_all" in plan
+
+
+def test_batch_grep_plan_one_probe_pruned_verify(spark, tmp_path):
+    """grep_trigram_batch over the committed index: ONE probe carries
+    the UNION of all patterns' gram IN-lists into every segment scan,
+    the verify corpus scan is pruned by the pushed candidate doc_id
+    IN-list, and the fallback tier rides the same job as a generator
+    (no extra join, no cartesian)."""
+    from text_indexer_spark.operators.trigram import (
+        grep_trigram_batch,
+        read_committed_trigrams,
+        required_grams,
+        trigram_commit,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"hello world {i} quicksilver stream") for i in range(50)],
+        "doc_id long, text string",
+    )
+    d = str(tmp_path / "tri")
+    trigram_commit(docs, d)
+    trigram_commit(docs.limit(5), d)  # second segment
+    pats = ["quic[a-z]+", "stream", "a.b"]  # 2 indexed + 1 fallback
+    q = grep_trigram_batch(
+        docs, read_committed_trigrams(spark, d), pats
+    )
+    plan = formatted_plan(q)
+    # the union of both patterns' grams in ONE IN-list, pushed into
+    # BOTH segment scans (2 occurrences = one probe over the segments,
+    # not one probe per pattern)
+    union_grams = sorted(
+        set(required_grams(pats[0])) | set(required_grams(pats[1]))
+    )
+    needle = "In(gram, [" + ",".join(union_grams) + "])"
+    assert plan.count(needle) == 2
+    # verify scan pruned by the collected candidate ids
+    assert "In(doc_id" in plan
+    assert "CartesianProduct" not in plan

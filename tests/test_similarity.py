@@ -6,6 +6,7 @@ import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
+from text_indexer_spark.operators import similarity
 from text_indexer_spark.operators.similarity import (
     cosine_near_pairs,
     cosine_topk,
@@ -221,3 +222,44 @@ def test_ivf_ingest_layout_prunes_and_matches(spark, vecs, tmp_path):
     full = ivf_topk_indexed(spark, idx, queries, k=5, n_probe=8)
     brute = cosine_topk(df, queries, k=5)
     assert sorted(map(tuple, full.collect())) == sorted(map(tuple, brute.collect()))
+
+
+# ----------------------------------------------------------- int8 store
+def test_int8_quantization_error_within_bound(spark, vecs):
+    df, mat = vecs
+    rows = similarity.quantize_int8(df).collect()
+    unit = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    for r in rows:
+        q = np.array(r["qvec"], dtype=np.float64)
+        assert q.min() >= -127 and q.max() <= 127
+        err = np.abs(unit[r["vec_id"]] - r["scale"] * q)
+        assert err.max() <= r["scale"] / 2 + 1e-12
+
+
+def test_ann_int8_equals_brute_force(spark, vecs):
+    df, _ = vecs
+    queries = df.filter(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    exact = sorted(map(tuple, similarity.cosine_topk(df, queries, k=7).collect()))
+    quant = sorted(map(tuple, similarity.ann_int8_topk(df, queries, k=7).collect()))
+    assert exact == quant and len(exact) == 6 * 7
+
+
+def test_ann_int8_zero_vector_guard(spark):
+    rows = [(0, [0.0, 0.0, 0.0]), (1, [1.0, 0.0, 0.0]), (2, [0.9, 0.1, 0.0]),
+            (3, [0.0, 1.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = similarity.quantize_int8(df)
+    z = {r["vec_id"]: (r["scale"], r["qvec"]) for r in q.collect()}
+    assert z[0] == (0.0, [0, 0, 0])  # zero vector -> zero scale, no crash
+    # cosine against a zero vector is undefined (cosine_topk contract);
+    # the quantized path scores the same well-defined subset identically
+    nz = df.filter(F.col("vec_id") != 0)
+    queries = df.filter(F.col("vec_id") == 1).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    out = similarity.ann_int8_topk(nz, queries, k=2).collect()
+    assert [(r["vec_id"]) for r in sorted(out, key=lambda r: -r["cos"])][0] == 2

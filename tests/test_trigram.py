@@ -291,3 +291,18 @@ def test_grep_batch_fallback_tier_is_join_free(spark, docs):
     out = grep_trigram_batch(docs, tri, ["s.m", "a.b"])  # both fallback
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan  # one exploded multi-regex scan, no join
+
+
+def test_grep_batch_pushdown_variants_identical(spark, docs):
+    from text_indexer_spark.operators.trigram import grep_trigram_batch
+
+    tri = trigram_postings(docs)
+    pats = ["index", "quer[a-z]+", "zzqxnope"]
+    outs = []
+    for cap in (10_000, 1, None):  # pushdown hit, forced cap fallback, pure join
+        outs.append(sorted(
+            map(tuple, grep_trigram_batch(
+                docs, tri, pats, max_pushdown_ids=cap
+            ).collect())
+        ))
+    assert outs[0] == outs[1] == outs[2] and outs[0]

@@ -497,6 +497,19 @@ def q_ann_ivf_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k served from the INT8-quantized vector store:
+    error-bounded admission (k-th lower bound + rounding margin) keeps
+    a certified superset, exact rerank touches only the candidate
+    sliver — output identical to brute force BY CONSTRUCTION, so the
+    gate shares ``sql_ann_topk``'s oracle (``similarity.ann_int8_topk``)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return similarity.ann_int8_topk(emb, queries, k=10)
+
+
 def sql_ann_topk() -> str:
     return f"""
 SELECT q.vec_id AS query_id, e.vec_id,
@@ -1882,6 +1895,7 @@ def queries():
         "neardup_cosine_lsh": q_neardup_cosine_lsh,
         "neardup_clusters_cosine": q_neardup_clusters_cosine,
         "ann_cosine_topk": q_ann_topk,
+        "ann_int8_topk": q_ann_int8,
         "ann_ivf_full_probe": q_ann_ivf_full,
         "ann_ivf_indexed_full_probe": q_ann_ivf_indexed,
         "lang_id": q_lang_id,
@@ -1942,6 +1956,7 @@ def oracle_sql():
         "neardup_cosine_lsh": sql_neardup_cosine(),
         "neardup_clusters_cosine": sql_neardup_clusters_cosine(),
         "ann_cosine_topk": sql_ann_topk(),
+        "ann_int8_topk": sql_ann_topk(),
         "ann_ivf_full_probe": sql_ann_topk(),
         "ann_ivf_indexed_full_probe": sql_ann_topk(),
         "lang_id": _ufix(sql_lang_id()),

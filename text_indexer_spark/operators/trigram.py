@@ -362,6 +362,7 @@ def grep_trigram_batch(
     patterns: list[str],
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_pushdown_ids: int | None = 10_000,
 ) -> DataFrame:
     """Multi-pattern grep in ONE index probe + ONE verify pass:
     ``(pattern, doc_id, n_matches)`` for every pattern, identical to
@@ -393,7 +394,14 @@ def grep_trigram_batch(
     Duplicate patterns are deduped; order of the output is undefined
     (relation semantics, like every grep in this module).  With
     ``trigrams=None`` (no index available) every pattern rides the
-    shared fallback scan — still one corpus pass for the whole batch."""
+    shared fallback scan — still one corpus pass for the whole batch.
+
+    ``max_pushdown_ids`` applies the same dynamic row-group pruning as
+    ``grep_trigram_pushdown`` to the batch: the UNION of all patterns'
+    candidate ids is collected (bounded by the cap) and pushed as an
+    IN-list into the corpus scan feeding the verify join, so on a
+    doc_id-sorted layout the batch verify reads candidate blocks only.
+    ``None`` (or a blown cap) keeps the pure distributed-join verify."""
     pats = list(dict.fromkeys(patterns))
     if not pats:
         raise ValueError("patterns must be non-empty")
@@ -423,8 +431,21 @@ def grep_trigram_batch(
             .filter(F.col("_g") == F.col("_need"))
             .select("pattern", id_col)
         )
+        ver_src = corpus
+        if max_pushdown_ids is not None:
+            ids = [
+                r[0]
+                for r in cand.select(id_col)
+                .distinct()
+                .limit(max_pushdown_ids + 1)
+                .collect()
+            ]
+            if not ids:
+                ver_src = corpus.filter(F.lit(False))
+            elif len(ids) <= max_pushdown_ids:
+                ver_src = corpus.filter(F.col(id_col).isin(ids))
         parts.append(
-            corpus.join(cand, id_col)
+            ver_src.join(cand, id_col)
             .withColumn(
                 "n_matches",
                 F.regexp_count(F.col(text_col), F.col("pattern")),
