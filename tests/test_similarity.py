@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import re
+
 import numpy as np
 import pytest
 from pyspark.sql import functions as F
@@ -263,3 +265,61 @@ def test_ann_int8_zero_vector_guard(spark):
     )
     out = similarity.ann_int8_topk(nz, queries, k=2).collect()
     assert [(r["vec_id"]) for r in sorted(out, key=lambda r: -r["cos"])][0] == 2
+
+
+def test_ivf_int8_full_probe_equals_brute_force(spark, vecs, tmp_path):
+    df, _ = vecs
+    idx = str(tmp_path / "ivf8")
+    similarity.ivf_ingest(df, idx, DIM, n_centroids=4, quantize=True)
+    queries = df.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    exact = sorted(map(tuple, cosine_topk(df, queries, k=9).collect()))
+    ivf8 = sorted(map(tuple, similarity.ivf_topk_indexed_int8(
+        spark, idx, queries, k=9, n_probe=4
+    ).collect()))
+    assert exact == ivf8
+    # partial probe: recall loss is exactly the float IVF's — the int8
+    # stage inside the probed lists is lossless
+    fl = sorted(map(tuple, similarity.ivf_topk_indexed(
+        spark, idx, queries, k=9, n_probe=2
+    ).collect()))
+    i8 = sorted(map(tuple, similarity.ivf_topk_indexed_int8(
+        spark, idx, queries, k=9, n_probe=2
+    ).collect()))
+    assert fl == i8
+
+
+def test_ivf_int8_bound_scan_prunes_float_column(spark, vecs, tmp_path):
+    """The IO claim, plan-asserted: the bound-scan stage reads only the
+    int8 columns (embedding absent from its ReadSchema) and the rerank
+    scan reads the float column without qvec; both scans carry the
+    partition filter."""
+    df, _ = vecs
+    idx = str(tmp_path / "ivf8p")
+    similarity.ivf_ingest(df, idx, DIM, n_centroids=4, quantize=True)
+    queries = df.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    q = similarity.ivf_topk_indexed_int8(spark, idx, queries, k=5, n_probe=2)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    schemas = re.findall(r"ReadSchema: (struct<[^>]*>)", plan)
+    bound = [s for s in schemas if "qvec" in s]
+    rerank = [s for s in schemas if "embedding" in s]
+    assert bound and all("embedding" not in s for s in bound)
+    assert rerank and all("qvec" not in s for s in rerank)
+    assert "PartitionFilters: [cid" in plan.replace("#", "") or "cid IN" in plan
+
+
+def test_ivf_int8_requires_quantized_ingest(spark, vecs, tmp_path):
+    df, _ = vecs
+    idx = str(tmp_path / "ivf_noq")
+    similarity.ivf_ingest(df, idx, DIM, n_centroids=2)
+    queries = df.filter(F.col("vec_id") < 1).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    with pytest.raises(ValueError):
+        similarity.ivf_topk_indexed_int8(spark, idx, queries)

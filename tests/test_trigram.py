@@ -306,3 +306,30 @@ def test_grep_batch_pushdown_variants_identical(spark, docs):
             ).collect())
         ))
     assert outs[0] == outs[1] == outs[2] and outs[0]
+
+
+def test_grep_case_insensitive_flag_through_index(spark):
+    """(?i) patterns are served soundly by the case-folded gram index:
+    candidates are case-insensitive by construction (grams lowercase),
+    the verify regex applies the real flag — indexed ≡ full scan on
+    mixed-case text, for both the case-sensitive and (?i) forms."""
+    from text_indexer_spark.operators.trigram import grep_trigram
+
+    docs = spark.createDataFrame(
+        [
+            (1, "QuickSilver surfaces"),
+            (2, "QUICKSILVER SHOUTS"),
+            (3, "quicksilver quiet"),
+            (4, "no match here"),
+        ],
+        "doc_id long, text string",
+    )
+    tri = trigram_postings(docs)
+    for pat, expect in (
+        ("(?i)quicksilver", {1, 2, 3}),
+        ("quicksilver", {3}),
+        ("QuickSilver", {1}),
+    ):
+        indexed = {r["doc_id"] for r in grep_trigram(docs, tri, pat).collect()}
+        full = {r["doc_id"] for r in regex_grep(docs, pat).collect()}
+        assert indexed == full == expect, pat

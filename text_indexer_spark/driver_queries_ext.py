@@ -510,6 +510,34 @@ def q_ann_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_int8_topk(emb, queries, k=10)
 
 
+_IVF8_INDEX_CACHE: dict[str, str] = {}
+
+
+def q_ann_ivf_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF + SQ8 (quantized inverted lists): partition-pruned probe
+    reads only the int8 columns, certified error-bound admission, exact
+    rerank on the float column for the candidate sliver.  Full probe →
+    both stages lossless → shares the brute-force oracle
+    (``similarity.ivf_topk_indexed_int8``)."""
+    from text_indexer_spark.operators.similarity import (
+        ivf_ingest,
+        ivf_topk_indexed_int8,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()["embedding"])
+    if sf_dir not in _IVF8_INDEX_CACHE:
+        idx = tempfile.mkdtemp(prefix="driver_ivf8_idx_")
+        ivf_ingest(emb, idx, dim, n_centroids=4, quantize=True)
+        _IVF8_INDEX_CACHE[sf_dir] = idx
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return ivf_topk_indexed_int8(
+        spark, _IVF8_INDEX_CACHE[sf_dir], queries, k=10, n_probe=4
+    )
+
+
 def sql_ann_topk() -> str:
     return f"""
 SELECT q.vec_id AS query_id, e.vec_id,
@@ -1896,6 +1924,7 @@ def queries():
         "neardup_clusters_cosine": q_neardup_clusters_cosine,
         "ann_cosine_topk": q_ann_topk,
         "ann_int8_topk": q_ann_int8,
+        "ann_ivf_int8_full_probe": q_ann_ivf_int8,
         "ann_ivf_full_probe": q_ann_ivf_full,
         "ann_ivf_indexed_full_probe": q_ann_ivf_indexed,
         "lang_id": q_lang_id,
@@ -1957,6 +1986,7 @@ def oracle_sql():
         "neardup_clusters_cosine": sql_neardup_clusters_cosine(),
         "ann_cosine_topk": sql_ann_topk(),
         "ann_int8_topk": sql_ann_topk(),
+        "ann_ivf_int8_full_probe": sql_ann_topk(),
         "ann_ivf_full_probe": sql_ann_topk(),
         "ann_ivf_indexed_full_probe": sql_ann_topk(),
         "lang_id": _ufix(sql_lang_id()),

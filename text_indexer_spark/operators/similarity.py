@@ -137,63 +137,16 @@ def ann_int8_topk(
     widened by the rounding quantum (``10^-round_to``) so the rounded
     tie-break of :func:`cosine_topk` cannot admit a vector the pruning
     dropped."""
-    qn = F.broadcast(
-        queries.select(
-            "query_id",
-            F.transform(
-                F.col("query_vec"),
-                lambda x: x.cast("double") / _norm(F.col("query_vec")),
-            ).alias("_uq"),
-        ).select(
-            "query_id",
-            "_uq",
-            F.aggregate(
-                F.transform("_uq", F.abs), F.lit(0.0), lambda a, v: a + v
-            ).alias("_ql1"),
-        )
-    )
-    margin = 10.0 ** (-round_to)
-    approx = F.col("scale") * F.aggregate(
-        F.zip_with(
-            F.col("_uq"), F.col("qvec"), lambda x, y: x * y.cast("double")
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    eps = F.col("scale") / 2 * F.col("_ql1")
     pairs = (
         quantize_int8(embeddings, id_col, vec_col)
-        .crossJoin(qn)
+        .crossJoin(_unit_queries(queries))
         .filter(F.col(id_col) != F.col("query_id"))
-        .select(
-            "query_id",
-            F.col(id_col),
-            (approx - eps).alias("_lo"),
-            (approx + eps).alias("_hi"),
-        )
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("_lo"), F.asc(id_col))
-    thresh = (
-        pairs.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= k)
-        .groupBy("query_id")
-        .agg(F.min("_lo").alias("_thresh"))
-    )
-    cand = (
-        pairs.join(F.broadcast(thresh), "query_id", "left")
-        .filter(
-            F.col("_thresh").isNull()
-            | (F.col("_hi") >= F.col("_thresh") - F.lit(margin))
-        )
-        .select("query_id", id_col)
-    )
+    cand = _certified_candidates(pairs, k, id_col, 10.0 ** (-round_to))
     rerank = (
         cand.join(embeddings.select(id_col, vec_col), id_col)
         .join(
-            F.broadcast(
-                queries.select("query_id", "query_vec")
-            ),
-            "query_id",
+            F.broadcast(queries.select("query_id", "query_vec")), "query_id"
         )
         .select(
             "query_id",
@@ -208,6 +161,64 @@ def ann_int8_topk(
         rerank.withColumn("rn", F.row_number().over(w2))
         .filter(F.col("rn") <= k)
         .drop("rn")
+    )
+
+
+def _unit_queries(queries: DataFrame):
+    """Broadcast (query_id, _uq unit vector, _ql1 L1 norm) — the query
+    side every int8 bound needs."""
+    return F.broadcast(
+        queries.select(
+            "query_id",
+            F.transform(
+                F.col("query_vec"),
+                lambda x: x.cast("double") / _norm(F.col("query_vec")),
+            ).alias("_uq"),
+        ).select(
+            "query_id",
+            "_uq",
+            F.aggregate(
+                F.transform("_uq", F.abs), F.lit(0.0), lambda a, v: a + v
+            ).alias("_ql1"),
+        )
+    )
+
+
+def _certified_candidates(
+    pairs: DataFrame, k: int, id_col: str, margin: float
+) -> DataFrame:
+    """(query_id, id) pairs certified to contain the true cosine top-k:
+    ``pairs`` must carry (query_id, id, qvec, scale, _uq, _ql1); emits
+    every pair whose error-bound UPPER estimate clears the k-th largest
+    LOWER estimate (minus ``margin``)."""
+    approx = F.col("scale") * F.aggregate(
+        F.zip_with(
+            F.col("_uq"), F.col("qvec"), lambda x, y: x * y.cast("double")
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    eps = F.col("scale") / 2 * F.col("_ql1")
+    bounded = pairs.select(
+        "query_id",
+        F.col(id_col),
+        (approx - eps).alias("_lo"),
+        (approx + eps).alias("_hi"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("_lo"), F.asc(id_col))
+    thresh = (
+        bounded.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .groupBy("query_id")
+        .agg(F.min("_lo").alias("_thresh"))
+    )
+    return (
+        bounded.join(F.broadcast(thresh), "query_id", "left")
+        .filter(
+            F.col("_thresh").isNull()
+            | (F.col("_hi") >= F.col("_thresh") - F.lit(margin))
+        )
+        .select("query_id", id_col)
     )
 
 
@@ -482,10 +493,13 @@ def ivf_ingest(
     centroids: list[list[float]] | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    quantize: bool = False,
 ) -> list[list[float]]:
     """Ingest-time IVF layout: assign every vector its nearest-centroid
     ``cid`` ONCE and persist the corpus PARTITIONED BY ``cid`` (one
     directory per inverted list), with the centroids stored next to it.
+    ``quantize=True`` additionally stores the int8 codes + scale per
+    vector (see :func:`ivf_topk_indexed_int8`).
 
     This is the 100 TB shape: a query's probe set then becomes a
     partition-PRUNED scan (``ivf_topk_indexed``) — the other
@@ -499,15 +513,23 @@ def ivf_ingest(
             embeddings, n_centroids, dim, id_col=id_col, vec_col=vec_col
         )
     assign = _centroid_assign_udf(centroids)
+    rows = embeddings.withColumn("cid", assign(F.col(vec_col)))
+    if quantize:
+        # IVF + SQ8 (the FAISS-standard pairing): the int8 codes live
+        # NEXT TO the float vectors in the same partitioned files —
+        # parquet's columnar layout means the bound-scan stage reads
+        # only (id, qvec, scale) bytes and the rerank stage only
+        # (id, embedding) for the candidate sliver (ReadSchema-asserted)
+        q = quantize_int8(embeddings, id_col, vec_col)
+        rows = rows.join(q, id_col)
     (
-        embeddings.withColumn("cid", assign(F.col(vec_col)))
-        .write.mode("overwrite")
+        rows.write.mode("overwrite")
         .partitionBy("cid")
         .parquet(storage.join(index_dir, "vectors"))
     )
     storage.write_json_atomic(
         storage.join(index_dir, "centroids.json"),
-        {"dim": dim, "centroids": centroids},
+        {"dim": dim, "centroids": centroids, "quantized": quantize},
     )
     return centroids
 
@@ -555,6 +577,76 @@ def ivf_topk_indexed(
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc(id_col))
     return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k).drop("rn")
+
+
+def ivf_topk_indexed_int8(
+    spark,
+    index_dir: str,
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 4,
+) -> DataFrame:
+    """IVF + SQ8 serving over a ``quantize=True`` ingest — the two
+    scale levers composed, both lossless within the probe set:
+
+    * partition pruning (IVF): only the probed ``cid`` directories are
+      opened — planning-time, no IO for the rest;
+    * int8 bound scan (SQ8): inside the probed lists, the first pass
+      reads ONLY the (id, qvec, scale) columns — ¼ the vector bytes —
+      and the certified error-bound admission keeps a guaranteed
+      superset of the probe set's true top-k;
+    * exact rerank: the float ``embedding`` column is read for the
+      candidate sliver alone.
+
+    With a full probe the result is byte-identical to brute force
+    (both stages are lossless); with a partial probe the recall loss is
+    exactly the IVF probe's — the int8 stage never adds any."""
+    from text_indexer_spark import storage
+
+    meta = storage.read_json(storage.join(index_dir, "centroids.json"))
+    if meta is None:
+        raise FileNotFoundError(f"no centroids.json under {index_dir}")
+    if not meta.get("quantized"):
+        raise ValueError(
+            "index was not ingested with quantize=True — use ivf_topk_indexed"
+        )
+    centroids = meta["centroids"]
+    probes = _centroid_probes_udf(centroids, n_probe)
+    q = queries.select(
+        "query_id", "query_vec", F.explode(probes(F.col("query_vec"))).alias("cid")
+    )
+    probe_cids = sorted({r["cid"] for r in q.select("cid").distinct().collect()})
+    vectors = spark.read.parquet(storage.join(index_dir, "vectors")).filter(
+        F.col("cid").isin(probe_cids)
+    )
+    qn = _unit_queries(queries)
+    pairs = (
+        vectors.select(id_col, "qvec", "scale", "cid")
+        .join(F.broadcast(q.select("query_id", "cid")), "cid")
+        .join(qn, "query_id")
+        .filter(F.col(id_col) != F.col("query_id"))
+    )
+    cand = _certified_candidates(pairs, k, id_col, 10.0 ** (-round_to))
+    rerank = (
+        cand.join(vectors.select(id_col, vec_col), id_col)
+        .join(F.broadcast(queries.select("query_id", "query_vec")), "query_id")
+        .select(
+            "query_id",
+            F.col(id_col),
+            F.round(
+                cosine_expr(F.col(vec_col), F.col("query_vec")), round_to
+            ).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc(id_col))
+    return (
+        rerank.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
 
 
 def ivf_topk(
