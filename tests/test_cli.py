@@ -352,3 +352,26 @@ def test_cli_dedup_lines(spark, tmp_path, capsys):
         r["doc_id"]: r["text"] for r in spark.read.parquet(out).collect()
     }
     assert kept == {1: "keep me one", 2: "keep me two"}
+
+
+def test_cli_clean_max_ppl_drops_lm_outlier(spark, tmp_path, capsys):
+    base = ("a solid paragraph of reasonable natural language text that "
+            "keeps going long enough to clear the quality length gate "
+            "and reads like every other document in this corpus " * 3)
+    rows = [(i, base, "en") for i in range(1, 9)]
+    # the outlier clears quality/repetition but its bigrams are unique
+    rows.append((99, "zebra quartz vortex nimbus oracle keeps going long "
+                     "enough to clear the quality length gate with fully "
+                     "novel pairings every single time it runs onward "
+                     "through distinct vocabulary items again " * 3, "en"))
+    src = str(tmp_path / "ppl_src")
+    spark.createDataFrame(rows, "doc_id long, text string, lang string").write.parquet(src)
+    out = str(tmp_path / "ppl_out")
+    rc = cli.main([
+        "--master", "local[4]", "clean", "--corpus", src, "--out", out,
+        "--max-dup-line-frac", "1.0", "--max-top-2gram-frac", "1.0",
+        "--max-ppl", "3",
+    ])
+    assert rc == 0
+    kept = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert 99 not in kept and kept == set(range(1, 9))

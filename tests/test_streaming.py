@@ -421,3 +421,74 @@ def test_stream_trigram_maintenance(spark, tmp_path):
         (r["doc_id"], r["gram"]) for r in trigram_postings(final).collect()
     )
     assert got == want
+
+
+def test_stream_line_counts_equals_batch(spark, tmp_path):
+    """Two micro-batched drops fold into the committed line-count table;
+    the final version must equal the batch line_counts over the union
+    corpus, and serving dedup_lines_against(counts) must equal the
+    batch dedup_lines of the same corpus."""
+    from text_indexer_spark.operators import linededup
+    from text_indexer_spark.streaming.linecount_stream import (
+        load_line_counts,
+        run_stream_line_counts,
+    )
+
+    rows1 = [
+        ("r1", "a.txt", "c1", "txt", "all rights reserved\nalpha one", None, False),
+        ("r1", "b.txt", "c1", "txt", "all rights reserved\nbeta two", None, False),
+    ]
+    rows2 = [
+        ("r2", "c.txt", "c1", "txt", "all rights reserved\ngamma three", None, False),
+        ("r2", "d.txt", "c1", "txt", "delta four\nalpha one", None, False),
+    ]
+    schema = (
+        "repo string, path string, commit string, lang string, "
+        "content string, event_time timestamp, deleted boolean"
+    )
+    drop = str(tmp_path / "drops")
+    os.makedirs(drop)
+    counts_dir = str(tmp_path / "counts")
+    os.makedirs(counts_dir)
+
+    spark.createDataFrame(rows1, schema).coalesce(1).write.mode("append").parquet(drop)
+    q, ver = run_stream_line_counts(
+        spark, drop, str(tmp_path / "ck1"), counts_dir
+    )
+    q.awaitTermination(120)
+    assert ver() == 1
+
+    spark.createDataFrame(rows2, schema).coalesce(1).write.mode("append").parquet(drop)
+    q2, ver2 = run_stream_line_counts(
+        spark, drop, str(tmp_path / "ck1"), counts_dir
+    )
+    q2.awaitTermination(120)
+    assert ver2() == 2
+
+    full = spark.createDataFrame(
+        [(i, r[4]) for i, r in enumerate(rows1 + rows2)],
+        "doc_id long, text string",
+    )
+    batch = {
+        (r["line"], r["n_docs"])
+        for r in linededup.line_counts(full).collect()
+    }
+    streamed = {
+        (r["line"], r["n_docs"])
+        for r in load_line_counts(spark, counts_dir).collect()
+    }
+    assert streamed == batch
+    assert ("all rights reserved", 3) in streamed and ("alpha one", 2) in streamed
+
+    served = {
+        r["doc_id"]: r["text"]
+        for r in linededup.dedup_lines_against(
+            full,
+            load_line_counts(spark, counts_dir).filter(F.col("n_docs") >= 2),
+        ).collect()
+    }
+    direct = {
+        r["doc_id"]: r["text"]
+        for r in linededup.dedup_lines(full, min_docs=2).collect()
+    }
+    assert served == direct == {1: "beta two", 2: "gamma three", 3: "delta four"}

@@ -225,6 +225,30 @@ def cmd_clean(args) -> int:
         max_top_2gram_frac=args.max_top_2gram_frac,
         text_col=text_col,
     )
+    if args.max_ppl is not None:
+        # CCNet-style LM cut: train the add-k bigram model on the
+        # post-filter corpus, keep docs whose perplexity clears the
+        # threshold (docs too short for bigrams carry no LM evidence
+        # and are kept — the length cuts above already own them)
+        from text_indexer_spark.operators import lm
+
+        id_for_lm = "doc_id" if "doc_id" in kept.columns else None
+        if id_for_lm is None:
+            parts = [
+                F.coalesce(F.col(c).cast("string"), F.lit(""))
+                for c in ("repo", "path")
+                if c in kept.columns
+            ]
+            parts.append(F.coalesce(F.col(text_col), F.lit("")))
+            kept = kept.withColumn("doc_id", F.xxhash64(*parts))
+        high = (
+            lm.lm_self_score(kept, text_col=text_col)
+            .filter(F.col("ppl") > args.max_ppl)
+            .select("doc_id")
+        )
+        kept = kept.join(F.broadcast(high), "doc_id", "left_anti")
+        if id_for_lm is None:
+            kept = kept.drop("doc_id")
     n_contaminated = 0
     if args.evalset:
         ev_df = spark.read.parquet(args.evalset)
@@ -542,6 +566,11 @@ def main(argv: list[str] | None = None) -> int:
     cl.add_argument("--min-quality", type=float, default=0.4)
     cl.add_argument("--max-dup-line-frac", type=float, default=0.3)
     cl.add_argument("--max-top-2gram-frac", type=float, default=0.2)
+    cl.add_argument(
+        "--max-ppl", type=float, default=None,
+        help="drop docs whose bigram-LM perplexity (self-trained) "
+        "exceeds this (CCNet-style outlier cut)",
+    )
     cl.add_argument("--evalset", default=None, help="parquet of benchmark docs")
     cl.add_argument("--decontam-n", type=int, default=8)
     cl.add_argument(

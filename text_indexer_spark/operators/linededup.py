@@ -64,18 +64,18 @@ def _is_content(line: Column) -> Column:
     return F.trim(line) != ""
 
 
-def shared_lines(
+def line_counts(
     corpus: DataFrame,
-    min_docs: int = 2,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """``(line, n_docs)`` for every non-blank line occurring in at least
-    ``min_docs`` distinct documents.  The per-(line, doc) dedup before
+    """``(line, n_docs)`` for every non-blank line: the number of
+    DISTINCT documents containing it.  The per-(line, doc) dedup before
     the count keeps the exchange at one row per (line, document) —
-    within-doc repeats never shuffle twice."""
-    if min_docs < 1:
-        raise ValueError("min_docs must be >= 1")
+    within-doc repeats never shuffle twice.  Counts over disjoint
+    document sets are ADDITIVE (sum-mergeable) — the property the
+    streaming maintenance (``streaming/linecount_stream.py``) builds
+    on."""
     return (
         _lines(corpus, id_col, text_col)
         .filter(_is_content(F.col("line")))
@@ -83,7 +83,21 @@ def shared_lines(
         .dropDuplicates(["line", id_col])
         .groupBy("line")
         .agg(F.count("*").cast("long").alias("n_docs"))
-        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
+def shared_lines(
+    corpus: DataFrame,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """``(line, n_docs)`` for every non-blank line occurring in at least
+    ``min_docs`` distinct documents."""
+    if min_docs < 1:
+        raise ValueError("min_docs must be >= 1")
+    return line_counts(corpus, id_col, text_col).filter(
+        F.col("n_docs") >= min_docs
     )
 
 
@@ -128,7 +142,21 @@ def dedup_lines(
     document, text reassembled in original line order (blank lines
     kept), documents with no surviving non-blank line dropped.  Output
     columns: ``(doc_id, text)``."""
-    shared = shared_lines(corpus, min_docs, id_col, text_col).select("line")
+    shared = shared_lines(corpus, min_docs, id_col, text_col)
+    return dedup_lines_against(corpus, shared, id_col, text_col)
+
+
+def dedup_lines_against(
+    corpus: DataFrame,
+    shared: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """``dedup_lines`` with an EXTERNALLY-supplied shared-line relation
+    (any frame with a ``line`` column) — the serving form for a
+    line-count table maintained incrementally by the streaming tier, or
+    one computed on a larger corpus than the one being cleaned."""
+    shared = shared.select("line")
     lines = _lines(corpus, id_col, text_col)
     # blank lines bypass the anti-join (they are never shared); content
     # lines survive iff absent from the shared set

@@ -1,0 +1,121 @@
+"""Streaming maintenance of the corpus-wide line-count table.
+
+The C4 shared-line rule (``operators/linededup.py``) needs GLOBAL
+distinct-document counts per line — a number that keeps changing as a
+streaming ingest appends documents.  Because :func:`linededup.
+line_counts` is additive over disjoint document sets, the maintenance
+is a fold: each micro-batch's per-line counts sum-merge into a
+committed versioned table, and the final table equals the batch
+computation over the whole corpus EXACTLY (differential-tested).
+
+Contract: the feed is APPEND-ONLY DISTINCT documents — the same
+contract the committed-index feeds have; route re-deliveries through
+the stateful dedup stream (``dedup_stream.py``) first, exactly as the
+index maintenance does.  A replayed micro-batch (crash between the
+parquet write and the pointer swap) re-merges into the last COMMITTED
+version — the orphan version directory is never referenced, and the
+guarded ``swap_latest`` keeps concurrent writers loud
+(``ConcurrentCommitError``), both inherited from the registry/trigram
+durability story.
+
+Serving: ``linededup.dedup_lines_against(corpus,
+load_line_counts(...).filter(n_docs >= m))`` cleans any corpus slice
+against the maintained table without recounting it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from text_indexer_spark.operators.linededup import line_counts
+from text_indexer_spark.streaming.sync_stream import corpus_change_stream
+
+
+def load_line_counts_version(counts_dir: str) -> int:
+    from text_indexer_spark import storage
+
+    ptr = storage.join(counts_dir, "LATEST")
+    if not storage.exists(ptr):
+        return 0
+    return int(storage.read_bytes(ptr).decode().strip())
+
+
+def load_line_counts(spark: SparkSession, counts_dir: str) -> DataFrame:
+    """The committed ``(line, n_docs)`` table (empty if none yet)."""
+    from text_indexer_spark import storage
+
+    version = load_line_counts_version(counts_dir)
+    if version == 0:
+        return spark.createDataFrame([], "line string, n_docs long")
+    return spark.read.parquet(
+        storage.join(counts_dir, f"counts_v{version:06d}")
+    )
+
+
+def commit_line_counts(delta: DataFrame, counts_dir: str) -> int:
+    """Sum-merge a per-line count delta into the committed table as the
+    next version; returns the committed version.  One shuffle on the
+    line key (the merge aggregation); the previous version is read,
+    never rewritten."""
+    from text_indexer_spark import storage
+
+    spark = delta.sparkSession
+    cur = load_line_counts_version(counts_dir)
+    merged = (
+        load_line_counts(spark, counts_dir)
+        .unionByName(delta.select("line", "n_docs"))
+        .groupBy("line")
+        .agg(F.sum("n_docs").cast("long").alias("n_docs"))
+    )
+    version = cur + 1
+    vdir = storage.join(counts_dir, f"counts_v{version:06d}")
+    merged.write.mode("overwrite").parquet(vdir)
+    storage.swap_latest(counts_dir, cur, version)
+    return version
+
+
+def run_stream_line_counts(
+    spark: SparkSession,
+    drop_dir: str,
+    checkpoint_dir: str,
+    counts_dir: str,
+    max_files_per_trigger: int = 16,
+):
+    """foreachBatch fold: batch docs → per-line distinct-doc counts →
+    sum-merge commit.  foreachBatch serializes the commits (single
+    writer); within a batch, repeated upserts of one document collapse
+    to the newest by ``event_time`` before counting, mirroring the
+    trigram maintenance.  Returns ``(query, get_version)``."""
+
+    state = {"version": load_line_counts_version(counts_dir)}
+
+    def apply_batch(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        docs = batch_df.withColumn("doc_id", F.xxhash64("repo", "path"))
+        # null-safe: max_by ignores null-ordered rows (an all-null
+        # event_time feed would reduce every doc to NULL text)
+        order = (
+            F.coalesce(
+                F.col("event_time"),
+                F.lit("1970-01-01 00:00:00").cast("timestamp"),
+            )
+            if "event_time" in batch_df.columns
+            else F.monotonically_increasing_id()
+        )
+        latest = docs.groupBy("doc_id").agg(
+            F.max_by(F.col("content"), order).alias("text")
+        )
+        state["version"] = commit_line_counts(
+            line_counts(latest), counts_dir
+        )
+
+    stream = corpus_change_stream(spark, drop_dir, max_files_per_trigger)
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    return q, (lambda: state["version"])

@@ -209,8 +209,17 @@ def run_stream_trigram_maintenance(
             else F.lit(False)
         )
         docs = docs.withColumn("_del", deleted)
+        # NULL-safe ordering: max_by IGNORES rows whose ordering value
+        # is null, so a feed written without event_times would reduce
+        # every group to NULL (observed; regression-tested in the
+        # line-count stream) — coalesce to epoch so null-timestamped
+        # rows still participate (ties broken arbitrarily, as any
+        # timestamp tie would be)
         order = (
-            F.col("event_time")
+            F.coalesce(
+                F.col("event_time"),
+                F.lit("1970-01-01 00:00:00").cast("timestamp"),
+            )
             if "event_time" in batch_df.columns
             else F.monotonically_increasing_id()
         )
