@@ -375,3 +375,45 @@ def test_cli_clean_max_ppl_drops_lm_outlier(spark, tmp_path, capsys):
     assert rc == 0
     kept = {r["doc_id"] for r in spark.read.parquet(out).collect()}
     assert 99 not in kept and kept == set(range(1, 9))
+
+
+def test_cli_ann_lifecycle(spark, tmp_path, capsys):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    rows = [(i, [float(x) for x in rng.normal(size=8)]) for i in range(60)]
+    src = str(tmp_path / "emb")
+    spark.createDataFrame(rows, "vec_id long, embedding array<float>").write.parquet(src)
+    idx = str(tmp_path / "ivf")
+    rc = cli.main([
+        "--master", "local[4]", "ann-ingest", "--embeddings", src,
+        "--index", idx, "--centroids", "4", "--quantize",
+    ])
+    assert rc == 0
+    meta = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert meta["quantized"] is True and meta["n_vectors"] == 60
+
+    rc = cli.main([
+        "--master", "local[4]", "ann-query", "--index", idx,
+        "--query-ids", "0,1", "-k", "5", "--n-probe", "4",
+    ])
+    assert rc == 0
+    hits = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert len(hits) == 10  # 2 queries x k=5
+    # full probe + int8 certified path == brute force
+    from text_indexer_spark.operators.similarity import cosine_topk
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(src)
+    queries = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    brute = {
+        (r["query_id"], r["vec_id"], r["cos"])
+        for r in cosine_topk(emb, queries, k=5).collect()
+    }
+    assert {(h["query_id"], h["vec_id"], h["cos"]) for h in hits} == brute
+    # exactly one of --queries / --query-ids
+    with pytest.raises(SystemExit):
+        cli.main(["ann-query", "--index", idx])

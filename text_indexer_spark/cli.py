@@ -300,6 +300,68 @@ def cmd_clean(args) -> int:
     return 0
 
 
+def cmd_ann_ingest(args) -> int:
+    """Persist the IVF layout for an embeddings table: nearest-centroid
+    assignment once, vectors partitioned by list (``cid``), centroids
+    committed beside them; ``--quantize`` additionally stores int8
+    codes + scale (IVF + SQ8 — ``ivf_topk_indexed_int8`` then serves
+    with ¼ the probe IO and zero recall loss)."""
+    from text_indexer_spark.operators.similarity import ivf_ingest
+
+    spark = _spark(args)
+    emb = spark.read.parquet(args.embeddings)
+    first = emb.select("embedding").first()
+    if first is None:
+        raise SystemExit("ann-ingest: embeddings table is empty")
+    dim = len(first["embedding"])
+    ivf_ingest(
+        emb, args.index, dim, n_centroids=args.centroids,
+        quantize=args.quantize,
+    )
+    print(json.dumps({
+        "index": args.index, "dim": dim, "centroids": args.centroids,
+        "quantized": bool(args.quantize), "n_vectors": emb.count(),
+    }))
+    return 0
+
+
+def cmd_ann_query(args) -> int:
+    """Cosine top-k over a persisted IVF index. Queries come from a
+    parquet of (query_id, query_vec) — or ``--query-ids`` picks vectors
+    out of the index itself (query-by-example). Serves the int8 bound
+    path automatically when the index was ingested with --quantize."""
+    from text_indexer_spark import storage
+    from text_indexer_spark.operators.similarity import (
+        ivf_topk_indexed,
+        ivf_topk_indexed_int8,
+    )
+    from pyspark.sql import functions as F
+
+    spark = _spark(args)
+    if bool(args.queries) == bool(args.query_ids):
+        raise SystemExit("ann-query: pass exactly one of --queries / --query-ids")
+    if args.queries:
+        queries = spark.read.parquet(args.queries)
+    else:
+        ids = [int(x) for x in args.query_ids.split(",")]
+        queries = (
+            spark.read.parquet(storage.join(args.index, "vectors"))
+            .filter(F.col("vec_id").isin(ids))
+            .select(
+                F.col("vec_id").alias("query_id"),
+                F.col("embedding").alias("query_vec"),
+            )
+        )
+    meta = storage.read_json(storage.join(args.index, "centroids.json")) or {}
+    serve = ivf_topk_indexed_int8 if meta.get("quantized") else ivf_topk_indexed
+    hits = serve(spark, args.index, queries, k=args.k, n_probe=args.n_probe)
+    for r in hits.orderBy("query_id", F.desc("cos"), "vec_id").collect():
+        print(json.dumps({
+            "query_id": r["query_id"], "vec_id": r["vec_id"], "cos": r["cos"],
+        }))
+    return 0
+
+
 def cmd_dedup_lines(args) -> int:
     """Corpus-wide line dedup (C4/CCNet rule): lines occurring in
     ``--min-docs`` distinct documents are removed from every document,
@@ -580,6 +642,29 @@ def main(argv: list[str] | None = None) -> int:
         "evalset path)",
     )
     cl.set_defaults(fn=cmd_clean)
+
+    ai = sub.add_parser(
+        "ann-ingest",
+        help="persist the IVF vector layout (optionally int8-quantized)",
+    )
+    ai.add_argument("--embeddings", required=True)
+    ai.add_argument("--index", required=True)
+    ai.add_argument("--centroids", type=int, default=8)
+    ai.add_argument("--quantize", action="store_true")
+    ai.set_defaults(fn=cmd_ann_ingest)
+
+    aq = sub.add_parser(
+        "ann-query", help="cosine top-k over a persisted IVF index"
+    )
+    aq.add_argument("--index", required=True)
+    aq.add_argument("--queries", default=None, help="parquet (query_id, query_vec)")
+    aq.add_argument(
+        "--query-ids", default=None,
+        help="comma-separated vec_ids to query by example",
+    )
+    aq.add_argument("-k", type=int, default=10)
+    aq.add_argument("--n-probe", type=int, default=2)
+    aq.set_defaults(fn=cmd_ann_query)
 
     dl = sub.add_parser(
         "dedup-lines",
