@@ -8,21 +8,22 @@ Registration ORDER matters: the driver's correctness gate evaluates the
 first 50 entries of ``queries()`` in dict order.  Round 2 verified one
 50-gate window (CORRECTNESS_r02.json), round 3 the other
 (CORRECTNESS_r03.json, overlap 1).  Round 4 rotates back: the window
-holds the 3 gates that had never had a driver row, the 8 gates NEW in
+holds the 3 gates that had never had a driver row, the 9 gates NEW in
 r4 (``regex_grep_pushdown``; ``line_dedup_stats``/``line_dedup_kept``
 — corpus-wide C4-style line dedup; ``decontam_bloom_kept`` — the
 Bloom-prefiltered decontamination scale path; ``regex_grep_batch`` —
 one-probe multi-pattern grep; ``lm_ppl`` — CCNet-style bigram-LM
 perplexity scoring; ``ann_int8_topk`` — int8-quantized vector store
 with provably exact rerank; ``ann_ivf_int8_full_probe`` — IVF + SQ8
-composed, both stages lossless at full probe), the 3 gates whose code changed this round
+composed, both stages lossless at full probe; ``vocab_encode`` —
+frequency-ranked token ids + per-doc id-sequence encoding), the 3 gates whose code changed this round
 (Unicode-routing ``tokenize_by_lang``, CAS-commit
 ``trigram_sync_postings``, and ``trigram_postings`` after its
-O(len²)→O(len) gram-extraction rewrite), and 36 of the 49 r2 gates now
-stale by one round.  The 13 r2 gates left out (``search_and_empty``,
+O(len²)→O(len) gram-extraction rewrite), and 35 of the 49 r2 gates now
+stale by one round.  The 14 r2 gates left out (``search_and_empty``,
 ``quality_kept_corpus``, ``dedup_kept_corpus``, ``ann_ivf_full_probe``,
-``sample_stratified``, ``split_hash``, and — displaced by the seven new
-r4 gates — ``search_expanded``, ``phrase_match``, ``proximity_match``, ``phrase_match_index``,
+``sample_stratified``, ``split_hash``, and — displaced by the eight new
+r4 gates — ``term_expansion``, ``search_expanded``, ``phrase_match``, ``proximity_match``, ``phrase_match_index``,
 ``proximity_match_index``, ``decoded_positions``, ``sample_hash``)
 each have an r2 green row; the first six are thin variants of
 in-window siblings sharing their code path (empty-token guard over
@@ -30,9 +31,9 @@ in-window siblings sharing their code path (empty-token guard over
 ``quality_scores``/``dedup_clusters``; the unpersisted twin of
 ``ann_ivf_indexed_full_probe`` — same quantizer + per-list scorer, same
 oracle; the content-stable-xxhash64 siblings of ``sample_hash``), and
-the seven displaced expansion/positional/sampling gates are unchanged since r2 and
+the eight displaced expansion/positional/sampling gates are unchanged since r2 and
 lead the intended r5 rotation (they sit first in the tail order below).
-All 110 queries remain oracle-replayed at HEAD in
+All 111 queries remain oracle-replayed at HEAD in
 ``tests/test_driver_contract.py`` regardless of window position.
 """
 
@@ -51,17 +52,18 @@ from text_indexer_spark import (
 )
 
 #: The round-4 window: the first 50 entries land driver rows this
-#: round.  Head = 3 never-driver-verified gates, the 8 gates NEW in r4
+#: round.  Head = 3 never-driver-verified gates, the 9 gates NEW in r4
 #: (``regex_grep_pushdown``, ``line_dedup_stats``, ``line_dedup_kept``,
 #: ``decontam_bloom_kept``, ``regex_grep_batch``, ``lm_ppl``,
-#: ``ann_int8_topk``, ``ann_ivf_int8_full_probe``), and the
+#: ``ann_int8_topk``, ``ann_ivf_int8_full_probe``, ``vocab_encode``),
+#: and the
 #: 3 gates whose code changed this round (Unicode-routing
 #: ``tokenize_by_lang``; CAS-commit ``trigram_sync_postings``;
 #: ``trigram_postings`` itself, whose gram extraction was rewritten
-#: O(len²)→O(len) this round); tail = 36 of the r2 gates in their r2
+#: O(len²)→O(len) this round); tail = 35 of the r2 gates in their r2
 #: registration order.  Entries past position 50 stay in this list to
-#: PIN THE R5 ROTATION ORDER: the seven gates the new r4 gates displaced
-#: (``search_expanded`` … ``sample_hash``) come first, then the
+#: PIN THE R5 ROTATION ORDER: the eight gates the new r4 gates displaced
+#: (``term_expansion`` … ``sample_hash``) come first, then the
 #: ``sample_stratified``/``split_hash`` siblings (see module docstring
 #: for the accounting).  Every r3-window gate is unchanged since its
 #: r3 green row except the trigram family, which is re-admitted above.
@@ -80,6 +82,7 @@ _R4_PRIORITY = [
     "lm_ppl",
     "ann_int8_topk",
     "ann_ivf_int8_full_probe",
+    "vocab_encode",
     "term_stats",
     "doc_stats",
     "corpus_stats",

@@ -128,3 +128,39 @@ def test_dedup_lines_plan_has_no_cartesian(spark):
     c = _corpus(spark, [(1, "a\nb"), (2, "b\nc")])
     plan = linededup.dedup_lines(c)._jdf.queryExecution().executedPlan().toString()
     assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_randomized_corpora_match_python_reference(spark):
+    """Seeded random corpora vs a direct python reference of the C4
+    rule — catches edge interactions (all-dup docs, within-doc repeats,
+    blank runs) the crafted cases might miss."""
+    import random
+
+    rng = random.Random(20260819)
+    lines_pool = [f"l{i}" for i in range(8)] + ["", " "]
+    for trial in range(4):
+        docs = {
+            d: [rng.choice(lines_pool) for _ in range(rng.randint(0, 6))]
+            for d in range(1, rng.randint(4, 9))
+        }
+        rows = [(d, "\n".join(ls)) for d, ls in docs.items()]
+        # python reference
+        from collections import Counter
+
+        counts = Counter()
+        for d, ls in docs.items():
+            for line in {x for x in ls if x.strip()}:
+                counts[line] += 1
+        shared = {x for x, c in counts.items() if c >= 2}
+        expected = {}
+        for d, ls in docs.items():
+            keep = [x for x in ls if x.strip() == "" or x not in shared]
+            if any(x.strip() for x in keep):
+                expected[d] = "\n".join(keep)
+        got = {
+            r["doc_id"]: r["text"]
+            for r in linededup.dedup_lines(
+                _corpus(spark, rows), min_docs=2
+            ).collect()
+        }
+        assert got == expected, f"trial {trial}"

@@ -392,3 +392,17 @@ def test_batch_grep_plan_one_probe_pruned_verify(spark, tmp_path):
     # verify scan pruned by the collected candidate ids
     assert "In(doc_id" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_lm_scoring_plan_no_cartesian(spark):
+    """The LM scorer's count-table joins must never degrade to a
+    nested-loop product (equi-keys on (w1, w2)/(w1) throughout)."""
+    from text_indexer_spark.operators import lm
+
+    docs = spark.createDataFrame(
+        [(1, "a b c a b"), (2, "b c a")], "doc_id long, text string"
+    )
+    q = lm.lm_self_score(docs)
+    plan = formatted_plan(q)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -153,3 +153,40 @@ def test_pack_chunks_invariants(spark):
 
     repart = pack_chunks(chunks.repartition(7), budget=48, buckets=8)
     assert sorted(map(tuple, repart.collect())) == sorted(map(tuple, packed.collect()))
+
+
+# ------------------------------------------------------- vocab encoding
+def test_vocabulary_ids_deterministic_and_ranked(spark):
+    from text_indexer_spark.operators.textstats import vocabulary_ids
+
+    docs = spark.createDataFrame(
+        [(1, "b a a c b a"), (2, "c b a")], "doc_id long, text string"
+    )
+    vocab = {r["term"]: (r["token_id"], r["count"])
+             for r in vocabulary_ids(docs).collect()}
+    # counts: a=4, b=3, c=2 -> ids 0, 1, 2; ties would break term-asc
+    assert vocab == {"a": (0, 4), "b": (1, 3), "c": (2, 2)}
+    # parallelism-independence: same ids at a different partitioning
+    again = {r["term"]: (r["token_id"], r["count"])
+             for r in vocabulary_ids(docs.repartition(7)).collect()}
+    assert again == vocab
+
+
+def test_encode_docs_order_and_oov(spark):
+    from text_indexer_spark.operators.textstats import (
+        encode_docs,
+        vocabulary_ids,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "b a a c b a"), (2, "c b a")], "doc_id long, text string"
+    )
+    vocab = vocabulary_ids(docs)
+    enc = {r["doc_id"]: (r["n_tokens"], r["ids"])
+           for r in encode_docs(docs, vocab).collect()}
+    assert enc == {1: (6, [1, 0, 0, 2, 1, 0]), 2: (3, [2, 1, 0])}
+    # min_count cut drops OOV tokens from the encoding
+    cut = vocabulary_ids(docs, min_count=3)
+    enc_cut = {r["doc_id"]: r["ids"]
+               for r in encode_docs(docs, cut).collect()}
+    assert enc_cut == {1: [1, 0, 0, 1, 0], 2: [1, 0]}

@@ -730,6 +730,43 @@ FROM documents WHERE doc_id IN (
 """
 
 
+def q_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-ranked vocabulary (dense deterministic token ids) +
+    every document encoded to its id sequence in token order — the
+    tokenize→ids step of a training pipeline
+    (``textstats.vocabulary_ids`` / ``encode_docs``).  The id sequence
+    is hash-compared (md5 of the comma-joined ids), so the oracle pins
+    BOTH the id assignment and the per-doc ordering."""
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = textstats.vocabulary_ids(docs)
+    enc = textstats.encode_docs(docs, vocab)
+    return enc.select(
+        "doc_id",
+        "n_tokens",
+        F.md5(
+            F.array_join(
+                F.transform("ids", lambda x: x.cast("string")), ","
+            )
+        ).alias("ids_md5"),
+    )
+
+
+def sql_vocab_encode() -> str:
+    toks = _tokens_sql()
+    return f"""
+WITH lt AS (SELECT doc_id, {toks} AS toks FROM documents),
+pt AS (SELECT doc_id, s['pos'] AS pos, s['term'] AS term FROM (
+  SELECT doc_id, unnest(list_transform(range(1, len(toks) + 1),
+      i -> {{'pos': i, 'term': toks[i]}})) AS s FROM lt)),
+c AS (SELECT term, count(*)::BIGINT AS cnt FROM pt GROUP BY term),
+v AS (SELECT term, (row_number() OVER (ORDER BY cnt DESC, term ASC) - 1)
+      AS token_id FROM c)
+SELECT doc_id, count(*)::BIGINT AS n_tokens,
+       md5(string_agg(token_id::VARCHAR, ',' ORDER BY pos)) AS ids_md5
+FROM pt JOIN v USING (term) GROUP BY doc_id
+"""
+
+
 def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from text_indexer_spark.unicode_fixture import docs_with_fixture
 
@@ -1932,6 +1969,7 @@ def queries():
         "quality_scores": q_quality,
         "quality_kept_corpus": q_quality_kept,
         "token_counts": q_token_counts,
+        "vocab_encode": q_vocab_encode,
         "doc_fingerprints": q_fingerprints,
         "doc_chunks": q_doc_chunks,
         "packed_chunks": q_packed_chunks,
@@ -1994,6 +2032,7 @@ def oracle_sql():
         "quality_scores": _ufix(sql_quality()),
         "quality_kept_corpus": sql_quality_kept(),
         "token_counts": _ufix(sql_token_counts()),
+        "vocab_encode": sql_vocab_encode(),
         "doc_fingerprints": sql_fingerprints(),
         "doc_chunks": sql_doc_chunks(),
         "packed_chunks": sql_packed_chunks(),

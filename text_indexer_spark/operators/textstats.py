@@ -471,3 +471,70 @@ def tfidf_topm(
         .filter(F.col("rank") <= m)
         .select("doc_id", "term", "tfidf", "rank")
     )
+
+
+def vocabulary_ids(
+    corpus: DataFrame,
+    min_count: int = 1,
+    text_col: str = "text",
+) -> DataFrame:
+    """Frequency-ranked token vocabulary: ``(term, token_id, count)``
+    with dense 0-based ids assigned by (count desc, term asc) — the
+    deterministic id assignment every tokenizer artifact needs (two
+    builds of the same corpus must agree id-for-id at any parallelism).
+
+    The rank is a single global window over the VOCABULARY relation
+    (|distinct terms| rows — millions at web scale, not corpus-sized),
+    the one place a global order is inherent to the artifact; the
+    corpus-sized token stream only feeds the count aggregation
+    (map-side combined)."""
+    counts = (
+        corpus.select(
+            F.explode(
+                tokenize_column(F.coalesce(F.col(text_col), F.lit("")))
+            ).alias("term")
+        )
+        .groupBy("term")
+        .agg(F.count("*").cast("long").alias("count"))
+        .filter(F.col("count") >= min_count)
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.desc("count"), F.asc("term"))
+    return counts.withColumn(
+        "token_id", (F.row_number().over(w) - 1).cast("long")
+    ).select("term", "token_id", "count")
+
+
+def encode_docs(
+    corpus: DataFrame,
+    vocab: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Encode every document to its token-id sequence:
+    ``(doc_id, n_tokens, ids)`` with ``ids`` in original token order
+    (OOV tokens — absent from ``vocab`` — are DROPPED, the standard
+    min-count behavior; pair with ``vocabulary_ids(min_count=1)`` for
+    lossless self-encoding).  One shuffle of the token stream (the
+    regroup by doc); the vocabulary joins broadcast when it fits and
+    falls back to a shuffle join beyond ``autoBroadcastJoinThreshold``.
+    Order is restored in-row (``sort_array`` over (pos, id) structs) —
+    no sort exchange."""
+    toks = corpus.select(
+        F.col(id_col),
+        F.posexplode(
+            tokenize_column(F.coalesce(F.col(text_col), F.lit("")))
+        ).alias("pos", "term"),
+    )
+    return (
+        toks.join(vocab.select("term", "token_id"), "term")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "token_id"))),
+                lambda s: s["token_id"],
+            ).alias("ids"),
+        )
+    )
