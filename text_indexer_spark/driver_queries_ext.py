@@ -736,8 +736,12 @@ def q_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokenize→ids step of a training pipeline
     (``textstats.vocabulary_ids`` / ``encode_docs``).  The id sequence
     is hash-compared (md5 of the comma-joined ids), so the oracle pins
-    BOTH the id assignment and the per-doc ordering."""
-    docs = load_table(spark, sf_dir, "documents")
+    BOTH the id assignment and the per-doc ordering.  Runs over
+    documents ∪ the multi-byte fixture, so id assignment and encoding
+    are driver-exercised on CJK/accented/emoji tokens too."""
+    from text_indexer_spark.unicode_fixture import docs_with_fixture
+
+    docs = docs_with_fixture(load_table(spark, sf_dir, "documents"))
     vocab = textstats.vocabulary_ids(docs)
     enc = textstats.encode_docs(docs, vocab)
     return enc.select(
@@ -2032,7 +2036,7 @@ def oracle_sql():
         "quality_scores": _ufix(sql_quality()),
         "quality_kept_corpus": sql_quality_kept(),
         "token_counts": _ufix(sql_token_counts()),
-        "vocab_encode": sql_vocab_encode(),
+        "vocab_encode": _ufix(sql_vocab_encode()),
         "doc_fingerprints": sql_fingerprints(),
         "doc_chunks": sql_doc_chunks(),
         "packed_chunks": sql_packed_chunks(),

@@ -275,8 +275,11 @@ def q_lm_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus, every doc scored by mean bigram log-prob + perplexity
     (``operators/lm.py``), replayed count-for-count by the oracle."""
     from text_indexer_spark.operators.lm import lm_self_score
+    from text_indexer_spark.unicode_fixture import docs_with_fixture
 
-    return lm_self_score(load_table(spark, sf_dir, "documents"), k=LM_K)
+    return lm_self_score(
+        docs_with_fixture(load_table(spark, sf_dir, "documents")), k=LM_K
+    )
 
 
 def sql_lm_ppl() -> str:
@@ -463,7 +466,7 @@ def oracle_sql():
         "decontam_bloom_kept": sql_decontam_kept(),
         "line_dedup_stats": sql_line_dedup_stats(),
         "line_dedup_kept": sql_line_dedup_kept(),
-        "lm_ppl": sql_lm_ppl(),
+        "lm_ppl": _ufix(sql_lm_ppl()),
         "repetition_stats": sql_repetition(),
         "repetition_kept_corpus": sql_repetition_kept(),
         "fuzzy_terms": sql_fuzzy_terms(),
