@@ -377,21 +377,34 @@ def test_batch_grep_plan_one_probe_pruned_verify(spark, tmp_path):
     trigram_commit(docs, d)
     trigram_commit(docs.limit(5), d)  # second segment
     pats = ["quic[a-z]+", "stream", "a.b"]  # 2 indexed + 1 fallback
-    q = grep_trigram_batch(
-        docs, read_committed_trigrams(spark, d), pats
-    )
-    plan = formatted_plan(q)
-    # the union of both patterns' grams in ONE IN-list, pushed into
-    # BOTH segment scans (2 occurrences = one probe over the segments,
-    # not one probe per pattern)
+    tri = read_committed_trigrams(spark, d)
+    # JOIN form (cap disabled): the probe is part of the lazy plan, so
+    # the union of both patterns' grams must appear as ONE IN-list
+    # pushed into BOTH segment scans (2 occurrences = one probe over
+    # the segments, not one probe per pattern)
+    qj = grep_trigram_batch(docs, tri, pats, max_pushdown_ids=None)
+    plan_j = formatted_plan(qj)
     union_grams = sorted(
         set(required_grams(pats[0])) | set(required_grams(pats[1]))
     )
     needle = "In(gram, [" + ",".join(union_grams) + "])"
-    assert plan.count(needle) == 2
-    # verify scan pruned by the collected candidate ids
-    assert "In(doc_id" in plan
-    assert "CartesianProduct" not in plan
+    assert plan_j.count(needle) == 2
+    assert "CartesianProduct" not in plan_j
+    # PUSHDOWN form (default): the probe ran EAGERLY exactly once (the
+    # bounded pair collect) — the verify plan contains NO gram probe at
+    # all, only the id-pruned corpus scan joined to the localized pairs
+    qp = grep_trigram_batch(docs, tri, pats)
+    plan_p = formatted_plan(qp)
+    assert needle not in plan_p          # no second probe in the verify
+    # pruned corpus source: IN-list filter on doc_id (shows as a pushed
+    # scan filter on parquet sources, a plain Filter on in-memory ones)
+    import re as _re
+
+    assert (
+        "In(doc_id" in plan_p
+        or _re.search(r"doc_id#\d+L? IN(SET)? ", plan_p)
+    )
+    assert "CartesianProduct" not in plan_p
 
 
 def test_lm_scoring_plan_no_cartesian(spark):

@@ -256,15 +256,22 @@ def test_ann_int8_zero_vector_guard(spark):
     q = similarity.quantize_int8(df)
     z = {r["vec_id"]: (r["scale"], r["qvec"]) for r in q.collect()}
     assert z[0] == (0.0, [0, 0, 0])  # zero vector -> zero scale, no crash
-    # cosine against a zero vector is undefined (cosine_topk contract);
-    # the quantized path scores the same well-defined subset identically
-    nz = df.filter(F.col("vec_id") != 0)
+    # cosine against a zero vector is undefined: the quantized path
+    # EXCLUDES it by contract (documented divergence from cosine_topk,
+    # whose 0/0 NaN would sort first) — same ranking as the
+    # zero-vector-free corpus, zero vector never returned
     queries = df.filter(F.col("vec_id") == 1).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("query_vec"),
     )
-    out = similarity.ann_int8_topk(nz, queries, k=2).collect()
+    out = similarity.ann_int8_topk(df, queries, k=2).collect()
+    ids = {r["vec_id"] for r in out}
+    assert 0 not in ids
     assert [(r["vec_id"]) for r in sorted(out, key=lambda r: -r["cos"])][0] == 2
+    nz = sorted(map(tuple, similarity.ann_int8_topk(
+        df.filter(F.col("vec_id") != 0), queries, k=2
+    ).collect()))
+    assert nz == sorted(map(tuple, out))
 
 
 def test_ivf_int8_full_probe_equals_brute_force(spark, vecs, tmp_path):

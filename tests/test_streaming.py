@@ -492,3 +492,38 @@ def test_stream_line_counts_equals_batch(spark, tmp_path):
         for r in linededup.dedup_lines(full, min_docs=2).collect()
     }
     assert served == direct == {1: "beta two", 2: "gamma three", 3: "delta four"}
+
+
+def test_line_count_commit_is_replay_idempotent(spark, tmp_path):
+    """The additive sink must not double-count a replayed micro-batch:
+    a commit re-presented with the same (txn_app, batch_id) is skipped
+    (crash window between swap_latest and the streaming offset
+    commit); a LATER batch id from the same app still merges."""
+    from text_indexer_spark.streaming.linecount_stream import (
+        commit_line_counts,
+        load_line_counts,
+    )
+
+    counts_dir = str(tmp_path / "c")
+    os.makedirs(counts_dir)
+    delta = spark.createDataFrame(
+        [("alpha", 1), ("shared", 1)], "line string, n_docs long"
+    )
+    v1 = commit_line_counts(delta, counts_dir, txn_app="ck", txn_batch_id=0)
+    replay = commit_line_counts(delta, counts_dir, txn_app="ck", txn_batch_id=0)
+    assert v1 == replay == 1
+    got = {
+        (r["line"], r["n_docs"])
+        for r in load_line_counts(spark, counts_dir).collect()
+    }
+    assert got == {("alpha", 1), ("shared", 1)}  # NOT doubled
+    v2 = commit_line_counts(
+        spark.createDataFrame([("shared", 2)], "line string, n_docs long"),
+        counts_dir, txn_app="ck", txn_batch_id=1,
+    )
+    assert v2 == 2
+    got2 = {
+        (r["line"], r["n_docs"])
+        for r in load_line_counts(spark, counts_dir).collect()
+    }
+    assert got2 == {("alpha", 1), ("shared", 3)}

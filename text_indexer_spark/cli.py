@@ -306,13 +306,19 @@ def cmd_ann_ingest(args) -> int:
     committed beside them; ``--quantize`` additionally stores int8
     codes + scale (IVF + SQ8 — ``ivf_topk_indexed_int8`` then serves
     with ¼ the probe IO and zero recall loss)."""
+    from pyspark.sql import functions as F
+
     from text_indexer_spark.operators.similarity import ivf_ingest
 
     spark = _spark(args)
     emb = spark.read.parquet(args.embeddings)
-    first = emb.select("embedding").first()
+    first = (
+        emb.filter(F.col("embedding").isNotNull())
+        .select("embedding")
+        .first()
+    )
     if first is None:
-        raise SystemExit("ann-ingest: embeddings table is empty")
+        raise SystemExit("ann-ingest: embeddings table is empty (or all NULL)")
     dim = len(first["embedding"])
     ivf_ingest(
         emb, args.index, dim, n_centroids=args.centroids,
@@ -447,7 +453,10 @@ def cmd_grep(args) -> int:
             raise SystemExit(
                 "grep: -n/--pushdown take exactly one --pattern"
             )
-        hits = grep_trigram_batch(corpus, tri, args.pattern)
+        hits = grep_trigram_batch(
+            corpus, tri, args.pattern,
+            max_pushdown_ids=args.pushdown_cap,
+        )
         for r in (
             hits.orderBy("pattern", "doc_id").limit(args.limit).collect()
         ):

@@ -136,9 +136,17 @@ def ann_int8_topk(
     IO than brute force with zero recall loss.  The admission margin is
     widened by the rounding quantum (``10^-round_to``) so the rounded
     tie-break of :func:`cosine_topk` cannot admit a vector the pruning
-    dropped."""
+    dropped.
+
+    Zero corpus vectors are EXCLUDED (scale 0 — cosine against them is
+    undefined).  This is the one documented divergence from
+    :func:`cosine_topk`, whose float division yields NaN for them and
+    Spark sorts NaN as the largest double, surfacing garbage rows at
+    rank 1; pre-filter zero vectors if the comparison must be
+    row-identical on such (undefined) inputs."""
     pairs = (
         quantize_int8(embeddings, id_col, vec_col)
+        .filter(F.col("scale") > 0)
         .crossJoin(_unit_queries(queries))
         .filter(F.col(id_col) != F.col("query_id"))
     )
@@ -625,6 +633,7 @@ def ivf_topk_indexed_int8(
     qn = _unit_queries(queries)
     pairs = (
         vectors.select(id_col, "qvec", "scale", "cid")
+        .filter(F.col("scale") > 0)  # zero vectors: cosine undefined
         .join(F.broadcast(q.select("query_id", "cid")), "cid")
         .join(qn, "query_id")
         .filter(F.col(id_col) != F.col("query_id"))

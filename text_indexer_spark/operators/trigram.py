@@ -397,11 +397,15 @@ def grep_trigram_batch(
     shared fallback scan — still one corpus pass for the whole batch.
 
     ``max_pushdown_ids`` applies the same dynamic row-group pruning as
-    ``grep_trigram_pushdown`` to the batch: the UNION of all patterns'
-    candidate ids is collected (bounded by the cap) and pushed as an
-    IN-list into the corpus scan feeding the verify join, so on a
-    doc_id-sorted layout the batch verify reads candidate blocks only.
-    ``None`` (or a blown cap) keeps the pure distributed-join verify."""
+    ``grep_trigram_pushdown`` to the batch: the (pattern, doc_id)
+    candidate pairs are collected in ONE bounded pass (≤ |patterns| ×
+    cap rows — above that the collect aborts and the plan stays a
+    distributed join), the union id-list is pushed as an IN-list into
+    the corpus scan, and the verify joins the LOCALIZED pair relation —
+    so the gram-postings probe executes exactly once (a lazy ``cand``
+    reused under the join would re-run the probe scan + aggregation a
+    second time; observed and fixed).  ``None`` (or a blown cap) keeps
+    the pure distributed-join verify."""
     pats = list(dict.fromkeys(patterns))
     if not pats:
         raise ValueError("patterns must be non-empty")
@@ -431,21 +435,27 @@ def grep_trigram_batch(
             .filter(F.col("_g") == F.col("_need"))
             .select("pattern", id_col)
         )
-        ver_src = corpus
+        ver_src, cand_join = corpus, cand
         if max_pushdown_ids is not None:
-            ids = [
-                r[0]
-                for r in cand.select(id_col)
-                .distinct()
-                .limit(max_pushdown_ids + 1)
-                .collect()
-            ]
-            if not ids:
-                ver_src = corpus.filter(F.lit(False))
-            elif len(ids) <= max_pushdown_ids:
-                ver_src = corpus.filter(F.col(id_col).isin(ids))
+            pair_cap = len(indexed) * max_pushdown_ids
+            pairs = cand.limit(pair_cap + 1).collect()
+            if len(pairs) <= pair_cap:
+                ids = sorted({r[1] for r in pairs})
+                if len(ids) <= max_pushdown_ids:
+                    # localize: the probe ran once (the collect above);
+                    # the verify joins these rows, never the lazy plan
+                    cand_join = F.broadcast(
+                        spark.createDataFrame(
+                            pairs, f"pattern string, {id_col} long"
+                        )
+                    )
+                    ver_src = (
+                        corpus.filter(F.col(id_col).isin(ids))
+                        if ids
+                        else corpus.filter(F.lit(False))
+                    )
         parts.append(
-            ver_src.join(cand, id_col)
+            ver_src.join(cand_join, id_col)
             .withColumn(
                 "n_matches",
                 F.regexp_count(F.col(text_col), F.col("pattern")),

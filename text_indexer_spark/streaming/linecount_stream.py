@@ -11,12 +11,16 @@ computation over the whole corpus EXACTLY (differential-tested).
 Contract: the feed is APPEND-ONLY DISTINCT documents — the same
 contract the committed-index feeds have; route re-deliveries through
 the stateful dedup stream (``dedup_stream.py``) first, exactly as the
-index maintenance does.  A replayed micro-batch (crash between the
-parquet write and the pointer swap) re-merges into the last COMMITTED
-version — the orphan version directory is never referenced, and the
-guarded ``swap_latest`` keeps concurrent writers loud
-(``ConcurrentCommitError``), both inherited from the registry/trigram
-durability story.
+index maintenance does.  Both crash windows are covered: a crash
+BEFORE the pointer swap leaves an unreferenced orphan directory (the
+replay re-merges into the last committed version), and a crash AFTER
+the swap but before the streaming offset commit re-presents the same
+micro-batch — which the per-version (checkpoint, batch_id) txn marker
+detects and skips, because an additive merge is NOT naturally
+idempotent the way the index maintenances' replace-semantics commits
+are.  The guarded ``swap_latest`` keeps concurrent writers loud
+(``ConcurrentCommitError``); both mechanisms are inherited from the
+registry/trigram durability story.
 
 Serving: ``linededup.dedup_lines_against(corpus,
 load_line_counts(...).filter(n_docs >= m))`` cleans any corpus slice
@@ -53,15 +57,43 @@ def load_line_counts(spark: SparkSession, counts_dir: str) -> DataFrame:
     )
 
 
-def commit_line_counts(delta: DataFrame, counts_dir: str) -> int:
+def commit_line_counts(
+    delta: DataFrame,
+    counts_dir: str,
+    txn_app: str | None = None,
+    txn_batch_id: int | None = None,
+) -> int:
     """Sum-merge a per-line count delta into the committed table as the
     next version; returns the committed version.  One shuffle on the
     line key (the merge aggregation); the previous version is read,
-    never rewritten."""
+    never rewritten.
+
+    ``txn_app``/``txn_batch_id`` make the sink IDEMPOTENT under
+    micro-batch replay (the Delta-style transactional-sink pattern): an
+    additive merge applied twice inflates counts PERMANENTLY — a line
+    seen in 1 document would read as shared and ``dedup_lines_against``
+    would delete legitimate unique content — so each version records
+    which (app, batch) produced it, and a commit whose (app, batch) is
+    already reflected in LATEST is skipped.  Replay can only re-deliver
+    the batch after LATEST's (foreachBatch is serialized and the
+    streaming checkpoint commits batch N before N+1 runs), so checking
+    the newest version's marker is sufficient."""
     from text_indexer_spark import storage
 
     spark = delta.sparkSession
     cur = load_line_counts_version(counts_dir)
+    if txn_app is not None and cur > 0:
+        meta = storage.read_json(
+            storage.join(counts_dir, f"counts_v{cur:06d}.meta.json")
+        )
+        if (
+            meta
+            and meta.get("txn_app") == txn_app
+            and txn_batch_id is not None
+            and meta.get("txn_batch_id") is not None
+            and txn_batch_id <= meta["txn_batch_id"]
+        ):
+            return cur  # replayed batch: already folded into LATEST
     merged = (
         load_line_counts(spark, counts_dir)
         .unionByName(delta.select("line", "n_docs"))
@@ -71,6 +103,10 @@ def commit_line_counts(delta: DataFrame, counts_dir: str) -> int:
     version = cur + 1
     vdir = storage.join(counts_dir, f"counts_v{version:06d}")
     merged.write.mode("overwrite").parquet(vdir)
+    storage.write_json_atomic(
+        storage.join(counts_dir, f"counts_v{version:06d}.meta.json"),
+        {"txn_app": txn_app, "txn_batch_id": txn_batch_id},
+    )
     storage.swap_latest(counts_dir, cur, version)
     return version
 
@@ -108,7 +144,13 @@ def run_stream_line_counts(
             F.max_by(F.col("content"), order).alias("text")
         )
         state["version"] = commit_line_counts(
-            line_counts(latest), counts_dir
+            line_counts(latest),
+            counts_dir,
+            # idempotence key: a replayed micro-batch (crash between
+            # swap_latest and the streaming offset commit) re-presents
+            # the same (checkpoint, batch_id) and is skipped
+            txn_app=checkpoint_dir,
+            txn_batch_id=batch_id,
         )
 
     stream = corpus_change_stream(spark, drop_dir, max_files_per_trigger)
