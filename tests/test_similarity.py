@@ -330,3 +330,28 @@ def test_ivf_int8_requires_quantized_ingest(spark, vecs, tmp_path):
     )
     with pytest.raises(ValueError):
         similarity.ivf_topk_indexed_int8(spark, idx, queries)
+
+
+def test_ann_int8_randomized_geometries_equal_brute_force(spark):
+    """Seeded random geometries (clustered, uniform, near-duplicate
+    heavy) — the certified-bound admission must reproduce brute force
+    exactly on all of them, not just the fixture's cluster shape."""
+    rng = np.random.default_rng(20260819)
+    for trial, make in enumerate([
+        lambda: rng.normal(size=(80, 12)),                      # uniform
+        lambda: np.repeat(rng.normal(size=(4, 12)), 20, axis=0)
+        + 0.01 * rng.normal(size=(80, 12)),                     # near-dup heavy
+        lambda: rng.normal(size=(80, 12)) * rng.uniform(0.1, 10, size=(80, 1)),  # mixed norms
+    ]):
+        mat = make()
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in mat[i]]) for i in range(len(mat))],
+            "vec_id long, embedding array<float>",
+        )
+        queries = df.filter(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+        exact = sorted(map(tuple, cosine_topk(df, queries, k=6).collect()))
+        quant = sorted(map(tuple, similarity.ann_int8_topk(df, queries, k=6).collect()))
+        assert exact == quant, f"trial {trial}"
