@@ -443,3 +443,47 @@ def test_bloom_candidates_is_single_scan_no_shuffle(spark):
     assert count_exchanges(cand) == 0
     plan = cand._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan
+
+
+# ---------------------------------------------------------- auto routing
+def test_decontam_auto_all_tiers_identical(spark):
+    corpus = _docs(
+        spark,
+        [
+            (1, "alpha beta gamma delta tail"),
+            (2, "alpha beta gamma other words"),
+            (3, "completely disjoint vocabulary here"),
+            (4, "x alpha beta gamma delta"),
+        ],
+    )
+    ev = decontam.eval_ngrams(_docs(spark, [(0, "alpha beta gamma delta")]), n=4)
+    want = [2, 3]
+    for tier in ("auto", "exact", "bloom"):
+        got = sorted(
+            r["doc_id"]
+            for r in decontam.decontaminate_auto(
+                corpus, ev, n=4, tier=tier
+            ).collect()
+        )
+        assert got == want, tier
+    # forcing auto onto the bloom path via a tiny broadcast cap must
+    # still produce the identical corpus (output-equivalence of tiers
+    # is the whole point of the router)
+    tiny = sorted(
+        r["doc_id"]
+        for r in decontam.decontaminate_auto(
+            corpus, ev, n=4, max_broadcast_grams=1
+        ).collect()
+    )
+    assert tiny == want
+    with pytest.raises(ValueError):
+        decontam.decontaminate_auto(corpus, ev, n=4, tier="nope")
+
+
+def test_choose_tier_thresholds(spark):
+    ev = decontam.eval_ngrams(
+        _docs(spark, [(0, "a b c d e f g h")]), n=3
+    )  # 6 grams
+    assert decontam.choose_tier(ev, max_broadcast_grams=100) == "exact"
+    assert decontam.choose_tier(ev, max_broadcast_grams=5) == "bloom"
+    assert decontam.choose_tier(ev, max_broadcast_grams=6) == "exact"

@@ -333,3 +333,69 @@ def test_grep_case_insensitive_flag_through_index(spark):
         indexed = {r["doc_id"] for r in grep_trigram(docs, tri, pat).collect()}
         full = {r["doc_id"] for r in regex_grep(docs, pat).collect()}
         assert indexed == full == expect, pat
+
+
+def test_grep_batch_string_doc_ids_pushdown(spark):
+    """The pushdown localization must round-trip the corpus's OWN id
+    type — the first cut hardcoded ``long`` and crashed on string ids
+    in ``createDataFrame`` (r4 advice).  Equality against the
+    single-pattern greps at every cap setting proves the typed path."""
+    from text_indexer_spark.operators.trigram import grep_trigram_batch
+
+    corpus = spark.createDataFrame(
+        [
+            ("doc-a", "hello quicksilver world"),
+            ("doc-b", "quicksilver stream again quicksilver"),
+            ("doc-c", "nothing relevant here"),
+            ("doc-d", "world of streams"),
+        ],
+        "doc_id string, text string",
+    )
+    tri = trigram_postings(corpus)
+    pats = ["quic[a-z]+", "world", "a.b"]  # 2 indexed + 1 fallback
+    want = {
+        (p, r["doc_id"]): r["n_matches"]
+        for p in pats
+        for r in grep_trigram(corpus, tri, p).collect()
+    }
+    assert want  # non-trivial fixture
+    for cap in (10_000, 1, None):
+        got = {
+            (r["pattern"], r["doc_id"]): r["n_matches"]
+            for r in grep_trigram_batch(
+                corpus, tri, pats, max_pushdown_ids=cap
+            ).collect()
+        }
+        assert got == want, cap
+
+
+def test_grep_batch_blown_id_cap_still_single_probe(spark):
+    """When the pair collect SUCCEEDS but the union id-list exceeds
+    ``max_pushdown_ids``, the verify must still join the LOCALIZED pair
+    rows (probe executed exactly once) — only the corpus IN-list is
+    skipped.  The first cut threw the collected pairs away and re-joined
+    the lazy plan, re-running the probe scan+aggregation (r4 advice)."""
+    from text_indexer_spark.operators.trigram import grep_trigram_batch
+
+    corpus = spark.createDataFrame(
+        [(i, f"quicksilver number {i}") for i in range(8)]
+        + [(100, "stream only here")],
+        "doc_id long, text string",
+    )
+    tri = trigram_postings(corpus)
+    # 2 indexed patterns, cap 3 -> pair_cap 6: "stream" contributes 1
+    # pair, "quicksilver" 8 -> 9 pairs > pair_cap would abort, so cap
+    # the quicksilver side instead: use 4 qs docs -> 5 pairs <= 6 but
+    # union ids = 5 > 3 = max_pushdown_ids
+    corpus_small = corpus.filter((F.col("doc_id") < 4) | (F.col("doc_id") == 100))
+    tri_small = trigram_postings(corpus_small)
+    q = grep_trigram_batch(
+        corpus_small, tri_small, ["quicksilver", "stream"], max_pushdown_ids=3
+    )
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    # localized pairs present (createDataFrame renders as an
+    # ExistingRDD scan), gram probe absent from the verify plan
+    assert "LocalTableScan" in plan or "Scan ExistingRDD[pattern" in plan
+    assert "count(distinct gram" not in plan and "In(gram" not in plan
+    got = {(r["pattern"], r["doc_id"]) for r in q.collect()}
+    assert got == {("quicksilver", i) for i in range(4)} | {("stream", 100)}

@@ -246,7 +246,10 @@ def cmd_clean(args) -> int:
             .filter(F.col("ppl") > args.max_ppl)
             .select("doc_id")
         )
-        kept = kept.join(F.broadcast(high), "doc_id", "left_anti")
+        # no forced broadcast: unlike decontam hits (rare by contract),
+        # a tight --max-ppl can flag an unbounded fraction of the corpus
+        # — let AQE size the anti-join side
+        kept = kept.join(high, "doc_id", "left_anti")
         if id_for_lm is None:
             kept = kept.drop("doc_id")
     n_contaminated = 0
@@ -268,7 +271,11 @@ def cmd_clean(args) -> int:
             parts.append(F.coalesce(F.col(text_col), F.lit("")))
             kept = kept.withColumn("doc_id", F.xxhash64(*parts))
         flag_src = kept
-        if args.decontam_bloom:
+        # --decontam-bloom forces the scale tier; otherwise a capped
+        # count of the eval-gram set routes automatically, so a huge
+        # eval suite can never be broadcast as raw strings by accident
+        use_bloom = args.decontam_bloom or decontam.choose_tier(ev) == "bloom"
+        if use_bloom:
             # scale path: bloom-prefilter the corpus so the exact gram
             # join (and the hit count) only touch bloom-positive docs;
             # superset guarantee keeps the count and output exact

@@ -205,3 +205,60 @@ def decontaminate_bloom(
     cand = bloom_candidates(corpus, bloom, n=n, text_col=text_col)
     bad = contamination_hits(cand, eval_grams, n, id_col, text_col).select(id_col)
     return corpus.join(F.broadcast(bad), id_col, "left_anti")
+
+
+# ------------------------------------------------------------ auto routing
+#
+# The two tiers are output-identical, but picking the wrong one at scale
+# hurts in opposite directions: the exact tier broadcasts the raw gram
+# strings (GBs for a 100k-doc eval suite — executor OOM territory),
+# while the bloom tier pays a filter-build pass that is pure overhead
+# when the gram set would have broadcast comfortably anyway.  One entry
+# point owns that decision so a caller (and the CLI) cannot hold the
+# wrong tier at the wrong scale.
+
+#: Above this many distinct eval grams the raw-string broadcast stops
+#: being comfortable (~2M grams × ~50 B of string + hash-map overhead
+#: ≈ several hundred MB per executor) and the packed-long Bloom
+#: prefilter becomes the right plan.
+DEFAULT_BROADCAST_GRAM_CAP = 2_000_000
+
+
+def choose_tier(
+    eval_grams: DataFrame,
+    max_broadcast_grams: int = DEFAULT_BROADCAST_GRAM_CAP,
+) -> str:
+    """``"exact"`` while the distinct eval-gram set is comfortably
+    broadcastable, else ``"bloom"``.  The probe is a capped count — it
+    stops scanning at ``cap + 1`` rows, so an enormous eval suite never
+    pays a full count just to learn it is enormous."""
+    probe = eval_grams.limit(max_broadcast_grams + 1).count()
+    return "exact" if probe <= max_broadcast_grams else "bloom"
+
+
+def decontaminate_auto(
+    corpus: DataFrame,
+    eval_grams: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tier: str = "auto",
+    max_broadcast_grams: int = DEFAULT_BROADCAST_GRAM_CAP,
+) -> DataFrame:
+    """The cleaned corpus via whichever tier fits the eval-gram scale.
+
+    ``tier="auto"`` (the default) measures the gram set once and routes:
+    exact broadcast join below ``max_broadcast_grams`` distinct grams,
+    Bloom-prefiltered above it.  ``"exact"``/``"bloom"`` force a tier
+    (tests, benchmarks).  Output is identical on every path — the bloom
+    tier has no false negatives and burns false positives with the same
+    exact join."""
+    if tier == "auto":
+        tier = choose_tier(eval_grams, max_broadcast_grams)
+    if tier == "exact":
+        return decontaminate(corpus, eval_grams, n, id_col, text_col)
+    if tier == "bloom":
+        return decontaminate_bloom(
+            corpus, eval_grams, n=n, id_col=id_col, text_col=text_col
+        )
+    raise ValueError(f"tier must be auto/exact/bloom, got {tier!r}")

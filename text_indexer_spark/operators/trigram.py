@@ -33,6 +33,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from text_indexer_spark.operators.highlight import regex_grep
 
@@ -69,9 +70,7 @@ def trigram_postings(
             F.transform(
                 F.sequence(F.lit(1), F.size(ch) - F.lit(N - 1)),
                 lambda i: F.concat(
-                    F.element_at(ch, i),
-                    F.element_at(ch, i + F.lit(1)),
-                    F.element_at(ch, i + F.lit(2)),
+                    *[F.element_at(ch, i + F.lit(k)) for k in range(N)]
                 ),
             )
         ),
@@ -441,19 +440,31 @@ def grep_trigram_batch(
             pairs = cand.limit(pair_cap + 1).collect()
             if len(pairs) <= pair_cap:
                 ids = sorted({r[1] for r in pairs})
-                if len(ids) <= max_pushdown_ids:
-                    # localize: the probe ran once (the collect above);
-                    # the verify joins these rows, never the lazy plan
-                    cand_join = F.broadcast(
-                        spark.createDataFrame(
-                            pairs, f"pattern string, {id_col} long"
-                        )
+                # localize: the probe ran once (the collect above); the
+                # verify joins these rows, never the lazy plan — even
+                # when the id-list is too big to push into the scan
+                # (re-joining the lazy ``cand`` would re-run the probe).
+                # The id field keeps the corpus's own type: string /
+                # int ids must round-trip, not crash on a long cast.
+                id_type = corpus.schema[id_col].dataType
+                cand_join = F.broadcast(
+                    spark.createDataFrame(
+                        [(r[0], r[1]) for r in pairs],
+                        T.StructType(
+                            [
+                                T.StructField("pattern", T.StringType()),
+                                T.StructField(id_col, id_type),
+                            ]
+                        ),
                     )
-                    ver_src = (
-                        corpus.filter(F.col(id_col).isin(ids))
-                        if ids
-                        else corpus.filter(F.lit(False))
-                    )
+                )
+                if not ids:
+                    ver_src = corpus.filter(F.lit(False))
+                elif len(ids) <= max_pushdown_ids:
+                    ver_src = corpus.filter(F.col(id_col).isin(ids))
+                # else: keep the full corpus side — the IN-list would
+                # blow the pushdown budget, but the localized pairs
+                # still guarantee a single probe execution
         parts.append(
             ver_src.join(cand_join, id_col)
             .withColumn(
