@@ -5,35 +5,46 @@
 DuckDB oracle (see text_indexer_spark/driver_queries.py).
 
 Registration ORDER matters: the driver's correctness gate evaluates the
-first 50 entries of ``queries()`` in dict order.  Round 2 verified one
-50-gate window (CORRECTNESS_r02.json), round 3 the other
-(CORRECTNESS_r03.json, overlap 1).  Round 4 rotates back: the window
-holds the 3 gates that had never had a driver row, the 9 gates NEW in
-r4 (``regex_grep_pushdown``; ``line_dedup_stats``/``line_dedup_kept``
-— corpus-wide C4-style line dedup; ``decontam_bloom_kept`` — the
-Bloom-prefiltered decontamination scale path; ``regex_grep_batch`` —
-one-probe multi-pattern grep; ``lm_ppl`` — CCNet-style bigram-LM
-perplexity scoring; ``ann_int8_topk`` — int8-quantized vector store
-with provably exact rerank; ``ann_ivf_int8_full_probe`` — IVF + SQ8
-composed, both stages lossless at full probe; ``vocab_encode`` —
-frequency-ranked token ids + per-doc id-sequence encoding), the 3 gates whose code changed this round
-(Unicode-routing ``tokenize_by_lang``, CAS-commit
-``trigram_sync_postings``, and ``trigram_postings`` after its
-O(len²)→O(len) gram-extraction rewrite), and 35 of the 49 r2 gates now
-stale by one round.  The 14 r2 gates left out (``search_and_empty``,
-``quality_kept_corpus``, ``dedup_kept_corpus``, ``ann_ivf_full_probe``,
-``sample_stratified``, ``split_hash``, and — displaced by the eight new
-r4 gates — ``term_expansion``, ``search_expanded``, ``phrase_match``, ``proximity_match``, ``phrase_match_index``,
-``proximity_match_index``, ``decoded_positions``, ``sample_hash``)
-each have an r2 green row; the first six are thin variants of
-in-window siblings sharing their code path (empty-token guard over
-``search_and``; anti-join wrappers over
-``quality_scores``/``dedup_clusters``; the unpersisted twin of
-``ann_ivf_indexed_full_probe`` — same quantizer + per-list scorer, same
-oracle; the content-stable-xxhash64 siblings of ``sample_hash``), and
-the eight displaced expansion/positional/sampling gates are unchanged since r2 and
-lead the intended r5 rotation (they sit first in the tail order below).
-All 111 queries remain oracle-replayed at HEAD in
+first 50 entries of ``queries()`` in dict order.  Rounds 2-4 rotated
+50-gate windows (CORRECTNESS_r0{2,3,4}.json); union coverage after r4
+is 111/111 with freshness 50 r4 / 47 r3 / 14 r2.  The ROUND-5 window
+retires all remaining staleness debt in priority order:
+
+* the 14 r2-stale gates (3 rounds old — the only gates whose last
+  driver row predates r3): ``term_expansion``, ``search_expanded``,
+  ``phrase_match(_index)``, ``proximity_match(_index)``,
+  ``decoded_positions``, ``sample_hash``, ``sample_stratified``,
+  ``split_hash``, ``search_and_empty``, ``quality_kept_corpus``,
+  ``dedup_kept_corpus``, ``ann_ivf_full_probe``;
+* the 2 gates NEW in r5 (``bpe_vocab``/``bpe_encode`` — distributed
+  byte-pair-encoding subword trainer + encoder, oracle replaying the
+  full merge sequence);
+* the 4 r4-green gates whose CODE changed after their r4 row (commit
+  2ffdaf2: batch-grep localization keeps the corpus id type and always
+  localizes under a blown id-cap; the trigram gram concat is derived
+  from the N constant): ``trigram_postings``,
+  ``trigram_sync_postings``, ``regex_grep_batch``,
+  ``regex_grep_pushdown``;
+* 30 of the 47 r3-window gates (2 rounds stale by now) — the WAND /
+  serving / boolean / DSL / fuzzy / hygiene / multimodal / code-search
+  family heads.
+
+The 17 r3 gates left out are thin variants whose family head is
+in-window and whose code is unchanged since their r3 green row
+(``wand_bm25_topk_or/batch/scoped`` over ``wand_bm25_topk``;
+``merged_decoded_postings``/``optimized_postings`` over
+``decoded_postings``; ``search_boolean_not/_ranked`` +
+``boolean_from_index`` over ``search_boolean``; ``search_dsl_index``,
+``search_dsl_ranked_index``, ``search_dsl_fuzzy(_index)``,
+``search_dsl_fuzzy2``, ``search_dsl_snippets`` over
+``search_dsl``/``search_dsl_ranked``/``search_dsl_fuzzy2_index``
+(r4-green); ``term_suggest_fuzzy`` over ``term_suggest`` +
+``fuzzy_terms``; ``fuzzy_terms2`` over ``fuzzy_terms``; ``lang_id_nb``
+over ``lang_id`` (r4-green); ``tokenize_postings``, whose full build
+runs inside in-window ``wand_bm25_topk``).  They lead the tail order
+below.  Resulting union freshness: 50 r5 + 46 r4 + 17 r3 = 113/113,
+96/111 pre-existing gates ≤1 round stale (the verdict's stated bar).
+All 113 queries remain oracle-replayed at HEAD in
 ``tests/test_driver_contract.py`` regardless of window position.
 """
 
@@ -51,73 +62,16 @@ from text_indexer_spark import (
     driver_queries_serving,
 )
 
-#: The round-4 window: the first 50 entries land driver rows this
-#: round.  Head = 3 never-driver-verified gates, the 9 gates NEW in r4
-#: (``regex_grep_pushdown``, ``line_dedup_stats``, ``line_dedup_kept``,
-#: ``decontam_bloom_kept``, ``regex_grep_batch``, ``lm_ppl``,
-#: ``ann_int8_topk``, ``ann_ivf_int8_full_probe``, ``vocab_encode``),
-#: and the
-#: 3 gates whose code changed this round (Unicode-routing
-#: ``tokenize_by_lang``; CAS-commit ``trigram_sync_postings``;
-#: ``trigram_postings`` itself, whose gram extraction was rewritten
-#: O(len²)→O(len) this round); tail = 35 of the r2 gates in their r2
-#: registration order.  Entries past position 50 stay in this list to
-#: PIN THE R5 ROTATION ORDER: the eight gates the new r4 gates displaced
-#: (``term_expansion`` … ``sample_hash``) come first, then the
-#: ``sample_stratified``/``split_hash`` siblings (see module docstring
-#: for the accounting).  Every r3-window gate is unchanged since its
-#: r3 green row except the trigram family, which is re-admitted above.
-_R4_PRIORITY = [
-    "search_dsl_fuzzy2_index",
-    "decontam_kept_corpus",
-    "repetition_kept_corpus",
-    "regex_grep_pushdown",
-    "trigram_postings",
-    "tokenize_by_lang",
-    "trigram_sync_postings",
-    "line_dedup_stats",
-    "line_dedup_kept",
-    "decontam_bloom_kept",
-    "regex_grep_batch",
-    "lm_ppl",
-    "ann_int8_topk",
-    "ann_ivf_int8_full_probe",
-    "vocab_encode",
-    "term_stats",
-    "doc_stats",
-    "corpus_stats",
-    "search_and",
-    "search_paths",
-    "search_prefix",
-    "search_wildcard",
-    "search_snippets",
-    "regex_grep",
-    "bm25_topk",
-    "sync_diff",
-    "sync_apply_postings",
-    "dir_rollup",
-    "remove_dir",
-    "registry_listing",
-    "dedup_exact",
-    "dedup_minhash_sigs",
-    "dedup_lsh_pairs",
-    "dedup_ngram_jaccard",
-    "hot_shingles",
-    "dedup_simhash",
-    "dedup_simhash_pairs",
-    "dedup_clusters",
-    "neardup_cosine",
-    "neardup_cosine_lsh",
-    "neardup_clusters_cosine",
-    "ann_cosine_topk",
-    "ann_ivf_indexed_full_probe",
-    "lang_id",
-    "quality_scores",
-    "token_counts",
-    "doc_fingerprints",
-    "doc_chunks",
-    "packed_chunks",
-    "term_cooccurrence",
+#: The round-5 window: the first 50 entries land driver rows this
+#: round.  Head = the 14 r2-stale gates (the only ones 3 rounds old),
+#: then the 2 gates NEW in r5 (``bpe_vocab``/``bpe_encode``), then the
+#: 4 r4-green gates whose code changed post-row in commit 2ffdaf2
+#: (trigram gram-concat + batch-grep localization), then 30 r3-window
+#: family heads.  Entries past position 50 pin the tail order: the 17
+#: excluded r3 thin variants first (see module docstring for the
+#: per-gate accounting), then the r4-green gates.
+_R5_PRIORITY = [
+    # -- 14 r2-stale (last driver row: r2) --
     "term_expansion",
     "search_expanded",
     "phrase_match",
@@ -128,11 +82,73 @@ _R4_PRIORITY = [
     "sample_hash",
     "sample_stratified",
     "split_hash",
+    "search_and_empty",
+    "quality_kept_corpus",
+    "dedup_kept_corpus",
+    "ann_ivf_full_probe",
+    # -- 2 NEW in r5: distributed BPE trainer + encoder --
+    "bpe_vocab",
+    "bpe_encode",
+    # -- 4 r4 gates whose code changed after their r4 row (2ffdaf2) --
+    "trigram_postings",
+    "trigram_sync_postings",
+    "regex_grep_batch",
+    "regex_grep_pushdown",
+    # -- 30 r3-window family heads (2 rounds stale) --
+    "wand_bm25_topk",
+    "decoded_postings",
+    "multimodal_meta",
+    "multimodal_frames",
+    "search_results_page",
+    "search_scoped",
+    "search_facets",
+    "bm25_msm",
+    "more_like_this",
+    "term_suggest",
+    "ngram_counts",
+    "tfidf_vectors",
+    "bm25f_topk",
+    "search_boolean",
+    "search_dsl",
+    "search_dsl_ranked",
+    "search_dsl_near",
+    "search_dsl_fuzzy",
+    "decontam_hits",
+    "repetition_stats",
+    "fuzzy_terms",
+    "search_fuzzy",
+    "pii_stats",
+    "regex_grep_trigram",
+    "code_ident_postings",
+    "search_code_ident",
+    "substring_search",
+    "grep_lines",
+    "symbol_postings",
+    "search_symbol",
+    # ---- tail (positions 51+): pins the next rotation order ----
+    # 17 excluded r3 thin variants
+    "wand_bm25_topk_or",
+    "wand_bm25_batch",
+    "wand_bm25_scoped",
+    "merged_decoded_postings",
+    "optimized_postings",
+    "search_boolean_not",
+    "search_boolean_ranked",
+    "boolean_from_index",
+    "search_dsl_index",
+    "search_dsl_ranked_index",
+    "search_dsl_fuzzy_index",
+    "search_dsl_fuzzy2",
+    "search_dsl_snippets",
+    "term_suggest_fuzzy",
+    "fuzzy_terms2",
+    "lang_id_nb",
+    "tokenize_postings",
 ]
 
 
 def _ordered(merged: dict) -> dict:
-    head = {k: merged[k] for k in _R4_PRIORITY if k in merged}
+    head = {k: merged[k] for k in _R5_PRIORITY if k in merged}
     tail = {k: v for k, v in merged.items() if k not in head}
     return {**head, **tail}
 

@@ -771,6 +771,124 @@ FROM pt JOIN v USING (term) GROUP BY doc_id
 """
 
 
+#: Merge rounds for the BPE gates — enough to build multi-char subwords
+#: (the sf0.01 run learns whole words like "join" by rank 11) while the
+#: unrolled oracle stays ~12 CTE blocks.
+BPE_MERGES = 12
+
+
+def _bpe_cte(n_merges: int) -> str:
+    """The DuckDB twin of ``bpe.train_bpe``: the merge loop UNROLLED as
+    a materialized-CTE chain (``words_0`` … ``words_n``, one
+    ``best{r}`` argmax per round).  MATERIALIZED is load-bearing —
+    inlined CTEs would re-evaluate the whole prefix per reference
+    (~3^n blowup, observed hanging at n=8).  The greedy leftmost
+    non-overlapping apply is positional: mark pair starts, split runs
+    of consecutive marks (gaps-and-islands), merge even offsets — the
+    window-function rendering of the fold ``operators/bpe.py`` runs
+    in-row."""
+    toks = _tokens_sql()
+    parts = [
+        f"""words_0 AS MATERIALIZED (
+  SELECT word, count(*)::BIGINT AS cnt,
+         list_transform(range(1, length(word) + 1), i -> substr(word, i, 1)) AS syms
+  FROM (SELECT unnest({toks}) AS word FROM documents)
+  GROUP BY word)"""
+    ]
+    for r in range(n_merges):
+        parts.append(
+            f"""best{r} AS MATERIALIZED (
+  SELECT {r} AS rank, lhs, rhs, lhs || rhs AS merged
+  FROM (SELECT s['l'] AS lhs, s['r'] AS rhs, sum(cnt) AS c
+        FROM (SELECT cnt, unnest(list_transform(range(1, len(syms)),
+                     i -> {{'l': syms[i], 'r': syms[i+1]}})) AS s
+              FROM words_{r} WHERE len(syms) >= 2)
+        GROUP BY 1, 2)
+  ORDER BY c DESC, lhs ASC, rhs ASC LIMIT 1),
+words_{r + 1} AS MATERIALIZED (
+  SELECT word, any_value(cnt) AS cnt,
+         list(CASE WHEN dm THEN sym || nxt ELSE sym END ORDER BY pos) AS syms
+  FROM (
+    SELECT *, coalesce(lag(dm) OVER (PARTITION BY word ORDER BY pos), false) AS pdm
+    FROM (
+      SELECT word, cnt, pos, sym,
+             mk AND ((pos - min(pos) OVER (PARTITION BY word, grp)) % 2 = 0) AS dm,
+             lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
+      FROM (
+        SELECT *, CASE WHEN mk THEN pos - row_number()
+                         OVER (PARTITION BY word, mk ORDER BY pos) END AS grp
+        FROM (
+          SELECT word, cnt, pos, sym,
+                 coalesce(sym = (SELECT lhs FROM best{r})
+                          AND lead(sym) OVER (PARTITION BY word ORDER BY pos)
+                              = (SELECT rhs FROM best{r}), false) AS mk
+          FROM (SELECT word, cnt, s['i'] AS pos, s['sym'] AS sym
+                FROM (SELECT word, cnt, unnest(list_transform(range(1, len(syms) + 1),
+                             i -> {{'i': i, 'sym': syms[i]}})) AS s
+                      FROM words_{r}))))))
+  WHERE NOT pdm
+  GROUP BY word)"""
+        )
+    return "WITH " + ",\n".join(parts)
+
+
+def q_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE subword-vocabulary training (Sennrich et al.
+    2016): the learned merge table, rank-ordered.  The oracle REPLAYS
+    the full merge sequence (unrolled argmax-per-round CTE chain), so a
+    hash match pins every round's pair count, tie-break and greedy
+    apply — the strongest oracle an iterative trainer can have
+    (``operators/bpe.py``; no reference counterpart — the reference
+    tokenizes to whole words, library/.../DocumentTokenizer.kt)."""
+    from text_indexer_spark.operators import bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bpe.train_bpe(docs, n_merges=BPE_MERGES)
+    return bpe.merges_table(spark, merges)
+
+
+def sql_bpe_vocab() -> str:
+    union = " UNION ALL ".join(
+        f"SELECT rank, lhs, rhs, merged FROM best{r}"
+        for r in range(BPE_MERGES)
+    )
+    return f"{_bpe_cte(BPE_MERGES)}\nSELECT * FROM ({union})"
+
+
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every document encoded to its BPE piece sequence under the
+    merges trained on the same corpus — train + encode end-to-end.
+    The md5 of the 0x1f-joined pieces pins piece identity AND order;
+    docs with zero tokens are dropped on both sides (inner-join
+    encode semantics)."""
+    from text_indexer_spark.operators import bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bpe.train_bpe(docs, n_merges=BPE_MERGES)
+    enc = bpe.encode_docs_bpe(docs, merges)
+    return enc.select(
+        "doc_id",
+        "n_pieces",
+        F.md5(F.array_join("pieces", bpe.PIECE_SEP)).alias("pieces_md5"),
+    )
+
+
+def sql_bpe_encode() -> str:
+    toks = _tokens_sql()
+    return f"""{_bpe_cte(BPE_MERGES)},
+occ AS (
+  SELECT doc_id, s['pos'] AS pos, s['term'] AS term
+  FROM (SELECT doc_id, unnest(list_transform(range(1, len(t) + 1),
+               i -> {{'pos': i, 'term': t[i]}})) AS s
+        FROM (SELECT doc_id, {toks} AS t FROM documents)))
+SELECT o.doc_id,
+       sum(len(w.syms))::BIGINT AS n_pieces,
+       md5(string_agg(array_to_string(w.syms, chr(31)), chr(31) ORDER BY o.pos)) AS pieces_md5
+FROM occ o JOIN words_{BPE_MERGES} w ON w.word = o.term
+GROUP BY o.doc_id
+"""
+
+
 def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from text_indexer_spark.unicode_fixture import docs_with_fixture
 
@@ -1974,6 +2092,8 @@ def queries():
         "quality_kept_corpus": q_quality_kept,
         "token_counts": q_token_counts,
         "vocab_encode": q_vocab_encode,
+        "bpe_vocab": q_bpe_vocab,
+        "bpe_encode": q_bpe_encode,
         "doc_fingerprints": q_fingerprints,
         "doc_chunks": q_doc_chunks,
         "packed_chunks": q_packed_chunks,
@@ -2037,6 +2157,8 @@ def oracle_sql():
         "quality_kept_corpus": sql_quality_kept(),
         "token_counts": _ufix(sql_token_counts()),
         "vocab_encode": _ufix(sql_vocab_encode()),
+        "bpe_vocab": sql_bpe_vocab(),
+        "bpe_encode": sql_bpe_encode(),
         "doc_fingerprints": sql_fingerprints(),
         "doc_chunks": sql_doc_chunks(),
         "packed_chunks": sql_packed_chunks(),

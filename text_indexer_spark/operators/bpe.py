@@ -1,0 +1,189 @@
+"""Distributed byte-pair-encoding (BPE) subword vocabulary trainer and
+encoder — the tokenize→subword step of an LLM training-data pipeline.
+
+No reference counterpart (vbutrim/text-indexer tokenizes to whole
+words, library/.../DocumentTokenizer.kt); this follows the published
+algorithm of Sennrich, Haddow & Birch, "Neural Machine Translation of
+Rare Words with Subword Units" (ACL 2016, arXiv:1508.07909):
+iteratively merge the corpus's most frequent adjacent symbol pair,
+``n_merges`` times; encoding replays the merges in rank order.
+
+Spark-first shape (what must survive 100 TB):
+
+* the corpus is reduced ONCE to the distinct-word frequency table (one
+  map-side-combined shuffle over token occurrences).  Every training
+  round then touches only that small relation: pair counting is a
+  second combiner-friendly aggregation whose shuffle carries
+  |distinct symbol pairs| rows — never tokens, never text — and the
+  per-round argmax is a ONE-ROW collect (the same bounded-collect
+  budget as the IVF centroid update in ``similarity.py``).
+* merge application is an in-row greedy fold (``F.aggregate`` over the
+  symbol array) — zero shuffle, and exactly canonical leftmost
+  non-overlapping semantics: the fold's last-element check makes
+  ``aaaa`` + merge (a,a) → ``[aa, aa]`` and ``aaaaa`` → ``[aa, aa, a]``,
+  because a just-merged token no longer equals the left symbol.
+* lineage is cut every ``checkpoint_every`` rounds (the
+  ``cluster.connected_components`` discipline — for iterative
+  algorithms PLAN growth kills the driver long before data size does).
+* encoding folds each DISTINCT word once and joins the piece arrays
+  back to token occurrences (AQE picks broadcast when the vocabulary
+  is small); per-doc order is restored in-row
+  (``array_sort(collect_list(struct(pos, …)))`` + ``flatten``), never
+  via a sort exchange.
+
+Determinism: ties on pair count break by (count DESC, lhs ASC,
+rhs ASC) under binary UTF-8 string comparison — identical across
+parallelism levels and engines, so the DuckDB oracle can replay the
+exact merge sequence.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from text_indexer_spark.tokenizer import tokenize_column
+
+#: Piece-list join separator for hashing — a control char the
+#: tokenizer can never emit (its delimiter class strips whitespace
+#: only, but no natural token contains 0x1f).
+PIECE_SEP = "\x1f"
+
+
+def _apply_merge(syms: Column, lhs: str, rhs: str) -> Column:
+    """One merge rule applied greedily left-to-right over a symbol
+    array — a pure in-row fold, ANSI-safe (``F.get`` returns null on
+    the empty accumulator instead of throwing)."""
+    merged = F.lit(lhs + rhs)
+    return F.aggregate(
+        syms,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.get(acc, F.size(acc) - 1) == F.lit(lhs)) & (x == F.lit(rhs)),
+            F.concat(
+                F.slice(acc, F.lit(1), F.size(acc) - 1), F.array(merged)
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def word_frequency(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """``(word, cnt, syms)`` — the distinct-word table training runs
+    on.  ``cnt`` counts token OCCURRENCES corpus-wide; ``syms`` is the
+    codepoint split (``split('')`` is codepoint-identical to substr,
+    pinned by the trigram unicode tests)."""
+    return (
+        docs.select(F.explode(tokenize_column(text_col)).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("syms", F.split("word", ""))
+    )
+
+
+def train_bpe(
+    docs: DataFrame,
+    n_merges: int = 12,
+    text_col: str = "text",
+    checkpoint_every: int = 4,
+) -> list[tuple[str, str]]:
+    """The learned merge rules in rank order, ``[(lhs, rhs), ...]``.
+
+    Stops early when no adjacent pair remains (every word fully
+    merged).  Each round is one combiner-friendly pair-count shuffle
+    over the distinct-word relation plus a 1-row argmax collect.
+    """
+    if n_merges < 1:
+        raise ValueError("n_merges must be >= 1")
+    words = word_frequency(docs, text_col)
+    merges: list[tuple[str, str]] = []
+    for r in range(n_merges):
+        best = (
+            words.filter(F.size("syms") >= 2)
+            .select(
+                "cnt",
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("syms") - 1),
+                        lambda i: F.struct(
+                            F.element_at(F.col("syms"), i).alias("lhs"),
+                            F.element_at(F.col("syms"), i + F.lit(1)).alias(
+                                "rhs"
+                            ),
+                        ),
+                    )
+                ).alias("p"),
+            )
+            .groupBy("p.lhs", "p.rhs")
+            .agg(F.sum("cnt").alias("c"))
+            .orderBy(F.col("c").desc(), F.col("lhs").asc(), F.col("rhs").asc())
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        lhs, rhs = best[0]["lhs"], best[0]["rhs"]
+        merges.append((lhs, rhs))
+        words = words.withColumn(
+            "syms", _apply_merge(F.col("syms"), lhs, rhs)
+        )
+        if (r + 1) % checkpoint_every == 0 and r + 1 < n_merges:
+            words = words.localCheckpoint(eager=True)
+    return merges
+
+
+def merges_table(docs_or_spark, merges: list[tuple[str, str]]) -> DataFrame:
+    """The merge rules as a relation ``(rank, lhs, rhs, merged)`` —
+    the persistable vocabulary artifact."""
+    spark = getattr(docs_or_spark, "sparkSession", docs_or_spark)
+    return spark.createDataFrame(
+        [(i, a, b, a + b) for i, (a, b) in enumerate(merges)],
+        "rank int, lhs string, rhs string, merged string",
+    )
+
+
+def word_pieces(words: DataFrame, merges: list[tuple[str, str]]) -> DataFrame:
+    """``(word, syms)`` — every merge rule folded over the symbol
+    arrays in rank order (each rule fully applied before the next,
+    the canonical BPE encode)."""
+    out = words.withColumn("syms", F.split("word", ""))
+    for lhs, rhs in merges:
+        out = out.withColumn("syms", _apply_merge(F.col("syms"), lhs, rhs))
+    return out
+
+
+def encode_docs_bpe(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """``(doc_id, n_pieces, pieces)`` — every document encoded to its
+    subword-piece sequence in token order.  Docs with zero tokens are
+    dropped (nothing to encode).
+
+    Scale shape: the fold chain runs once per DISTINCT word; the join
+    back to occurrences is an equi-join AQE can broadcast; per-doc
+    piece order is restored in-row, no sort exchange."""
+    occ = docs.select(
+        F.col(id_col), F.posexplode(tokenize_column(text_col)).alias("pos", "word")
+    )
+    pieces = word_pieces(occ.select("word").distinct(), merges)
+    return (
+        occ.join(pieces, "word")
+        .groupBy(id_col)
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "syms"))
+                    ),
+                    lambda s: s["syms"],
+                )
+            ).alias("pieces")
+        )
+        .select(
+            id_col,
+            F.size("pieces").cast("long").alias("n_pieces"),
+            "pieces",
+        )
+    )
