@@ -355,3 +355,36 @@ def test_ann_int8_randomized_geometries_equal_brute_force(spark):
         exact = sorted(map(tuple, cosine_topk(df, queries, k=6).collect()))
         quant = sorted(map(tuple, similarity.ann_int8_topk(df, queries, k=6).collect()))
         assert exact == quant, f"trial {trial}"
+
+
+def test_quantize_int8_is_row_linear_not_cubic(spark):
+    """Throughput regression guard for the r5 expression-staging fix:
+    the original single-select quantize inlined ``scale`` (an aggregate
+    over a transform over a division by an aggregate) inside the
+    per-element qvec lambda — O(dim³) element evaluations per row,
+    which turned 50 k rows × dim 64 into a multi-minute hang.  Staged,
+    the same input quantizes in under a second; the bound here is
+    generous (30 s) so only the cubic blowup can trip it, not VM
+    noise."""
+    import time
+
+    rows = 50_000
+    dim = 64
+    df = (
+        spark.range(rows)
+        .select(
+            F.col("id").alias("vec_id"),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda i: (
+                    F.pmod(F.hash(F.col("id"), i), F.lit(1999)) - F.lit(999)
+                ).cast("double")
+                / F.lit(999.0),
+            ).alias("embedding"),
+        )
+        .repartition(8)
+        .localCheckpoint(eager=True)
+    )
+    t = time.time()
+    assert similarity.quantize_int8(df).count() == rows
+    assert time.time() - t < 30.0

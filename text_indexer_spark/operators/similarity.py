@@ -89,23 +89,65 @@ def quantize_int8(
 
     Zero vectors quantize to (zeros, scale 0) instead of tripping
     ANSI's divide-by-zero (cosine against them stays undefined, as in
-    :func:`cosine_topk`)."""
+    :func:`cosine_topk`).
+
+    Expression staging is load-bearing: each derived quantity (norm,
+    unit vector, maxabs, scale) is ALIASED in its own projection and
+    referenced more than once downstream, so Catalyst's CollapseProject
+    keeps the alias instead of inlining it (it only inlines cheap or
+    single-reference aliases).  The original single-select form inlined
+    ``scale`` — itself an aggregate over a transform over a division by
+    an aggregate — INSIDE the per-element qvec lambda: O(dim³) element
+    evaluations per row (~260k at dim 64), which turned a 50 k-row
+    quantize into a multi-minute hang.  Staged, each row costs
+    O(4·dim).  Pinned by ``test_similarity.py`` (quantize-throughput
+    regression guard)."""
     norm = _norm(F.col(vec_col))
-    safe = F.when(norm > 0, norm).otherwise(F.lit(1.0))
-    unit = F.transform(
-        F.col(vec_col), lambda x: x.cast("double") / safe
+    staged = (
+        embeddings.select(
+            F.col(id_col),
+            F.col(vec_col).alias("_v"),
+            norm.alias("_n"),
+        )
+        .select(
+            id_col,
+            F.transform(
+                "_v",
+                lambda x: x.cast("double")
+                / F.when(F.col("_n") > 0, F.col("_n")).otherwise(F.lit(1.0)),
+            ).alias("_unit"),
+        )
+        .select(
+            id_col,
+            "_unit",
+            F.aggregate(
+                "_unit", F.lit(0.0), lambda acc, v: F.greatest(acc, F.abs(v))
+            ).alias("_maxabs"),
+        )
+        .select(
+            id_col,
+            "_unit",
+            F.when(F.col("_maxabs") > 0, F.col("_maxabs") / F.lit(127.0))
+            .otherwise(F.lit(0.0))
+            .alias("scale"),
+        )
+        .select(
+            F.col(id_col),
+            F.when(
+                F.col("scale") > 0,
+                F.transform(
+                    "_unit",
+                    lambda x: F.round(x / F.col("scale"), 0).cast("tinyint"),
+                ),
+            )
+            .otherwise(
+                F.transform("_unit", lambda x: F.lit(0).cast("tinyint"))
+            )
+            .alias("qvec"),
+            F.col("scale"),
+        )
     )
-    maxabs = F.aggregate(
-        unit, F.lit(0.0), lambda acc, v: F.greatest(acc, F.abs(v))
-    )
-    scale = F.when(maxabs > 0, maxabs / F.lit(127.0)).otherwise(F.lit(0.0))
-    qvec = F.when(
-        maxabs > 0,
-        F.transform(unit, lambda x: F.round(x / scale, 0).cast("tinyint")),
-    ).otherwise(F.transform(unit, lambda x: F.lit(0).cast("tinyint")))
-    return embeddings.select(
-        F.col(id_col), qvec.alias("qvec"), scale.alias("scale")
-    )
+    return staged
 
 
 def ann_int8_topk(
@@ -174,15 +216,22 @@ def ann_int8_topk(
 
 def _unit_queries(queries: DataFrame):
     """Broadcast (query_id, _uq unit vector, _ql1 L1 norm) — the query
-    side every int8 bound needs."""
+    side every int8 bound needs.  The norm is staged in its own
+    projection so the per-element division references a column, not a
+    re-evaluated aggregate (see :func:`quantize_int8`)."""
     return F.broadcast(
         queries.select(
             "query_id",
+            F.col("query_vec").alias("_qv"),
+            _norm(F.col("query_vec")).alias("_qn"),
+        )
+        .select(
+            "query_id",
             F.transform(
-                F.col("query_vec"),
-                lambda x: x.cast("double") / _norm(F.col("query_vec")),
+                "_qv", lambda x: x.cast("double") / F.col("_qn")
             ).alias("_uq"),
-        ).select(
+        )
+        .select(
             "query_id",
             "_uq",
             F.aggregate(
