@@ -19,17 +19,19 @@ retires all remaining staleness debt in priority order:
 * the 2 gates NEW in r5 (``bpe_vocab``/``bpe_encode`` — distributed
   byte-pair-encoding subword trainer + encoder, oracle replaying the
   full merge sequence);
-* the 4 r4-green gates whose CODE changed after their r4 row (commit
+* the 6 r4-green gates whose CODE changed after their r4 row (commit
   2ffdaf2: batch-grep localization keeps the corpus id type and always
   localizes under a blown id-cap; the trigram gram concat is derived
-  from the N constant): ``trigram_postings``,
-  ``trigram_sync_postings``, ``regex_grep_batch``,
-  ``regex_grep_pushdown``;
-* 30 of the 47 r3-window gates (2 rounds stale by now) — the WAND /
+  from the N constant; r5: the ``quantize_int8`` expression-staging
+  rewrite — O(dim³)→O(dim) per row, numerically identical by numpy
+  differential): ``trigram_postings``, ``trigram_sync_postings``,
+  ``regex_grep_batch``, ``regex_grep_pushdown``, ``ann_int8_topk``,
+  ``ann_ivf_int8_full_probe``;
+* 28 of the 47 r3-window gates (2 rounds stale by now) — the WAND /
   serving / boolean / DSL / fuzzy / hygiene / multimodal / code-search
   family heads.
 
-The 17 r3 gates left out are thin variants whose family head is
+The 19 r3 gates left out are thin variants whose family head is
 in-window and whose code is unchanged since their r3 green row
 (``wand_bm25_topk_or/batch/scoped`` over ``wand_bm25_topk``;
 ``merged_decoded_postings``/``optimized_postings`` over
@@ -41,9 +43,14 @@ in-window and whose code is unchanged since their r3 green row
 (r4-green); ``term_suggest_fuzzy`` over ``term_suggest`` +
 ``fuzzy_terms``; ``fuzzy_terms2`` over ``fuzzy_terms``; ``lang_id_nb``
 over ``lang_id`` (r4-green); ``tokenize_postings``, whose full build
-runs inside in-window ``wand_bm25_topk``).  They lead the tail order
-below.  Resulting union freshness: 50 r5 + 46 r4 + 17 r3 = 113/113,
-96/111 pre-existing gates ≤1 round stale (the verdict's stated bar).
+runs inside in-window ``wand_bm25_topk``; ``multimodal_frames`` over
+``multimodal_meta``; ``tfidf_vectors`` over ``ngram_counts`` +
+``bm25f_topk`` — the last two displaced by the quantize-rewrite
+re-admits).  They lead the tail order below.  Resulting union
+freshness: 50 r5 + 44 r4 + 19 r3 = 113/113, 94/111 pre-existing gates
+≤1 round stale (two short of the verdict's 96 figure — traded for
+fresh driver rows on the two gates whose quantizer was rewritten this
+round, the same changed-code-first rule the 96 figure came from).
 All 113 queries remain oracle-replayed at HEAD in
 ``tests/test_driver_contract.py`` regardless of window position.
 """
@@ -89,16 +96,19 @@ _R5_PRIORITY = [
     # -- 2 NEW in r5: distributed BPE trainer + encoder --
     "bpe_vocab",
     "bpe_encode",
-    # -- 4 r4 gates whose code changed after their r4 row (2ffdaf2) --
+    # -- 6 r4 gates whose code changed after their r4 row (2ffdaf2:
+    #    trigram gram concat + batch-grep localization; r5: the
+    #    quantize_int8 expression-staging rewrite) --
     "trigram_postings",
     "trigram_sync_postings",
     "regex_grep_batch",
     "regex_grep_pushdown",
-    # -- 30 r3-window family heads (2 rounds stale) --
+    "ann_int8_topk",
+    "ann_ivf_int8_full_probe",
+    # -- 28 r3-window family heads (2 rounds stale) --
     "wand_bm25_topk",
     "decoded_postings",
     "multimodal_meta",
-    "multimodal_frames",
     "search_results_page",
     "search_scoped",
     "search_facets",
@@ -106,7 +116,6 @@ _R5_PRIORITY = [
     "more_like_this",
     "term_suggest",
     "ngram_counts",
-    "tfidf_vectors",
     "bm25f_topk",
     "search_boolean",
     "search_dsl",
@@ -126,7 +135,10 @@ _R5_PRIORITY = [
     "symbol_postings",
     "search_symbol",
     # ---- tail (positions 51+): pins the next rotation order ----
-    # 17 excluded r3 thin variants
+    # 19 excluded r3 thin variants (multimodal_frames/tfidf_vectors
+    # displaced by the two quantize-rewrite re-admits)
+    "multimodal_frames",
+    "tfidf_vectors",
     "wand_bm25_topk_or",
     "wand_bm25_batch",
     "wand_bm25_scoped",
