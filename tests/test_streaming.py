@@ -527,3 +527,176 @@ def test_line_count_commit_is_replay_idempotent(spark, tmp_path):
         for r in load_line_counts(spark, counts_dir).collect()
     }
     assert got2 == {("alpha", 1), ("shared", 3)}
+
+
+def test_line_count_stream_drops_represented_docs(spark, tmp_path):
+    """Contract enforcement (ADVICE r4): the additive line-count fold
+    must not double-count a document the table has already counted —
+    re-deliveries AND updates of a (repo, path) are dropped with the
+    drop recorded in the version meta, so dedup_lines_against never
+    sees phantom shared lines."""
+    import json
+
+    from text_indexer_spark.streaming.linecount_stream import (
+        load_line_counts,
+        load_line_counts_version,
+        load_seen_doc_ids,
+        run_stream_line_counts,
+    )
+
+    schema = (
+        "repo string, path string, commit string, lang string, "
+        "content string, event_time timestamp, deleted boolean"
+    )
+    counts_dir = str(tmp_path / "counts")
+    os.makedirs(counts_dir)
+    drop = str(tmp_path / "drops")
+    os.makedirs(drop)
+    spark.createDataFrame(
+        [
+            ("r1", "a.txt", "c1", "txt", "shared line\nalpha only", None, False),
+            ("r1", "b.txt", "c1", "txt", "shared line\nbeta only", None, False),
+        ],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(drop)
+    q, ver = run_stream_line_counts(spark, drop, str(tmp_path / "ck1"), counts_dir)
+    q.awaitTermination(120)
+    assert ver() == 1
+
+    # batch 2 violates the append-only-distinct contract: a.txt is
+    # re-presented (with DIFFERENT content — an update); c.txt is new
+    spark.createDataFrame(
+        [
+            ("r1", "a.txt", "c2", "txt", "shared line\nupdated text", None, False),
+            ("r1", "c.txt", "c1", "txt", "shared line\ngamma only", None, False),
+        ],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(drop)
+    q2, ver2 = run_stream_line_counts(spark, drop, str(tmp_path / "ck1"), counts_dir)
+    q2.awaitTermination(120)
+    assert ver2() == 2
+
+    got = {
+        (r["line"], r["n_docs"])
+        for r in load_line_counts(spark, counts_dir).collect()
+    }
+    # a.txt counted ONCE (first-seen content): shared line has 3 docs,
+    # and neither 'updated text' nor a 4th 'shared line' count exists
+    assert got == {
+        ("shared line", 3),
+        ("alpha only", 1),
+        ("beta only", 1),
+        ("gamma only", 1),
+    }
+    assert load_seen_doc_ids(spark, counts_dir).count() == 3
+    v = load_line_counts_version(counts_dir)
+    with open(
+        os.path.join(counts_dir, f"counts_v{v:06d}.meta.json")
+    ) as f:
+        assert json.load(f)["n_docs_dropped"] == 1
+
+
+def test_index_stream_maintenance_replay_is_effect_idempotent(spark, tmp_path):
+    """A replayed micro-batch (crash after the version commit, before
+    the streaming offset commit — simulated by re-running the
+    maintenance over the same drop with a FRESH checkpoint) must leave
+    the SERVED index content unchanged: replace semantics converge.
+    The cost of the replay is one redundant version directory, never a
+    content divergence."""
+    from text_indexer_spark.corpus import synthetic_corpus
+    from text_indexer_spark.operators.index_build import (
+        build_index,
+        load_posting_lists,
+    )
+    from text_indexer_spark.streaming.sync_stream import (
+        run_stream_index_maintenance,
+    )
+
+    corpus = synthetic_corpus(spark, n_docs=40, avg_tokens=15, n_repos=4).cache()
+    idx0 = str(tmp_path / "idx0")
+    build_index(corpus, idx0, num_shards=2, resume=False)
+
+    one = corpus.orderBy("repo", "path").limit(1).collect()[0]
+    drop = str(tmp_path / "drops")
+    os.makedirs(drop)
+    spark.createDataFrame(
+        [
+            (one["repo"], one["path"], "c-mod", one["lang"],
+             one["content"] + " replay marker", None, False),
+            ("zz/replay-repo", "docs/replayed.txt", "c-add", "txt",
+             "replay marker fresh doc", None, False),
+        ],
+        "repo string, path string, commit string, lang string, "
+        "content string, event_time timestamp, deleted boolean",
+    ).coalesce(1).write.mode("append").parquet(drop)
+    versions = str(tmp_path / "versions")
+
+    q, latest = run_stream_index_maintenance(
+        spark, drop, str(tmp_path / "ck1"), idx0, versions
+    )
+    q.awaitTermination(120)
+    first = latest()
+
+    def served(path):
+        df = load_posting_lists(spark, path)
+        return sorted(tuple(r) for r in df.collect())
+
+    once = served(first)
+
+    # replay: fresh checkpoint, same drop → the same batch re-applies
+    q2, latest2 = run_stream_index_maintenance(
+        spark, drop, str(tmp_path / "ck2"), idx0, versions
+    )
+    q2.awaitTermination(120)
+    replayed = latest2()
+    assert replayed != first  # a redundant version directory exists...
+    assert served(replayed) == once  # ...but served content is unchanged
+
+
+def test_trigram_stream_maintenance_replay_is_effect_idempotent(spark, tmp_path):
+    """Same crash-replay window for the trigram LSM maintenance: the
+    replayed batch tombstones and re-adds the same docs, so the served
+    gram set is unchanged (replace semantics)."""
+    import datetime as dt
+
+    from text_indexer_spark.operators.trigram import read_committed_trigrams
+    from text_indexer_spark.streaming.sync_stream import (
+        run_stream_trigram_maintenance,
+    )
+
+    schema = (
+        "repo string, path string, commit string, lang string, "
+        "content string, event_time timestamp, deleted boolean"
+    )
+    t0 = dt.datetime(2026, 1, 1)
+    tri = str(tmp_path / "tri")
+    drop = str(tmp_path / "drops")
+    os.makedirs(drop)
+    spark.createDataFrame(
+        [
+            ("r1", "a.txt", "c1", "txt", "alpha bravo charlie", t0, False),
+            ("r1", "b.txt", "c1", "txt", "delta echo foxtrot", t0, False),
+        ],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(drop)
+
+    q, ver = run_stream_trigram_maintenance(
+        spark, drop, str(tmp_path / "ck1"), tri
+    )
+    q.awaitTermination(120)
+    once = sorted(
+        (r["doc_id"], r["gram"])
+        for r in read_committed_trigrams(spark, tri).collect()
+    )
+    v1 = ver()
+
+    q2, ver2 = run_stream_trigram_maintenance(
+        spark, drop, str(tmp_path / "ck2"), tri
+    )
+    q2.awaitTermination(120)
+    assert ver2() > v1  # replay burned a version...
+    twice = sorted(
+        (r["doc_id"], r["gram"])
+        for r in read_committed_trigrams(spark, tri).collect()
+    )
+    assert twice == once  # ...but served grams are unchanged

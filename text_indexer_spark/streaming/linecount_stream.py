@@ -8,10 +8,22 @@ is a fold: each micro-batch's per-line counts sum-merge into a
 committed versioned table, and the final table equals the batch
 computation over the whole corpus EXACTLY (differential-tested).
 
-Contract: the feed is APPEND-ONLY DISTINCT documents — the same
-contract the committed-index feeds have; route re-deliveries through
-the stateful dedup stream (``dedup_stream.py``) first, exactly as the
-index maintenance does.  Both crash windows are covered: a crash
+Contract: the feed is APPEND-ONLY DISTINCT documents.  Unlike the
+index maintenances (replace semantics — a re-presented doc converges),
+an additive fold has no decrement path, so the contract is ENFORCED,
+not assumed: every committed version also records its contributing
+``doc_id`` delta (``docs_v<N>``), and each micro-batch drops documents
+whose id the table has already counted (first-seen content wins; the
+drop count is recorded in the version's meta as ``n_docs_dropped`` so
+violations are observable, not silent).  The membership probe follows
+the id-pushdown discipline: the batch's bounded id list is pushed as
+an IN-filter into the seen-ids scan (no shuffle); above
+``SEEN_PROBE_CAP`` ids it falls back to a distributed left-anti join.
+Content-level re-deliveries of the same (repo, path) are therefore
+harmless; a genuine UPDATE (same doc, new text) is dropped too — a
+corpus that mutates documents needs the replace-semantics line
+accounting of a full recount, not this fold.  Both crash windows are
+covered: a crash
 BEFORE the pointer swap leaves an unreferenced orphan directory (the
 replay re-merges into the last committed version), and a crash AFTER
 the swap but before the streaming offset commit re-presents the same
@@ -35,6 +47,11 @@ from pyspark.sql import functions as F
 from text_indexer_spark.operators.linededup import line_counts
 from text_indexer_spark.streaming.sync_stream import corpus_change_stream
 
+#: Batch-id-list size above which the seen-doc membership probe
+#: abandons collect+IN-pushdown for a distributed left-anti join (same
+#: cap discipline as ``trigram.grep_trigram_pushdown``).
+SEEN_PROBE_CAP = 20_000
+
 
 def load_line_counts_version(counts_dir: str) -> int:
     from text_indexer_spark import storage
@@ -57,11 +74,33 @@ def load_line_counts(spark: SparkSession, counts_dir: str) -> DataFrame:
     )
 
 
+def load_seen_doc_ids(spark: SparkSession, counts_dir: str) -> DataFrame:
+    """Union of every committed version's contributing ``doc_id`` delta
+    (empty if none).  Versions committed before the guard existed have
+    no ``docs_v`` dir and contribute nothing — their documents could be
+    re-presented once; every version since records its delta.  Deltas
+    are one dir per version; compact them into the newest version's dir
+    if version count ever dominates scan setup."""
+    from text_indexer_spark import storage
+
+    version = load_line_counts_version(counts_dir)
+    paths = [
+        storage.join(counts_dir, f"docs_v{v:06d}")
+        for v in range(1, version + 1)
+    ]
+    paths = [p for p in paths if storage.exists(p)]
+    if not paths:
+        return spark.createDataFrame([], "doc_id long")
+    return spark.read.parquet(*paths).select("doc_id")
+
+
 def commit_line_counts(
     delta: DataFrame,
     counts_dir: str,
     txn_app: str | None = None,
     txn_batch_id: int | None = None,
+    new_doc_ids: DataFrame | None = None,
+    n_docs_dropped: int = 0,
 ) -> int:
     """Sum-merge a per-line count delta into the committed table as the
     next version; returns the committed version.  One shuffle on the
@@ -103,9 +142,20 @@ def commit_line_counts(
     version = cur + 1
     vdir = storage.join(counts_dir, f"counts_v{version:06d}")
     merged.write.mode("overwrite").parquet(vdir)
+    if new_doc_ids is not None:
+        # the version's contributing doc-id delta; written (and on
+        # crash-replay, overwritten) BEFORE the pointer swap, so
+        # load_seen_doc_ids never reads an uncommitted delta
+        new_doc_ids.select("doc_id").write.mode("overwrite").parquet(
+            storage.join(counts_dir, f"docs_v{version:06d}")
+        )
     storage.write_json_atomic(
         storage.join(counts_dir, f"counts_v{version:06d}.meta.json"),
-        {"txn_app": txn_app, "txn_batch_id": txn_batch_id},
+        {
+            "txn_app": txn_app,
+            "txn_batch_id": txn_batch_id,
+            "n_docs_dropped": n_docs_dropped,
+        },
     )
     storage.swap_latest(counts_dir, cur, version)
     return version
@@ -143,6 +193,29 @@ def run_stream_line_counts(
         latest = docs.groupBy("doc_id").agg(
             F.max_by(F.col("content"), order).alias("text")
         )
+        # contract enforcement: drop documents the committed table has
+        # already counted (additive fold — a re-presented doc would
+        # inflate n_docs permanently).  Micro-batches are bounded, so
+        # the batch ids push down as an IN-filter into the seen-ids
+        # scan (no shuffle); above the cap, distributed anti-join.
+        ids = [r[0] for r in latest.select("doc_id").collect()]
+        n_dropped = 0
+        if state["version"] > 0 and ids:
+            seen = load_seen_doc_ids(spark, counts_dir)
+            if len(ids) <= SEEN_PROBE_CAP:
+                dup = {
+                    r[0]
+                    for r in seen.filter(F.col("doc_id").isin(ids)).collect()
+                }
+                if dup:
+                    n_dropped = len(dup)
+                    latest = latest.filter(~F.col("doc_id").isin(list(dup)))
+            else:
+                latest = latest.join(seen, "doc_id", "left_anti")
+                kept = latest.count()
+                n_dropped = len(ids) - kept
+        if n_dropped == len(ids):
+            return  # whole batch already counted: nothing to fold
         state["version"] = commit_line_counts(
             line_counts(latest),
             counts_dir,
@@ -151,6 +224,8 @@ def run_stream_line_counts(
             # the same (checkpoint, batch_id) and is skipped
             txn_app=checkpoint_dir,
             txn_batch_id=batch_id,
+            new_doc_ids=latest.select("doc_id"),
+            n_docs_dropped=n_dropped,
         )
 
     stream = corpus_change_stream(spark, drop_dir, max_files_per_trigger)
