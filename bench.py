@@ -795,6 +795,153 @@ def run_grep_big(master: str, n_docs: int, words_per_doc: int) -> dict:
         spark.stop()
 
 
+#: n_probe sweep for the ANN recall/latency curve (n_centroids below).
+ANN_PROBE_SWEEP = (1, 2, 4, 8, 16)
+
+
+def run_ann(master: str, sf_dir: str) -> dict:
+    """ANN serving curve: recall@10 and warm latency vs ``n_probe`` for
+    the IVF index, float vs int8 bound-scan variants, against the
+    brute-force cosine ground truth.
+
+    Corpus: the sf embeddings table replicated to ``ANN_VECTOR_TARGET``
+    vectors with DETERMINISTIC hash-derived perturbation.  The noise
+    amplitude (±0.25/component by default, ``SPARK_GRAFT_ANN_NOISE``)
+    is deliberately LARGE — comparable to the data norm — so replica
+    clouds overlap and spill across IVF cells: with tight replicas
+    every query's true top-k lives inside one cell and recall@k is
+    trivially 1.0 at n_probe=1 (observed; useless as a curve).  The
+    resulting corpus is quasi-isotropic — the HARD case for IVF — so
+    these recalls are a lower bound on clustered real-embedding
+    behavior.  Queries are the first ``n_queries`` ORIGINAL vectors
+    under non-colliding external ids, so every variant ranks the same
+    candidate universe.
+
+    Honest-measurement notes: latencies are best-of-2 warm collects in
+    ONE session (relative comparisons, same pages/JIT); recall is
+    exact-set intersection — both sides round cos to 4 decimals and
+    tie-break by id, the engine's own serving contract.  At this corpus
+    size absolute latency is job-overhead-bound; the curve's value is
+    the recall/probe trade-off and the float-vs-int8 delta, with the
+    scan-byte asymmetry (int8 reads ¼ the vector bytes) plan-asserted
+    in test_plans.py rather than re-measured here."""
+    from pyspark.sql import functions as F
+
+    from text_indexer_spark.operators import similarity as sim
+    from text_indexer_spark.session import get_spark
+
+    target = int(os.environ.get("SPARK_GRAFT_ANN_VECTORS", "50000"))
+    noise = float(os.environ.get("SPARK_GRAFT_ANN_NOISE", "2.5e-4"))
+    n_centroids = int(os.environ.get("SPARK_GRAFT_ANN_CENTROIDS", "16"))
+    n_queries = int(os.environ.get("SPARK_GRAFT_ANN_QUERIES", "20"))
+    k = 10
+    spark = get_spark("bench-ann", master=master)
+    idx_dir = tempfile.mkdtemp(prefix="bench_ann_ivf_")
+    try:
+        emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        base_n = emb.count()
+        n_reps = max(1, target // base_n)
+        dim = len(emb.select("embedding").first()[0])
+        t_setup = time.time()
+        rep = spark.range(n_reps).select(F.col("id").alias("rep"))
+        big = (
+            emb.crossJoin(rep)
+            .select(
+                (F.col("vec_id") * n_reps + F.col("rep")).alias("vec_id"),
+                F.transform(
+                    "embedding",
+                    lambda x, i: x
+                    + (
+                        F.pmod(
+                            F.hash(F.col("vec_id"), F.col("rep"), i),
+                            F.lit(2001),
+                        )
+                        - F.lit(1000)
+                    ).cast("double")
+                    * F.lit(noise),
+                ).alias("embedding"),
+            )
+            # the source table is one parquet file → one partition; the
+            # replicated corpus must be spread before anything scans it
+            .repartition(spark.sparkContext.defaultParallelism)
+            .localCheckpoint(eager=True)  # perturbation computed ONCE
+        )
+        n_vectors = big.count()
+        queries = (
+            emb.orderBy("vec_id")
+            .limit(n_queries)
+            .select(
+                (F.col("vec_id") + F.lit(10_000_000)).alias("query_id"),
+                F.col("embedding").alias("query_vec"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        corpus_sec = time.time() - t_setup
+
+        t0 = time.time()
+        truth_df = sim.cosine_topk(big, queries, k=k)
+        truth: dict[int, set] = {}
+        for r in truth_df.collect():
+            truth.setdefault(r["query_id"], set()).add(r["vec_id"])
+        brute_sec = time.time() - t0
+
+        t0 = time.time()
+        sim.ivf_ingest(
+            big, idx_dir, dim=dim, n_centroids=n_centroids, quantize=True
+        )
+        ingest_sec = time.time() - t0
+
+        def timed_recall(fn, n_probe: int) -> tuple[float, float]:
+            best = float("inf")
+            got: dict[int, set] = {}
+            for _ in range(2):
+                t = time.time()
+                rows = fn(
+                    spark, idx_dir, queries, k=k, n_probe=n_probe
+                ).collect()
+                best = min(best, time.time() - t)
+                got = {}
+                for r in rows:
+                    got.setdefault(r["query_id"], set()).add(r["vec_id"])
+            rec = sum(
+                len(got.get(qid, set()) & t) / max(len(t), 1)
+                for qid, t in truth.items()
+            ) / max(len(truth), 1)
+            return round(best, 4), round(rec, 4)
+
+        sweep = []
+        for n_probe in ANN_PROBE_SWEEP:
+            if n_probe > n_centroids:
+                continue
+            sec_f, rec_f = timed_recall(sim.ivf_topk_indexed, n_probe)
+            sec_q, rec_q = timed_recall(sim.ivf_topk_indexed_int8, n_probe)
+            sweep.append(
+                {
+                    "n_probe": n_probe,
+                    "recall_float": rec_f,
+                    "recall_int8": rec_q,
+                    "sec_float": sec_f,
+                    "sec_int8": sec_q,
+                }
+            )
+        return {
+            "n_vectors": n_vectors,
+            "base_vectors": base_n,
+            "dim": dim,
+            "noise_amp": noise * 1000,
+            "n_centroids": n_centroids,
+            "n_queries": n_queries,
+            "k": k,
+            "corpus_sec": round(corpus_sec, 2),
+            "ingest_sec": round(ingest_sec, 2),
+            "brute_force_sec": round(brute_sec, 4),
+            "sweep": sweep,
+        }
+    finally:
+        shutil.rmtree(idx_dir, ignore_errors=True)
+        spark.stop()
+
+
 def _grep_baseline_paragraph(grep: dict, n_docs: int, grep_big: dict | None = None) -> str:
     """BASELINE.md paragraph for the trigram grep segment — reports the
     wall-times honestly (both sides are fixed-job-overhead-bound at
@@ -965,6 +1112,10 @@ def main() -> None:
             sys.argv[i + 1], int(sys.argv[i + 2]), int(sys.argv[i + 3])
         )))
         return
+    if "--ann-once" in sys.argv:
+        i = sys.argv.index("--ann-once")
+        print(json.dumps(run_ann(sys.argv[i + 1], sys.argv[i + 2])))
+        return
     if "--queries-once" in sys.argv:
         i = sys.argv.index("--queries-once")
         print(json.dumps(run_queries(sys.argv[i + 1], sys.argv[i + 2])))
@@ -1045,12 +1196,27 @@ def main() -> None:
              os.environ.get("SPARK_GRAFT_GREP_BIG_WORDS", "1500")],
             dict(os.environ),
         )
+        ann = _json_subprocess(
+            ["--ann-once", f"local[{CPUS}]", SF_DIR], dict(os.environ)
+        )
+        # env-gated XL point on the big-docs crossover curve (~9 GB
+        # distinct content at 1M docs; ingest ~15 min, so off by
+        # default — run with SPARK_GRAFT_GREP_BIG_XL_DOCS=1000000)
+        grep_big_xl = None
+        xl_docs = int(os.environ.get("SPARK_GRAFT_GREP_BIG_XL_DOCS", "0"))
+        if xl_docs:
+            grep_big_xl = _json_subprocess(
+                ["--grep-big-once", f"local[{CPUS}]", str(xl_docs),
+                 os.environ.get("SPARK_GRAFT_GREP_BIG_WORDS", "1500")],
+                dict(os.environ),
+            )
     finally:
         shutil.rmtree(corpus_dir, ignore_errors=True)
     total = time.time() - t_all
 
     grep_xl = grep.get("grep_xl") or {}
     result = {
+        "ann": ann,
         # metric/value/unit describe ONE number honestly: the total
         # bench wall time.  The two headline figures the round is
         # judged on live in their own named keys — ``postings_per_sec``
@@ -1099,6 +1265,10 @@ def main() -> None:
         "grep_big_batch_speedup": grep_big.get("batch", {}).get(
             "speedup_vs_separate_scans"
         ),
+        "grep_big_xl": grep_big_xl,
+        "grep_big_xl_speedup": (grep_big_xl or {}).get("speedup"),
+        "grep_big_xl_docs": (grep_big_xl or {}).get("n_docs"),
+        "grep_big_xl_mb": (grep_big_xl or {}).get("corpus_mb"),
         "per_query_warm_sec": queries["per_query"],
         "per_dsl_query_warm_sec": dsl["per_query"],
         "positional_postings_per_sec": round(build_pos["postings_per_sec"], 1),
@@ -1396,6 +1566,20 @@ def main() -> None:
         "grep_big_docs": result["grep_big_docs"],
         "grep_big_mb": result["grep_big_mb"],
         "grep_big_batch_speedup": result["grep_big_batch_speedup"],
+        "grep_big_xl_speedup": result["grep_big_xl_speedup"],
+        "grep_big_xl_docs": result["grep_big_xl_docs"],
+        "grep_big_xl_mb": result["grep_big_xl_mb"],
+        "ann_n_vectors": ann["n_vectors"],
+        "ann_sweep": [
+            {
+                "np": p["n_probe"],
+                "r_f": p["recall_float"],
+                "r_q": p["recall_int8"],
+                "s_f": p["sec_float"],
+                "s_q": p["sec_int8"],
+            }
+            for p in ann["sweep"]
+        ],
         "cpus": CPUS,
         "replicas": REPLICAS,
         "detail_file": "BENCH/bench_detail.json",
