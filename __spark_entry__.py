@@ -47,10 +47,14 @@ runs inside in-window ``wand_bm25_topk``; ``multimodal_frames`` over
 ``multimodal_meta``; ``tfidf_vectors`` over ``ngram_counts`` +
 ``bm25f_topk`` — the last two displaced by the quantize-rewrite
 re-admits).  They lead the tail order below.  Resulting union
-freshness: 50 r5 + 44 r4 + 19 r3 = 113/113, 94/111 pre-existing gates
-≤1 round stale (two short of the verdict's 96 figure — traded for
-fresh driver rows on the two gates whose quantizer was rewritten this
-round, the same changed-code-first rule the 96 figure came from).
+freshness: 50 r5 + 44 r4 + 19 r3 = 113/113.  Of the 111 pre-existing
+gates, 92 end the round ≤1 round stale (48 in the r5 window + 44
+still r4-green); the 19 two-rounds-stale r3 gates are exactly the
+documented thin variants above.  Four more r3 heads could have been
+fresh instead, but the window follows the changed-code-first rule:
+the 6 gates whose code changed after their r4 row (including the two
+whose quantizer was rewritten this round) outrank unchanged thin
+variants.
 All 113 queries remain oracle-replayed at HEAD in
 ``tests/test_driver_contract.py`` regardless of window position.
 """
@@ -72,11 +76,12 @@ from text_indexer_spark import (
 #: The round-5 window: the first 50 entries land driver rows this
 #: round.  Head = the 14 r2-stale gates (the only ones 3 rounds old),
 #: then the 2 gates NEW in r5 (``bpe_vocab``/``bpe_encode``), then the
-#: 4 r4-green gates whose code changed post-row in commit 2ffdaf2
-#: (trigram gram-concat + batch-grep localization), then 30 r3-window
-#: family heads.  Entries past position 50 pin the tail order: the 17
-#: excluded r3 thin variants first (see module docstring for the
-#: per-gate accounting), then the r4-green gates.
+#: 6 r4-green gates whose code changed post-row (commit 2ffdaf2:
+#: trigram gram-concat + batch-grep localization; this round: the
+#: quantize_int8 staging rewrite), then 28 r3-window family heads.
+#: Entries past position 50 pin the tail order: the 19 excluded r3
+#: thin variants first (see module docstring for the per-gate
+#: accounting), then the r4-green gates.
 _R5_PRIORITY = [
     # -- 14 r2-stale (last driver row: r2) --
     "term_expansion",

@@ -1530,6 +1530,19 @@ def main() -> None:
                     + tail_block)
         with open(baseline_path, "w") as f:
             f.write(text)
+        # The non-scaling sections (query latency, positional A/B, grep
+        # crossover) were ALSO freshly measured by this run but must not
+        # clobber BASELINE.md's hand-curated prose — park them in a
+        # sidecar so the measurement isn't thrown away and a curator can
+        # diff/merge the numbers by hand.
+        with open(os.path.join("BENCH", "scaling_run_sections.md"), "w") as f:
+            f.write(
+                "# Auto-generated sections from the latest --scaling run\n\n"
+                "(BENCH/BASELINE.md keeps the hand-curated versions of "
+                "these paragraphs; this sidecar preserves the fresh "
+                "numbers from the same run that produced the scaling "
+                "block, for manual merging.)\n\n" + tail_block
+            )
         for b in best.values():
             shutil.rmtree(b["index_dir"], ignore_errors=True)
         shutil.rmtree(scorpus, ignore_errors=True)

@@ -700,3 +700,68 @@ def test_trigram_stream_maintenance_replay_is_effect_idempotent(spark, tmp_path)
         for r in read_committed_trigrams(spark, tri).collect()
     )
     assert twice == once  # ...but served grams are unchanged
+
+
+def test_line_count_all_dropped_batch_leaves_marker(spark, tmp_path, monkeypatch):
+    """The LARGEST contract violation (an entire micro-batch of
+    already-counted docs) must not be the one that leaves no trace:
+    no version is committed, but a batch-keyed ``dropped_b*.json``
+    marker records the drop.  Run with ``SEEN_PROBE_CAP`` forced to 0
+    so the same scenario also exercises the distributed anti-join
+    membership path (no driver id collect)."""
+    import glob
+    import json
+
+    from text_indexer_spark.streaming import linecount_stream as lcs
+
+    monkeypatch.setattr(lcs, "SEEN_PROBE_CAP", 0)
+
+    schema = (
+        "repo string, path string, commit string, lang string, "
+        "content string, event_time timestamp, deleted boolean"
+    )
+    counts_dir = str(tmp_path / "counts")
+    os.makedirs(counts_dir)
+    drop = str(tmp_path / "drops")
+    os.makedirs(drop)
+    spark.createDataFrame(
+        [
+            ("r1", "a.txt", "c1", "txt", "shared line\nalpha only", None, False),
+            ("r1", "b.txt", "c1", "txt", "shared line\nbeta only", None, False),
+        ],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(drop)
+    q, ver = lcs.run_stream_line_counts(
+        spark, drop, str(tmp_path / "ck1"), counts_dir
+    )
+    q.awaitTermination(120)
+    assert ver() == 1
+
+    # batch 2 re-presents BOTH docs (one verbatim, one updated): every
+    # doc drops, nothing folds
+    spark.createDataFrame(
+        [
+            ("r1", "a.txt", "c1", "txt", "shared line\nalpha only", None, False),
+            ("r1", "b.txt", "c2", "txt", "shared line\nrewritten", None, False),
+        ],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(drop)
+    q2, ver2 = lcs.run_stream_line_counts(
+        spark, drop, str(tmp_path / "ck1"), counts_dir
+    )
+    q2.awaitTermination(120)
+    assert ver2() == 1  # no version burned for a no-op fold
+    assert lcs.load_line_counts_version(counts_dir) == 1
+    got = {
+        (r["line"], r["n_docs"])
+        for r in lcs.load_line_counts(spark, counts_dir).collect()
+    }
+    assert got == {
+        ("shared line", 2),
+        ("alpha only", 1),
+        ("beta only", 1),
+    }
+    markers = sorted(glob.glob(os.path.join(counts_dir, "dropped_b*.json")))
+    assert len(markers) == 1
+    with open(markers[0]) as f:
+        assert json.load(f)["n_docs_dropped"] == 2

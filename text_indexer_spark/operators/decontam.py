@@ -229,9 +229,16 @@ def choose_tier(
     max_broadcast_grams: int = DEFAULT_BROADCAST_GRAM_CAP,
 ) -> str:
     """``"exact"`` while the distinct eval-gram set is comfortably
-    broadcastable, else ``"bloom"``.  The probe is a capped count — it
-    stops scanning at ``cap + 1`` rows, so an enormous eval suite never
-    pays a full count just to learn it is enormous."""
+    broadcastable, else ``"bloom"``.  The probe costs one
+    distinct-aggregation pass over the EVAL SUITE (``eval_ngrams``
+    ends in ``distinct()``, and Spark cannot push a limit through an
+    Aggregate — the ``limit`` here bounds only the rows surfaced to
+    the count, not the aggregation).  That is acceptable by
+    construction: the eval suite is orders of magnitude smaller than
+    the corpus whose join plan the answer decides, and whichever tier
+    is chosen re-aggregates the same gram set anyway (the exact tier
+    broadcasts it, the bloom tier folds it into the filter), so the
+    probe duplicates a small pass rather than adding a new one."""
     probe = eval_grams.limit(max_broadcast_grams + 1).count()
     return "exact" if probe <= max_broadcast_grams else "bloom"
 

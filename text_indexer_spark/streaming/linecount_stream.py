@@ -15,7 +15,9 @@ not assumed: every committed version also records its contributing
 ``doc_id`` delta (``docs_v<N>``), and each micro-batch drops documents
 whose id the table has already counted (first-seen content wins; the
 drop count is recorded in the version's meta as ``n_docs_dropped`` so
-violations are observable, not silent).  The membership probe follows
+violations are observable, not silent; a batch dropped WHOLE commits
+no version and instead leaves a batch-keyed ``dropped_b<id>.json``
+marker, so even the largest possible violation leaves a trace).  The membership probe follows
 the id-pushdown discipline: the batch's bounded id list is pushed as
 an IN-filter into the seen-ids scan (no shuffle); above
 ``SEEN_PROBE_CAP`` ids it falls back to a distributed left-anti join.
@@ -190,19 +192,27 @@ def run_stream_line_counts(
             if "event_time" in batch_df.columns
             else F.monotonically_increasing_id()
         )
+        # materialize the collapse ONCE: the batch result feeds up to
+        # three downstream jobs (membership probe, per-line counts,
+        # docs_v delta) and the no-event_time ordering expression
+        # (monotonically_increasing_id) must not re-evaluate per job
         latest = docs.groupBy("doc_id").agg(
             F.max_by(F.col("content"), order).alias("text")
-        )
+        ).localCheckpoint()
+        n_batch = latest.count()
         # contract enforcement: drop documents the committed table has
         # already counted (additive fold — a re-presented doc would
-        # inflate n_docs permanently).  Micro-batches are bounded, so
-        # the batch ids push down as an IN-filter into the seen-ids
-        # scan (no shuffle); above the cap, distributed anti-join.
-        ids = [r[0] for r in latest.select("doc_id").collect()]
+        # inflate n_docs permanently).  The batch size is COUNTED
+        # before anything reaches the driver: only a batch under
+        # ``SEEN_PROBE_CAP`` collects its ids for the IN-pushdown probe
+        # into the seen-ids scan (no shuffle); above the cap, a
+        # distributed anti-join — the driver never materializes an
+        # unbounded id list.
         n_dropped = 0
-        if state["version"] > 0 and ids:
+        if state["version"] > 0 and n_batch:
             seen = load_seen_doc_ids(spark, counts_dir)
-            if len(ids) <= SEEN_PROBE_CAP:
+            if n_batch <= SEEN_PROBE_CAP:
+                ids = [r[0] for r in latest.select("doc_id").collect()]
                 dup = {
                     r[0]
                     for r in seen.filter(F.col("doc_id").isin(ids)).collect()
@@ -211,11 +221,24 @@ def run_stream_line_counts(
                     n_dropped = len(dup)
                     latest = latest.filter(~F.col("doc_id").isin(list(dup)))
             else:
-                latest = latest.join(seen, "doc_id", "left_anti")
-                kept = latest.count()
-                n_dropped = len(ids) - kept
-        if n_dropped == len(ids):
-            return  # whole batch already counted: nothing to fold
+                latest = latest.join(
+                    seen, "doc_id", "left_anti"
+                ).localCheckpoint()
+                n_dropped = n_batch - latest.count()
+        if n_dropped == n_batch:
+            # whole batch already counted: nothing to fold, but the
+            # LARGEST contract violation must not be the one that
+            # leaves no trace — record it under a batch-keyed marker
+            # (deterministic name → overwrite-idempotent under replay)
+            from text_indexer_spark import storage
+
+            storage.write_json_atomic(
+                storage.join(
+                    counts_dir, f"dropped_b{batch_id:012d}.json"
+                ),
+                {"txn_app": checkpoint_dir, "n_docs_dropped": n_dropped},
+            )
+            return
         state["version"] = commit_line_counts(
             line_counts(latest),
             counts_dir,
