@@ -1448,8 +1448,15 @@ def main() -> None:
                 "executor count; north-rule clusters add disks as they add "
                 "executors). Neither is a property of the plan: no stage has "
                 "a global barrier, no driver-side per-doc work exists, and "
-                "shard count is a free parameter. The 8→32 pair is reported "
-                "for completeness but is hardware-capped on this single-"
+                "shard count is a free parameter. "
+                + (
+                    "The 8→32 pair is reported for completeness but is "
+                    if 32 in configs
+                    else "An 8→32 pair is deliberately excluded from the "
+                         "reported pairs (it was measured in an earlier "
+                         "committed run) because it is "
+                )
+                + "hardware-capped on this single-"
                 "socket VM: the kernel-ceiling probe below shows the SAME "
                 "numpy/Arrow kernels in plain OS processes (no Spark at all) "
                 "collapse past ~16 concurrent workers, so no plan could "
