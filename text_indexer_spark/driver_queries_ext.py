@@ -776,6 +776,20 @@ FROM pt JOIN v USING (term) GROUP BY doc_id
 #: unrolled oracle stays ~12 CTE blocks.
 BPE_MERGES = 12
 
+#: Trained merge sequences per sf_dir — the vocab and encode gates
+#: train on the same corpus, so the second gate reuses the first's
+#: 12-round training run (the _WAND_INDEX_CACHE discipline).
+_BPE_MERGES_CACHE: dict[str, list] = {}
+
+
+def _trained_bpe_merges(spark: SparkSession, sf_dir: str) -> list:
+    if sf_dir not in _BPE_MERGES_CACHE:
+        from text_indexer_spark.operators import bpe
+
+        docs = load_table(spark, sf_dir, "documents")
+        _BPE_MERGES_CACHE[sf_dir] = bpe.train_bpe(docs, n_merges=BPE_MERGES)
+    return _BPE_MERGES_CACHE[sf_dir]
+
 
 def _bpe_cte(n_merges: int) -> str:
     """The DuckDB twin of ``bpe.train_bpe``: the merge loop UNROLLED as
@@ -842,9 +856,7 @@ def q_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokenizes to whole words, library/.../DocumentTokenizer.kt)."""
     from text_indexer_spark.operators import bpe
 
-    docs = load_table(spark, sf_dir, "documents")
-    merges = bpe.train_bpe(docs, n_merges=BPE_MERGES)
-    return bpe.merges_table(spark, merges)
+    return bpe.merges_table(spark, _trained_bpe_merges(spark, sf_dir))
 
 
 def sql_bpe_vocab() -> str:
@@ -858,18 +870,19 @@ def sql_bpe_vocab() -> str:
 def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Every document encoded to its BPE piece sequence under the
     merges trained on the same corpus — train + encode end-to-end.
-    The md5 of the 0x1f-joined pieces pins piece identity AND order;
-    docs with zero tokens are dropped on both sides (inner-join
-    encode semantics)."""
+    The md5 of the length-prefixed 0x1f-joined pieces pins piece
+    identity AND order for any token content (a bare join would be
+    ambiguous for tokens containing 0x1f, which the tokenizer does
+    not strip); docs with zero tokens are dropped on both sides
+    (inner-join encode semantics)."""
     from text_indexer_spark.operators import bpe
 
     docs = load_table(spark, sf_dir, "documents")
-    merges = bpe.train_bpe(docs, n_merges=BPE_MERGES)
-    enc = bpe.encode_docs_bpe(docs, merges)
+    enc = bpe.encode_docs_bpe(docs, _trained_bpe_merges(spark, sf_dir))
     return enc.select(
         "doc_id",
         "n_pieces",
-        F.md5(F.array_join("pieces", bpe.PIECE_SEP)).alias("pieces_md5"),
+        bpe.pieces_digest_column(F.col("pieces")).alias("pieces_md5"),
     )
 
 
@@ -883,7 +896,7 @@ occ AS (
         FROM (SELECT doc_id, {toks} AS t FROM documents)))
 SELECT o.doc_id,
        sum(len(w.syms))::BIGINT AS n_pieces,
-       md5(string_agg(array_to_string(w.syms, chr(31)), chr(31) ORDER BY o.pos)) AS pieces_md5
+       md5(string_agg(array_to_string(list_transform(w.syms, s -> length(s) || ':' || s), chr(31)), chr(31) ORDER BY o.pos)) AS pieces_md5
 FROM occ o JOIN words_{BPE_MERGES} w ON w.word = o.term
 GROUP BY o.doc_id
 """

@@ -44,10 +44,29 @@ from pyspark.sql import functions as F
 
 from text_indexer_spark.tokenizer import tokenize_column
 
-#: Piece-list join separator for hashing — a control char the
-#: tokenizer can never emit (its delimiter class strips whitespace
-#: only, but no natural token contains 0x1f).
+#: Piece-list join separator for hashing.  The tokenizer's delimiter
+#: class does NOT strip 0x1f, so a pathological token CAN contain the
+#: separator — hash consumers must length-prefix each piece (see
+#: ``pieces_digest_column``) rather than rely on the separator alone;
+#: a bare join would make ``["ab"]`` and ``["a","b"]`` collide for
+#: such tokens.
 PIECE_SEP = "\x1f"
+
+
+def pieces_digest_column(pieces: Column) -> Column:
+    """md5 over the length-prefixed, 0x1f-joined piece list — injective
+    for ANY piece content (the ``len:`` prefix disambiguates even
+    pieces that contain the separator), so a hash match pins piece
+    identity AND order with no token-content caveat."""
+    return F.md5(
+        F.array_join(
+            F.transform(
+                pieces,
+                lambda p: F.concat(F.length(p), F.lit(":"), p),
+            ),
+            PIECE_SEP,
+        )
+    )
 
 
 def _apply_merge(syms: Column, lhs: str, rhs: str) -> Column:
@@ -94,7 +113,12 @@ def train_bpe(
     """
     if n_merges < 1:
         raise ValueError("n_merges must be >= 1")
-    words = word_frequency(docs, text_col)
+    # materialize the distinct-word base ONCE: without this the first
+    # checkpoint_every rounds' argmax jobs each re-run the full corpus
+    # tokenize+explode+groupBy (Spark does not reuse shuffle stages
+    # across actions) — the "corpus is reduced once" contract above
+    # requires the base's lineage to be cut here, not at round 4
+    words = word_frequency(docs, text_col).localCheckpoint(eager=True)
     merges: list[tuple[str, str]] = []
     for r in range(n_merges):
         best = (

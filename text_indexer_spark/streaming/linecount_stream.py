@@ -16,8 +16,10 @@ not assumed: every committed version also records its contributing
 whose id the table has already counted (first-seen content wins; the
 drop count is recorded in the version's meta as ``n_docs_dropped`` so
 violations are observable, not silent; a batch dropped WHOLE commits
-no version and instead leaves a batch-keyed ``dropped_b<id>.json``
-marker, so even the largest possible violation leaves a trace).  The membership probe follows
+no version and instead leaves an (app, batch)-keyed
+``dropped_b<id>_<apphash>.json`` marker, so even the largest possible
+violation leaves a trace — and a rerun under a fresh checkpoint
+cannot overwrite the original app's record).  The membership probe follows
 the id-pushdown discipline: the batch's bounded id list is pushed as
 an IN-filter into the seen-ids scan (no shuffle); above
 ``SEEN_PROBE_CAP`` ids it falls back to a distributed left-anti join.
@@ -228,13 +230,21 @@ def run_stream_line_counts(
         if n_dropped == n_batch:
             # whole batch already counted: nothing to fold, but the
             # LARGEST contract violation must not be the one that
-            # leaves no trace — record it under a batch-keyed marker
-            # (deterministic name → overwrite-idempotent under replay)
+            # leaves no trace — record it under an (app, batch)-keyed
+            # marker: deterministic per app → overwrite-idempotent
+            # under replay of the SAME app, while two apps (distinct
+            # checkpoints, e.g. a checkpoint-loss rerun) sharing one
+            # counts_dir cannot clobber each other's trace
+            import hashlib
+
             from text_indexer_spark import storage
 
+            app_h = hashlib.sha256(
+                checkpoint_dir.encode("utf-8")
+            ).hexdigest()[:12]
             storage.write_json_atomic(
                 storage.join(
-                    counts_dir, f"dropped_b{batch_id:012d}.json"
+                    counts_dir, f"dropped_b{batch_id:012d}_{app_h}.json"
                 ),
                 {"txn_app": checkpoint_dir, "n_docs_dropped": n_dropped},
             )
