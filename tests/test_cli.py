@@ -417,3 +417,52 @@ def test_cli_ann_lifecycle(spark, tmp_path, capsys):
     # exactly one of --queries / --query-ids
     with pytest.raises(SystemExit):
         cli.main(["ann-query", "--index", idx])
+
+
+def test_cli_bpe_train_encode(spark, tmp_path, capsys):
+    """bpe-train persists the rank-ordered merge list; bpe-encode
+    replays it over a corpus — lifecycle wiring ≡ the library calls
+    (the library itself is oracle-verified in test_bpe / the driver
+    gates)."""
+    from text_indexer_spark.operators import bpe
+
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(1, "low low lower lowest"), (2, "new newer newest low")],
+        "doc_id long, text string",
+    ).write.parquet(src)
+
+    vocab = str(tmp_path / "vocab")
+    rc = cli.main(["--master", "local[4]", "bpe-train", "--corpus", src,
+                   "--vocab", vocab, "--merges", "6"])
+    assert rc == 0
+    meta = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert meta["n_merges_learned"] == 6
+    persisted = json.load(open(os.path.join(vocab, "merges.json")))
+    lib_merges = bpe.train_bpe(
+        spark.read.parquet(src), n_merges=6
+    )
+    assert [tuple(m) for m in persisted["merges"]] == lib_merges
+
+    out = str(tmp_path / "enc")
+    rc = cli.main(["--master", "local[4]", "bpe-encode", "--corpus", src,
+                   "--vocab", vocab, "--out", out])
+    assert rc == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["n_docs"] == 2 and stats["n_merges"] == 6
+    got = {
+        r["doc_id"]: r["pieces"]
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        r["doc_id"]: r["pieces"]
+        for r in bpe.encode_docs_bpe(
+            spark.read.parquet(src), lib_merges
+        ).collect()
+    }
+    assert got == want
+
+    # missing vocab dir fails loudly, not with an empty encode
+    with pytest.raises(SystemExit):
+        cli.main(["--master", "local[4]", "bpe-encode", "--corpus", src,
+                  "--vocab", str(tmp_path / "nope"), "--out", out])

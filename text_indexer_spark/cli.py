@@ -557,6 +557,66 @@ def cmd_vacuum(args) -> int:
     return 0
 
 
+def cmd_bpe_train(args) -> int:
+    """Train a BPE subword vocabulary on a corpus and persist it as a
+    rank-ordered merge list (``merges.json``) — the artifact
+    ``bpe-encode`` (and any external tokenizer consumer) replays.
+    Training is the distributed loop in ``operators/bpe.py``: one
+    corpus reduction to the distinct-word relation, then one
+    pair-count shuffle + 1-row argmax per merge round."""
+    from text_indexer_spark import storage
+    from text_indexer_spark.operators import bpe
+
+    spark = _spark(args)
+    docs = spark.read.parquet(args.corpus)
+    merges = bpe.train_bpe(docs, n_merges=args.merges, text_col=args.text_col)
+    storage.makedirs(args.vocab)
+    storage.write_json_atomic(
+        storage.join(args.vocab, "merges.json"),
+        {
+            "merges": [[a, b] for a, b in merges],
+            "n_merges_requested": args.merges,
+            "text_col": args.text_col,
+        },
+    )
+    print(json.dumps({
+        "vocab": args.vocab, "n_merges_learned": len(merges),
+        "n_merges_requested": args.merges,
+    }))
+    return 0
+
+
+def cmd_bpe_encode(args) -> int:
+    """Encode every document to its BPE piece sequence under a
+    persisted vocabulary (``bpe-train`` output) and write the encoded
+    parquet ``(doc_id, n_pieces, pieces)``. Encoding folds each
+    DISTINCT word once and joins back to occurrences — see
+    ``bpe.encode_docs_bpe`` for the scale shape."""
+    from text_indexer_spark import storage
+    from text_indexer_spark.operators import bpe
+
+    spark = _spark(args)
+    meta = storage.read_json(storage.join(args.vocab, "merges.json"))
+    if meta is None:
+        raise SystemExit(f"bpe-encode: no merges.json under {args.vocab}")
+    merges = [(a, b) for a, b in meta["merges"]]
+    docs = spark.read.parquet(args.corpus)
+    enc = bpe.encode_docs_bpe(
+        docs, merges, text_col=args.text_col, id_col=args.id_col
+    )
+    enc.write.mode("overwrite").parquet(args.out)
+    from pyspark.sql import functions as F
+
+    stats = spark.read.parquet(args.out).agg(
+        F.count("*").alias("docs"), F.sum("n_pieces").alias("pieces")
+    ).collect()[0]
+    print(json.dumps({
+        "out": args.out, "n_docs": stats["docs"],
+        "n_pieces": stats["pieces"], "n_merges": len(merges),
+    }))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="text-indexer-spark")
     p.add_argument("--master", default=None, help="Spark master (default: env/local)")
@@ -733,6 +793,25 @@ def main(argv: list[str] | None = None) -> int:
     gc.add_argument("--tri-index", required=True)
     gc.add_argument("--partitions", type=int, default=None)
     gc.set_defaults(fn=cmd_grep_compact)
+
+    bt = sub.add_parser(
+        "bpe-train", help="learn a BPE subword vocabulary (merge list)"
+    )
+    bt.add_argument("--corpus", required=True)
+    bt.add_argument("--vocab", required=True, help="output vocabulary dir")
+    bt.add_argument("--merges", type=int, default=64)
+    bt.add_argument("--text-col", default="text")
+    bt.set_defaults(fn=cmd_bpe_train)
+
+    be = sub.add_parser(
+        "bpe-encode", help="encode docs to BPE pieces under a trained vocab"
+    )
+    be.add_argument("--corpus", required=True)
+    be.add_argument("--vocab", required=True, help="bpe-train output dir")
+    be.add_argument("--out", required=True)
+    be.add_argument("--text-col", default="text")
+    be.add_argument("--id-col", default="doc_id")
+    be.set_defaults(fn=cmd_bpe_encode)
 
     v = sub.add_parser(
         "vacuum", help="delete all but the newest N committed index versions"
