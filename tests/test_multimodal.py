@@ -25,6 +25,7 @@ from text_indexer_spark.operators.multimodal import (
     encode_y4m,
     frame_sample,
     image_dims,
+    resize_images,
     synthesize_media,
     video_dims,
 )
@@ -234,3 +235,89 @@ def test_frame_sample(media):
             assert sorted(idxs) == exp
         else:
             assert idxs == [0]
+
+
+# ------------------------------------------------------------------ resize
+
+def _nn_oracle(px: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Independent per-pixel nearest-neighbor reference: explicit Python
+    loop over destination pixels, pixel-center convention."""
+    h, w = px.shape[0], px.shape[1]
+    out = np.empty((out_h, out_w, 3), dtype=np.uint8)
+    for y in range(out_h):
+        sy = min(int((y + 0.5) * h / out_h), h - 1)
+        for x in range(out_w):
+            sx = min(int((x + 0.5) * w / out_w), w - 1)
+            out[y, x] = px[sy, sx]
+    return out
+
+
+def test_resize_exact_nearest_neighbor(spark):
+    rng = np.random.RandomState(11)
+    px = rng.randint(0, 256, size=(5, 7, 3), dtype=np.uint8)
+    src = spark.createDataFrame(
+        [(1, bytearray(encode_bmp(7, 5, px)))], "media_id long, payload binary"
+    )
+    for out_w, out_h in [(3, 4), (10, 9), (1, 1), (7, 5)]:
+        row = resize_images(src, out_w, out_h).collect()[0]
+        assert (row["kind"], row["resized"]) == ("image", True)
+        assert (row["width"], row["height"]) == (out_w, out_h)
+        w2, h2, px2 = decode_bmp(bytes(row["payload"]))
+        assert (w2, h2) == (out_w, out_h)
+        assert np.array_equal(px2, _nn_oracle(px, out_w, out_h))
+        assert row["n_bytes"] == len(row["payload"])
+
+
+def test_resize_identity_is_byte_lossless(spark):
+    px = np.arange(4 * 6 * 3, dtype=np.uint8).reshape(4, 6, 3)
+    buf = encode_bmp(6, 4, px)
+    src = spark.createDataFrame(
+        [(7, bytearray(buf))], "media_id long, payload binary"
+    )
+    row = resize_images(src, 6, 4).collect()[0]
+    # same dims → NN maps i→i → re-encode reproduces the exact bytes
+    assert bytes(row["payload"]) == buf and row["resized"]
+
+
+def test_resize_passthrough_non_images(media):
+    out = {r["media_id"]: r for r in resize_images(media, 4, 4).collect()}
+    src = {r["media_id"]: r for r in media.collect()}
+    assert set(out) == set(src)
+    for mid, r in out.items():
+        assert r["kind"] == src[mid]["kind"]
+        if r["kind"] == "image":
+            assert r["resized"] and (r["width"], r["height"]) == (4, 4)
+        else:
+            # audio/video pass through byte-identical, dims NULL
+            assert not r["resized"]
+            assert bytes(r["payload"]) == bytes(src[mid]["payload"])
+            assert r["width"] is None and r["height"] is None
+    # downstream composition: decode_media over the resized table sees
+    # the new dimensions and still content-true features
+    dec = {
+        r["media_id"]: r
+        for r in decode_media(resize_images(media, 4, 4)).collect()
+    }
+    for mid, r in dec.items():
+        if r["kind"] == "image":
+            assert (r["width"], r["height"]) == (4, 4)
+
+
+def test_resize_corrupt_image_strict_vs_tolerant(spark):
+    bad = spark.createDataFrame(
+        [(1, bytearray(b"BM" + b"\x00" * 10)),   # image magic, truncated
+         (2, bytearray(b"not media at all"))],   # no known magic
+        "media_id long, payload binary",
+    )
+    with pytest.raises(Exception, match="(struct|BMP|unpack|payload)"):
+        resize_images(bad, 3, 3, strict=True).collect()
+    rows = {r["media_id"]: r for r in resize_images(bad, 3, 3, strict=False).collect()}
+    assert rows[1]["kind"] == "image" and not rows[1]["resized"]
+    assert bytes(rows[1]["payload"]) == b"BM" + b"\x00" * 10  # untouched
+    # garbage is never an error — unknown kind, clean pass-through
+    assert rows[2]["kind"] == "unknown" and not rows[2]["resized"]
+
+
+def test_resize_rejects_degenerate_target(media):
+    with pytest.raises(ValueError, match=">= 1"):
+        resize_images(media, 0, 4)
