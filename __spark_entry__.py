@@ -16,9 +16,11 @@ retires all remaining staleness debt in priority order:
   ``decoded_positions``, ``sample_hash``, ``sample_stratified``,
   ``split_hash``, ``search_and_empty``, ``quality_kept_corpus``,
   ``dedup_kept_corpus``, ``ann_ivf_full_probe``;
-* the 2 gates NEW in r5 (``bpe_vocab``/``bpe_encode`` — distributed
+* the 3 gates NEW in r5 (``bpe_vocab``/``bpe_encode`` — distributed
   byte-pair-encoding subword trainer + encoder, oracle replaying the
-  full merge sequence);
+  full merge sequence; ``span_dedup_kept`` — exact repeated-substring
+  span dedup, Lee et al. 2021's ExactSubstr rule, oracle replaying
+  window → count → covered-position union → reassembly in SQL);
 * the 6 r4-green gates whose CODE changed after their r4 row (commit
   2ffdaf2: batch-grep localization keeps the corpus id type and always
   localizes under a blown id-cap; the trigram gram concat is derived
@@ -27,7 +29,7 @@ retires all remaining staleness debt in priority order:
   differential): ``trigram_postings``, ``trigram_sync_postings``,
   ``regex_grep_batch``, ``regex_grep_pushdown``, ``ann_int8_topk``,
   ``ann_ivf_int8_full_probe``;
-* 28 of the 47 r3-window gates (2 rounds stale by now) — the WAND /
+* 27 of the 47 r3-window gates (2 rounds stale by now) — the WAND /
   serving / boolean / DSL / fuzzy / hygiene / multimodal / code-search
   family heads.
 
@@ -46,15 +48,17 @@ over ``lang_id`` (r4-green); ``tokenize_postings``, whose full build
 runs inside in-window ``wand_bm25_topk``; ``multimodal_frames`` over
 ``multimodal_meta``; ``tfidf_vectors`` over ``ngram_counts`` +
 ``bm25f_topk`` — the last two displaced by the quantize-rewrite
-re-admits).  They lead the tail order below.  Resulting union
-freshness: 50 r5 + 44 r4 + 19 r3 = 113/113.  Of the 111 pre-existing
-gates, 92 end the round ≤1 round stale (48 in the r5 window + 44
-still r4-green); the 19 two-rounds-stale r3 gates are exactly the
-documented thin variants above.  Four more r3 heads could have been
-fresh instead, but the window follows the changed-code-first rule:
-the 6 gates whose code changed after their r4 row (including the two
-whose quantizer was rewritten this round) outrank unchanged thin
-variants.
+re-admits; ``search_symbol`` over in-window ``symbol_postings``,
+displaced by the span-dedup admit).  They lead the tail order below.
+Resulting union freshness: 50 r5 + 44 r4 + 20 r3 = 114/114.  Of the
+111 pre-existing gates, 91 end the round ≤1 round stale (47 in the r5
+window + 44 still r4-green); the 20 two-rounds-stale r3 gates are
+exactly the documented thin variants above.  A few more r3 heads
+could have been fresh instead, but the window follows the
+changed-code-first / new-operator-first rule: gates whose code
+changed after their r4 row (including the two whose quantizer was
+rewritten this round) and the three operators new this round outrank
+unchanged thin variants.
 All 113 queries remain oracle-replayed at HEAD in
 ``tests/test_driver_contract.py`` regardless of window position.
 """
@@ -98,9 +102,11 @@ _R5_PRIORITY = [
     "quality_kept_corpus",
     "dedup_kept_corpus",
     "ann_ivf_full_probe",
-    # -- 2 NEW in r5: distributed BPE trainer + encoder --
+    # -- 3 NEW in r5: distributed BPE trainer + encoder; exact
+    #    repeated-substring span dedup (Lee et al. ExactSubstr) --
     "bpe_vocab",
     "bpe_encode",
+    "span_dedup_kept",
     # -- 6 r4 gates whose code changed after their r4 row (2ffdaf2:
     #    trigram gram concat + batch-grep localization; r5: the
     #    quantize_int8 expression-staging rewrite) --
@@ -138,10 +144,11 @@ _R5_PRIORITY = [
     "substring_search",
     "grep_lines",
     "symbol_postings",
-    "search_symbol",
     # ---- tail (positions 51+): pins the next rotation order ----
-    # 19 excluded r3 thin variants (multimodal_frames/tfidf_vectors
-    # displaced by the two quantize-rewrite re-admits)
+    # 20 excluded r3 thin variants (multimodal_frames/tfidf_vectors
+    # displaced by the two quantize-rewrite re-admits; search_symbol
+    # by the span-dedup admit — its head symbol_postings is in-window)
+    "search_symbol",
     "multimodal_frames",
     "tfidf_vectors",
     "wand_bm25_topk_or",

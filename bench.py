@@ -5,7 +5,7 @@ Default mode: runs the headline pipeline at ``$SPARK_GRAFT_SF_DIR``
 (default /root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints
 ONE JSON line::
 
-    {"metric": "index_build_postings_per_sec", "value": <sec>,
+    {"metric": "bench_total_wall", "value": <total wall sec>,
      "unit": "sec", "queries": {...}, "sf": 0.1,
      "postings_per_sec": ..., "query_p95_sec": ...}
 

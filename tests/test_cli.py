@@ -354,6 +354,34 @@ def test_cli_dedup_lines(spark, tmp_path, capsys):
     assert kept == {1: "keep me one", 2: "keep me two"}
 
 
+def test_cli_dedup_spans(spark, tmp_path, capsys):
+    boiler = "one two three four five six seven eight"
+    src = str(tmp_path / "spansrc")
+    spark.createDataFrame(
+        [
+            (1, boiler + " unique tail here"),
+            (2, "other head words " + boiler),
+            (3, boiler),  # nothing but the repeated span -> dropped
+        ],
+        "doc_id long, text string",
+    ).write.parquet(src)
+    out = str(tmp_path / "spanout")
+    rc = cli.main([
+        "--master", "local[4]", "dedup-spans", "--corpus", src,
+        "--out", out, "--n", "8",
+    ])
+    assert rc == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats == {
+        "rows_in": 3, "rows_kept": 2, "rows_dropped": 1,
+        "tokens_total": 30, "tokens_removed": 24,
+    }
+    kept = {
+        r["doc_id"]: r["text"] for r in spark.read.parquet(out).collect()
+    }
+    assert kept == {1: "unique tail here", 2: "other head words"}
+
+
 def test_cli_clean_max_ppl_drops_lm_outlier(spark, tmp_path, capsys):
     base = ("a solid paragraph of reasonable natural language text that "
             "keeps going long enough to clear the quality length gate "

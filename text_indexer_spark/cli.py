@@ -402,6 +402,49 @@ def cmd_dedup_lines(args) -> int:
     return 0
 
 
+def cmd_dedup_spans(args) -> int:
+    """Exact repeated-substring dedup (Lee et al. 2021 ExactSubstr
+    rule): every token covered by an ``--n``-token window occurring
+    ``--min-count`` or more times corpus-wide is removed from every
+    document; survivors reassemble in order, fully-duplicated docs
+    drop (``operators/spandedup.py``).  Output text is the tokenized
+    (lowercased, delimiter-collapsed) rendering — span identity lives
+    at token grain."""
+    from pyspark.sql import functions as F
+
+    from text_indexer_spark.operators import spandedup
+
+    spark = _spark(args)
+    corpus = _grep_docs(spark.read.parquet(args.corpus))
+    n_in = corpus.count()
+    kept = spandedup.dedup_spans(
+        corpus, n=args.n, min_count=args.min_count
+    )
+    kept.write.mode("overwrite").parquet(args.out)
+    n_out = spark.read.parquet(args.out).count()
+    removed = (
+        spandedup.span_dedup_stats(
+            corpus, n=args.n, min_count=args.min_count
+        )
+        .agg(
+            F.sum("n_tokens").alias("t"), F.sum("n_removed").alias("r")
+        )
+        .collect()[0]
+    )
+    print(
+        json.dumps(
+            {
+                "rows_in": n_in,
+                "rows_kept": n_out,
+                "rows_dropped": n_in - n_out,
+                "tokens_total": removed["t"] or 0,
+                "tokens_removed": removed["r"] or 0,
+            }
+        )
+    )
+    return 0
+
+
 def _grep_docs(corpus):
     """Normalize a corpus frame to (doc_id, text): accepts the engine's
     native (doc_id, text) shape or the source-table shape (repo, path,
@@ -750,6 +793,17 @@ def main(argv: list[str] | None = None) -> int:
     dl.add_argument("--out", required=True)
     dl.add_argument("--min-docs", type=int, default=2)
     dl.set_defaults(fn=cmd_dedup_lines)
+
+    ds = sub.add_parser(
+        "dedup-spans",
+        help="remove token spans repeated >=min-count times corpus-wide "
+        "(ExactSubstr rule)",
+    )
+    ds.add_argument("--corpus", required=True)
+    ds.add_argument("--out", required=True)
+    ds.add_argument("--n", type=int, default=50, help="span width in tokens")
+    ds.add_argument("--min-count", type=int, default=2)
+    ds.set_defaults(fn=cmd_dedup_spans)
 
     g = sub.add_parser(
         "grep", help="regex grep (trigram-index accelerated with --tri-index)"

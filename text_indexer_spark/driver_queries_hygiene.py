@@ -422,6 +422,79 @@ def sql_fuzzy_terms2() -> str:
     )
 
 
+# ------------------------------------------------ span (substring) dedup
+# Exact repeated-substring removal (Lee et al. 2021, ExactSubstr) at
+# SPAN_N tokens.  The testdata word soup already repeats short n-grams;
+# a known boilerplate tail appended to every 3rd doc guarantees long
+# cross-doc spans exist at every sf, so the gate exercises both natural
+# and injected duplication.  The oracle replays the full rule in SQL:
+# window → count ≥ 2 → covered-position union → anti-join → reassemble.
+SPAN_N = 8
+SPAN_BOILER = (
+    "all rights reserved contact us for more information "
+    "subscribe to our newsletter today"
+)
+
+
+def _span_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    base = F.coalesce(F.col("text"), F.lit(""))
+    return docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat_ws(" ", base, F.lit(SPAN_BOILER)),
+        ).otherwise(base).alias("text"),
+    )
+
+
+def q_span_dedup_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from text_indexer_spark.operators import spandedup
+
+    docs = _span_docs(spark, sf_dir)
+    stats = spandedup.span_dedup_stats(docs, n=SPAN_N)
+    kept = spandedup.dedup_spans(docs, n=SPAN_N)
+    return stats.join(kept, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        "n_removed",
+        F.md5("text").alias("kept_md5"),
+    )
+
+
+def sql_span_dedup_kept() -> str:
+    n = SPAN_N
+    toks = f"list_filter({duckdb_tokens_sql('text')}, x -> x <> '')"
+    return (
+        "WITH src AS (SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN "
+        f"coalesce(text, '') || ' {SPAN_BOILER}' ELSE coalesce(text, '') "
+        "END AS text FROM documents), "
+        f"tk AS (SELECT doc_id, {toks} AS t FROM src), "
+        f"sh0 AS (SELECT doc_id, t, unnest(CASE WHEN len(t) >= {n} THEN "
+        f"range(1, len(t) - {n} + 2) ELSE []::BIGINT[] END) AS s FROM tk), "
+        "sh AS (SELECT doc_id, s, array_to_string("
+        f"list_slice(t, s, s + {n - 1}), ' ') AS gram FROM sh0), "
+        "dup AS (SELECT gram FROM sh GROUP BY gram "
+        "HAVING count(*) >= 2), "
+        "cov AS (SELECT DISTINCT doc_id, s + o AS pos FROM "
+        f"(SELECT doc_id, s, unnest(range(0, {n})) AS o FROM sh "
+        "WHERE gram IN (SELECT gram FROM dup))), "
+        "tp AS (SELECT doc_id, unnest(t) AS tok, "
+        "unnest(range(1, len(t) + 1)) AS pos FROM tk), "
+        "kept AS (SELECT tp.doc_id, tp.pos, tp.tok FROM tp "
+        "LEFT JOIN cov ON tp.doc_id = cov.doc_id AND tp.pos = cov.pos "
+        "WHERE cov.pos IS NULL), "
+        "ka AS (SELECT doc_id, count(*)::BIGINT AS n_kept, "
+        "md5(string_agg(tok, ' ' ORDER BY pos)) AS kept_md5 "
+        "FROM kept GROUP BY doc_id), "
+        "tot AS (SELECT doc_id, len(t)::BIGINT AS n_tokens FROM tk "
+        "WHERE len(t) > 0) "
+        "SELECT tot.doc_id, tot.n_tokens, "
+        "(tot.n_tokens - ka.n_kept)::BIGINT AS n_removed, ka.kept_md5 "
+        "FROM tot JOIN ka ON tot.doc_id = ka.doc_id"
+    )
+
+
 def q_search_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return fuzzy.fuzzy_conjunctive_match(docs, FUZZY_QUERY)
@@ -448,6 +521,7 @@ def queries():
         "decontam_bloom_kept": q_decontam_bloom,
         "line_dedup_stats": q_line_dedup_stats,
         "line_dedup_kept": q_line_dedup_kept,
+        "span_dedup_kept": q_span_dedup_kept,
         "lm_ppl": q_lm_ppl,
         "repetition_stats": q_repetition,
         "repetition_kept_corpus": q_repetition_kept,
@@ -466,6 +540,7 @@ def oracle_sql():
         "decontam_bloom_kept": sql_decontam_kept(),
         "line_dedup_stats": sql_line_dedup_stats(),
         "line_dedup_kept": sql_line_dedup_kept(),
+        "span_dedup_kept": sql_span_dedup_kept(),
         "lm_ppl": _ufix(sql_lm_ppl()),
         "repetition_stats": sql_repetition(),
         "repetition_kept_corpus": sql_repetition_kept(),
