@@ -419,3 +419,37 @@ def test_lm_scoring_plan_no_cartesian(spark):
     plan = formatted_plan(q)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_span_dedup_shuffle_budget_and_join_shapes(spark):
+    """Span dedup's scale contract: the digest count + semi-join +
+    covered-distinct + token anti-join + doc reassembly bound the
+    exchange count (partial aggregation keeps each at one exchange);
+    the duplicated-digest semi-join must NOT be a broadcast (at web
+    scale that set is tens of GB — AQE may pick one at toy scale, so
+    pin with AQE off); no nested-loop products anywhere."""
+    from text_indexer_spark.operators import spandedup
+
+    docs = spark.createDataFrame(
+        [(i, "all rights reserved contact us for more info today "
+              f"unique{i}") for i in range(6)],
+        "doc_id long, text string",
+    )
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        q = spandedup.dedup_spans(docs, n=8)
+        plan = formatted_plan(q)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert broadcast_join_count(q) == 0
+        # occurrence->count, semi-join, covered distinct, anti-join,
+        # reassembly: five key-exchanges is the whole budget (each agg
+        # is two-phase — partial before its exchange)
+        assert count_exchanges(q) <= 5
+        assert plan.count("SortMergeJoin") >= 2  # semi + anti, shuffled
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
