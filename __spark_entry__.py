@@ -33,7 +33,7 @@ retires all remaining staleness debt in priority order:
   serving / boolean / DSL / fuzzy / hygiene / multimodal / code-search
   family heads.
 
-The 19 r3 gates left out are thin variants whose family head is
+The 20 r3 gates left out are thin variants whose family head is
 in-window and whose code is unchanged since their r3 green row
 (``wand_bm25_topk_or/batch/scoped`` over ``wand_bm25_topk``;
 ``merged_decoded_postings``/``optimized_postings`` over
@@ -59,7 +59,7 @@ changed-code-first / new-operator-first rule: gates whose code
 changed after their r4 row (including the two whose quantizer was
 rewritten this round) and the three operators new this round outrank
 unchanged thin variants.
-All 113 queries remain oracle-replayed at HEAD in
+All 114 queries remain oracle-replayed at HEAD in
 ``tests/test_driver_contract.py`` regardless of window position.
 """
 
@@ -79,11 +79,12 @@ from text_indexer_spark import (
 
 #: The round-5 window: the first 50 entries land driver rows this
 #: round.  Head = the 14 r2-stale gates (the only ones 3 rounds old),
-#: then the 2 gates NEW in r5 (``bpe_vocab``/``bpe_encode``), then the
+#: then the 3 gates NEW in r5 (``bpe_vocab``/``bpe_encode``/
+#: ``span_dedup_kept``), then the
 #: 6 r4-green gates whose code changed post-row (commit 2ffdaf2:
 #: trigram gram-concat + batch-grep localization; this round: the
-#: quantize_int8 staging rewrite), then 28 r3-window family heads.
-#: Entries past position 50 pin the tail order: the 19 excluded r3
+#: quantize_int8 staging rewrite), then 27 r3-window family heads.
+#: Entries past position 50 pin the tail order: the 20 excluded r3
 #: thin variants first (see module docstring for the per-gate
 #: accounting), then the r4-green gates.
 _R5_PRIORITY = [
@@ -116,7 +117,7 @@ _R5_PRIORITY = [
     "regex_grep_pushdown",
     "ann_int8_topk",
     "ann_ivf_int8_full_probe",
-    # -- 28 r3-window family heads (2 rounds stale) --
+    # -- 27 r3-window family heads (2 rounds stale) --
     "wand_bm25_topk",
     "decoded_postings",
     "multimodal_meta",
