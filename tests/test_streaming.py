@@ -765,3 +765,142 @@ def test_line_count_all_dropped_batch_leaves_marker(spark, tmp_path, monkeypatch
     assert len(markers) == 1
     with open(markers[0]) as f:
         assert json.load(f)["n_docs_dropped"] == 2
+
+
+def test_seen_doc_id_compaction_preserves_membership(spark, tmp_path):
+    """compact_seen_doc_ids folds the per-version delta dirs into one
+    consolidated dir behind an atomic floor marker: the seen-id set is
+    unchanged, the per-version dirs are gone, re-compaction is a
+    no-op, later commits stack above the floor and fold in on the
+    next compaction, and the (txn_app, batch_id) replay marker is
+    untouched (compaction neither bumps the version nor rewrites
+    meta)."""
+    from text_indexer_spark.streaming.linecount_stream import (
+        _compaction_floor,
+        commit_line_counts,
+        compact_seen_doc_ids,
+        load_line_counts,
+        load_seen_doc_ids,
+    )
+
+    counts_dir = str(tmp_path / "c")
+    os.makedirs(counts_dir)
+
+    def ids_df(*vals):
+        return spark.createDataFrame([(v,) for v in vals], "doc_id long")
+
+    for b, (line, docs) in enumerate(
+        [("alpha", (1, 2)), ("beta", (3,)), ("gamma", (4, 5))]
+    ):
+        commit_line_counts(
+            spark.createDataFrame(
+                [(line, len(docs))], "line string, n_docs long"
+            ),
+            counts_dir,
+            txn_app="ck",
+            txn_batch_id=b,
+            new_doc_ids=ids_df(*docs),
+        )
+    before = {
+        r["doc_id"] for r in load_seen_doc_ids(spark, counts_dir).collect()
+    }
+    assert before == {1, 2, 3, 4, 5}
+
+    floor = compact_seen_doc_ids(spark, counts_dir)
+    assert floor == 3
+    assert _compaction_floor(counts_dir) == 3
+    for v in range(1, 4):
+        assert not os.path.exists(
+            os.path.join(counts_dir, f"docs_v{v:06d}")
+        )
+    assert os.path.exists(os.path.join(counts_dir, "docs_compact_v000003"))
+    after = {
+        r["doc_id"] for r in load_seen_doc_ids(spark, counts_dir).collect()
+    }
+    assert after == before
+
+    # idempotent: nothing new to fold
+    assert compact_seen_doc_ids(spark, counts_dir) == 3
+
+    # replay detection still works across the compaction: the last
+    # committed (app, batch) is skipped, counts unchanged
+    replay = commit_line_counts(
+        spark.createDataFrame([("gamma", 2)], "line string, n_docs long"),
+        counts_dir,
+        txn_app="ck",
+        txn_batch_id=2,
+        new_doc_ids=ids_df(4, 5),
+    )
+    assert replay == 3  # version NOT advanced
+    got = {
+        (r["line"], r["n_docs"])
+        for r in load_line_counts(spark, counts_dir).collect()
+    }
+    assert got == {("alpha", 2), ("beta", 1), ("gamma", 2)}
+
+    # a post-compaction commit stacks a delta above the floor...
+    commit_line_counts(
+        spark.createDataFrame([("delta", 1)], "line string, n_docs long"),
+        counts_dir,
+        txn_app="ck",
+        txn_batch_id=3,
+        new_doc_ids=ids_df(6),
+    )
+    assert {
+        r["doc_id"] for r in load_seen_doc_ids(spark, counts_dir).collect()
+    } == {1, 2, 3, 4, 5, 6}
+    # ...and the next compaction folds it and sweeps the old compact dir
+    assert compact_seen_doc_ids(spark, counts_dir) == 4
+    assert not os.path.exists(
+        os.path.join(counts_dir, "docs_compact_v000003")
+    )
+    assert not os.path.exists(os.path.join(counts_dir, "docs_v000004"))
+    assert {
+        r["doc_id"] for r in load_seen_doc_ids(spark, counts_dir).collect()
+    } == {1, 2, 3, 4, 5, 6}
+
+
+def test_seen_doc_id_compaction_crash_garbage_is_unreachable(spark, tmp_path):
+    """Crash-after-swap leftovers (stale docs_v dirs at or below the
+    floor) are never read — the floor marker, not directory existence,
+    decides reachability — and the next compaction sweeps them."""
+    from text_indexer_spark.streaming.linecount_stream import (
+        commit_line_counts,
+        compact_seen_doc_ids,
+        load_seen_doc_ids,
+    )
+
+    counts_dir = str(tmp_path / "c")
+    os.makedirs(counts_dir)
+    commit_line_counts(
+        spark.createDataFrame([("alpha", 1)], "line string, n_docs long"),
+        counts_dir,
+        txn_app="ck",
+        txn_batch_id=0,
+        new_doc_ids=spark.createDataFrame([(1,)], "doc_id long"),
+    )
+    assert compact_seen_doc_ids(spark, counts_dir) == 1
+
+    # simulate the crash window: a stale delta dir at v<=floor
+    # reappears (delete failed mid-sweep); its BOGUS id must not leak
+    # into membership
+    spark.createDataFrame([(99,)], "doc_id long").write.parquet(
+        os.path.join(counts_dir, "docs_v000001")
+    )
+    assert {
+        r["doc_id"] for r in load_seen_doc_ids(spark, counts_dir).collect()
+    } == {1}
+
+    # the next compaction (after a real new commit) sweeps the garbage
+    commit_line_counts(
+        spark.createDataFrame([("beta", 1)], "line string, n_docs long"),
+        counts_dir,
+        txn_app="ck",
+        txn_batch_id=1,
+        new_doc_ids=spark.createDataFrame([(2,)], "doc_id long"),
+    )
+    assert compact_seen_doc_ids(spark, counts_dir) == 2
+    assert not os.path.exists(os.path.join(counts_dir, "docs_v000001"))
+    assert {
+        r["doc_id"] for r in load_seen_doc_ids(spark, counts_dir).collect()
+    } == {1, 2}

@@ -78,24 +78,92 @@ def load_line_counts(spark: SparkSession, counts_dir: str) -> DataFrame:
     )
 
 
+def _compaction_floor(counts_dir: str) -> int:
+    """Highest version whose doc-id delta has been folded into a
+    consolidated ``docs_compact_v`` dir (0 = never compacted)."""
+    from text_indexer_spark import storage
+
+    raw = storage.read_bytes(storage.join(counts_dir, "DOCS_COMPACT"))
+    return int(raw.decode().strip()) if raw else 0
+
+
 def load_seen_doc_ids(spark: SparkSession, counts_dir: str) -> DataFrame:
     """Union of every committed version's contributing ``doc_id`` delta
     (empty if none).  Versions committed before the guard existed have
     no ``docs_v`` dir and contribute nothing — their documents could be
     re-presented once; every version since records its delta.  Deltas
-    are one dir per version; compact them into the newest version's dir
-    if version count ever dominates scan setup."""
+    at or below the compaction floor are read from the ONE consolidated
+    ``docs_compact_v`` dir (see :func:`compact_seen_doc_ids`); only
+    versions above the floor contribute a per-version dir, so probe
+    setup cost is O(batches since last compaction), not O(lifetime
+    batches)."""
     from text_indexer_spark import storage
 
     version = load_line_counts_version(counts_dir)
-    paths = [
+    floor = _compaction_floor(counts_dir)
+    paths = (
+        [storage.join(counts_dir, f"docs_compact_v{floor:06d}")]
+        if floor > 0
+        else []
+    )
+    paths += [
         storage.join(counts_dir, f"docs_v{v:06d}")
-        for v in range(1, version + 1)
+        for v in range(floor + 1, version + 1)
     ]
     paths = [p for p in paths if storage.exists(p)]
     if not paths:
         return spark.createDataFrame([], "doc_id long")
     return spark.read.parquet(*paths).select("doc_id")
+
+
+def compact_seen_doc_ids(spark: SparkSession, counts_dir: str) -> int:
+    """Fold every per-version ``docs_v`` delta (plus any previous
+    consolidated dir) into ONE deduplicated ``docs_compact_v<cur>``
+    dir, advance the ``DOCS_COMPACT`` floor marker atomically, then
+    delete the folded dirs.  Returns the new floor (0 if there was
+    nothing to compact).
+
+    Why this exists: the membership probe unions one directory per
+    committed version — correct at any count, but after K micro-batches
+    every probe pays K file listings + scan setups.  This is the LSM
+    compaction answer (same posture as ``trigram``'s segment merge),
+    and it deliberately does NOT touch the counts table, bump the
+    version, or rewrite the newest meta — so the (txn_app,
+    txn_batch_id) replay marker that makes the sink idempotent is
+    unaffected and a micro-batch replayed across a compaction is still
+    detected and skipped.
+
+    Crash posture: the consolidated dir is fully written BEFORE the
+    atomic marker swap (a crash before the swap leaves an orphan dir a
+    re-run overwrites); a crash AFTER the swap but before the deletes
+    leaves stale ``docs_v``/old-compact dirs that the floor makes
+    unreachable — pure garbage, swept by the next compaction's cleanup
+    loop, never read.  Single-writer contract (the streaming
+    maintenance's own): run it from the maintenance process between
+    batches, not concurrently with a commit."""
+    from text_indexer_spark import storage
+
+    cur = load_line_counts_version(counts_dir)
+    floor = _compaction_floor(counts_dir)
+    if cur == 0 or cur == floor:
+        return floor
+    seen = load_seen_doc_ids(spark, counts_dir)
+    target = storage.join(counts_dir, f"docs_compact_v{cur:06d}")
+    seen.select("doc_id").distinct().write.mode("overwrite").parquet(target)
+    storage.write_bytes_atomic(
+        storage.join(counts_dir, "DOCS_COMPACT"), str(cur).encode()
+    )
+    # sweep everything the new floor makes unreachable — including any
+    # leftovers a previous crash-after-swap stranded
+    for v in range(1, cur + 1):
+        p = storage.join(counts_dir, f"docs_v{v:06d}")
+        if storage.exists(p):
+            storage.rmtree(p)
+    for v in range(1, cur):
+        p = storage.join(counts_dir, f"docs_compact_v{v:06d}")
+        if storage.exists(p):
+            storage.rmtree(p)
+    return cur
 
 
 def commit_line_counts(
