@@ -218,3 +218,36 @@ def test_train_base_is_materialized_once(spark):
     docs = _docs(spark, [(1, "ab ab cd cd cd")])
     merges = bpe.train_bpe(docs, n_merges=2, checkpoint_every=100)
     assert merges == _py_train(["ab ab cd cd cd"], 2)
+
+
+def test_train_encode_property_differential(spark):
+    """Property-based differential: on random small-alphabet corpora
+    (dense pair collisions, self-merge runs, within-word overlaps) the
+    distributed trainer's merge sequence and the encoder's piece
+    streams equal the pure-Python canonical implementation exactly.
+    Few examples — each drives real Spark jobs — but the 3-letter
+    alphabet makes every example adversarial for tie-breaking."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    word = st.text(alphabet="aab", min_size=1, max_size=5)
+    doc = st.lists(word, min_size=1, max_size=6).map(" ".join)
+
+    @settings(max_examples=6, deadline=None)
+    @given(st.lists(doc, min_size=1, max_size=4), st.integers(1, 4))
+    def check(texts, n_merges):
+        docs = _docs(spark, list(enumerate(texts)))
+        merges = bpe.train_bpe(docs, n_merges=n_merges, checkpoint_every=2)
+        assert merges == _py_train(texts, n_merges)
+        got = {
+            r["doc_id"]: list(r["pieces"])
+            for r in bpe.encode_docs_bpe(docs, merges).collect()
+        }
+        want = {
+            i: _py_encode(t, merges)
+            for i, t in enumerate(texts)
+            if _py_tokens(t)
+        }
+        assert got == want
+
+    check()

@@ -494,3 +494,43 @@ def test_cli_bpe_train_encode(spark, tmp_path, capsys):
     with pytest.raises(SystemExit):
         cli.main(["--master", "local[4]", "bpe-encode", "--corpus", src,
                   "--vocab", str(tmp_path / "nope"), "--out", out])
+
+
+def test_cli_media_resize(spark, tmp_path, capsys):
+    """media-resize resizes image payloads and passes non-images
+    through byte-identical, reporting counts as one JSON line."""
+    import numpy as np
+
+    from text_indexer_spark.operators.multimodal import (
+        decode_bmp,
+        encode_bmp,
+        encode_wav,
+    )
+
+    px = np.arange(6 * 4 * 3, dtype=np.uint8).reshape(4, 6, 3)
+    wav = encode_wav(np.array([0, 1000, -1000], dtype=np.int16))
+    media = str(tmp_path / "media")
+    spark.createDataFrame(
+        [
+            (1, bytearray(encode_bmp(6, 4, px))),
+            (2, bytearray(wav)),
+        ],
+        "media_id long, payload binary",
+    ).write.parquet(media)
+
+    out = str(tmp_path / "resized")
+    rc = cli.main(
+        ["--master", "local[4]", "media-resize", "--media", media,
+         "--out", out, "--width", "3", "--height", "2"]
+    )
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep == {
+        "rows": 2, "images_resized": 1, "passthrough": 1,
+        "width": 3, "height": 2,
+    }
+    rows = {r["media_id"]: r for r in spark.read.parquet(out).collect()}
+    w, h, _ = decode_bmp(bytes(rows[1]["payload"]))
+    assert (w, h) == (3, 2) and rows[1]["resized"]
+    assert bytes(rows[2]["payload"]) == bytes(wav)  # byte-identical
+    assert rows[2]["kind"] == "audio" and not rows[2]["resized"]

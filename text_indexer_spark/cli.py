@@ -445,6 +445,42 @@ def cmd_dedup_spans(args) -> int:
     return 0
 
 
+def cmd_media_resize(args) -> int:
+    """Resize every image payload in a media table to ``--width`` ×
+    ``--height`` (decode BMP → nearest-neighbor resample → re-encode);
+    audio/video/unknown payloads pass through byte-identical
+    (``operators/multimodal.py:resize_images``).  ``--lenient`` passes
+    undecodable image-magic payloads through unresized instead of
+    failing the job (the decode_media degradation contract)."""
+    from pyspark.sql import functions as F
+
+    from text_indexer_spark.operators import multimodal
+
+    spark = _spark(args)
+    media = spark.read.parquet(args.media)
+    out = multimodal.resize_images(
+        media, args.width, args.height, strict=not args.lenient
+    )
+    out.write.mode("overwrite").parquet(args.out)
+    back = spark.read.parquet(args.out)
+    counts = back.agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.sum(F.col("resized").cast("long")).alias("resized"),
+    ).collect()[0]
+    print(
+        json.dumps(
+            {
+                "rows": counts["rows"],
+                "images_resized": counts["resized"] or 0,
+                "passthrough": counts["rows"] - (counts["resized"] or 0),
+                "width": args.width,
+                "height": args.height,
+            }
+        )
+    )
+    return 0
+
+
 def _grep_docs(corpus):
     """Normalize a corpus frame to (doc_id, text): accepts the engine's
     native (doc_id, text) shape or the source-table shape (repo, path,
@@ -804,6 +840,23 @@ def main(argv: list[str] | None = None) -> int:
     ds.add_argument("--n", type=int, default=50, help="span width in tokens")
     ds.add_argument("--min-count", type=int, default=2)
     ds.set_defaults(fn=cmd_dedup_spans)
+
+    mr = sub.add_parser(
+        "media-resize",
+        help="resize image payloads in a media table (non-images pass "
+        "through byte-identical)",
+    )
+    mr.add_argument("--media", required=True)
+    mr.add_argument("--out", required=True)
+    mr.add_argument("--width", type=int, required=True)
+    mr.add_argument("--height", type=int, required=True)
+    mr.add_argument(
+        "--lenient",
+        action="store_true",
+        help="pass undecodable image payloads through unresized "
+        "instead of failing",
+    )
+    mr.set_defaults(fn=cmd_media_resize)
 
     g = sub.add_parser(
         "grep", help="regex grep (trigram-index accelerated with --tri-index)"
