@@ -168,3 +168,37 @@ def test_no_cartesian_or_python_in_plan(spark):
     plan = spandedup.dedup_spans(df, n=8)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_span_dedup_property_differential(spark):
+    """Property-based differential: on random tiny-alphabet corpora
+    (every window collides with high probability — dense overlap
+    unions, within-doc repeats, whole-doc drops) the distributed
+    operator equals the pure-Python oracle exactly.  Few examples —
+    each drives real Spark jobs — but the 2-word vocabulary makes
+    every example adversarial for window overlap arithmetic."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    doc = st.lists(
+        st.sampled_from(["aa", "bb"]), min_size=0, max_size=9
+    ).map(" ".join)
+
+    @settings(max_examples=6, deadline=None)
+    @given(st.lists(doc, min_size=1, max_size=4), st.integers(2, 3))
+    def check(docs, n):
+        texts = {i: t for i, t in enumerate(docs)}
+        oracle = _py_span_dedup(texts, n)
+        stats, kept = _run(spark, texts, n, parts=3)
+        for i, (nt, nr, ktoks) in oracle.items():
+            if nt == 0:
+                assert i not in stats  # tokenless docs emit no stats row
+            else:
+                assert stats[i] == (nt, nr)
+            if ktoks:
+                assert kept[i] == " ".join(ktoks)
+            else:
+                assert i not in kept  # fully-duplicated docs drop
+        assert set(kept) <= set(texts)
+
+    check()

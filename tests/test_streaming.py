@@ -904,3 +904,54 @@ def test_seen_doc_id_compaction_crash_garbage_is_unreachable(spark, tmp_path):
     assert {
         r["doc_id"] for r in load_seen_doc_ids(spark, counts_dir).collect()
     } == {1, 2}
+
+
+def test_line_count_stream_auto_compacts(spark, tmp_path):
+    """With auto_compact_every=1 every committed batch is followed by a
+    seen-id compaction inside the maintenance itself: after two batches
+    only the consolidated dir exists, and a third batch re-presenting
+    a pre-compaction doc is still dropped (membership enforced from
+    the compacted set)."""
+    import glob
+
+    from text_indexer_spark.streaming.linecount_stream import (
+        _compaction_floor,
+        load_line_counts,
+        run_stream_line_counts,
+    )
+
+    schema = (
+        "repo string, path string, commit string, lang string, "
+        "content string, event_time timestamp, deleted boolean"
+    )
+    counts_dir = str(tmp_path / "counts")
+    os.makedirs(counts_dir)
+    drop = str(tmp_path / "drops")
+    os.makedirs(drop)
+
+    def feed(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(drop)
+        q, ver = run_stream_line_counts(
+            spark, drop, str(tmp_path / "ck"), counts_dir,
+            auto_compact_every=1,
+        )
+        q.awaitTermination(120)
+        return ver()
+
+    assert feed([("r", "a.txt", "c1", "txt", "shared\nalpha", None, False)]) == 1
+    assert _compaction_floor(counts_dir) == 1
+    assert feed([("r", "b.txt", "c1", "txt", "shared\nbeta", None, False)]) == 2
+    assert _compaction_floor(counts_dir) == 2
+    assert glob.glob(os.path.join(counts_dir, "docs_v*")) == []
+    assert len(glob.glob(os.path.join(counts_dir, "docs_compact_v*"))) == 1
+
+    # a.txt re-presented after two compactions: still dropped
+    v = feed([("r", "a.txt", "c9", "txt", "shared\nrewritten", None, False)])
+    assert v == 2  # whole batch dropped, no version burned
+    got = {
+        (r["line"], r["n_docs"])
+        for r in load_line_counts(spark, counts_dir).collect()
+    }
+    assert got == {("shared", 2), ("alpha", 1), ("beta", 1)}

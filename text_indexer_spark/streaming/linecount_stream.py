@@ -239,12 +239,21 @@ def run_stream_line_counts(
     checkpoint_dir: str,
     counts_dir: str,
     max_files_per_trigger: int = 16,
+    auto_compact_every: int = 16,
 ):
     """foreachBatch fold: batch docs → per-line distinct-doc counts →
     sum-merge commit.  foreachBatch serializes the commits (single
     writer); within a batch, repeated upserts of one document collapse
     to the newest by ``event_time`` before counting, mirroring the
-    trigram maintenance.  Returns ``(query, get_version)``."""
+    trigram maintenance.  Returns ``(query, get_version)``.
+
+    ``auto_compact_every``: once the number of per-version seen-id
+    delta dirs above the compaction floor reaches this count, the
+    batch commit is followed by :func:`compact_seen_doc_ids` — the
+    maintenance keeps its own membership probe O(1) dirs-read instead
+    of requiring an operator to remember to compact (foreachBatch is
+    serialized, so the single-writer contract holds).  ``0`` disables
+    auto-compaction."""
 
     state = {"version": load_line_counts_version(counts_dir)}
 
@@ -328,6 +337,12 @@ def run_stream_line_counts(
             new_doc_ids=latest.select("doc_id"),
             n_docs_dropped=n_dropped,
         )
+        if (
+            auto_compact_every
+            and state["version"] - _compaction_floor(counts_dir)
+            >= auto_compact_every
+        ):
+            compact_seen_doc_ids(spark, counts_dir)
 
     stream = corpus_change_stream(spark, drop_dir, max_files_per_trigger)
     q = (
