@@ -534,3 +534,35 @@ def test_cli_media_resize(spark, tmp_path, capsys):
     assert (w, h) == (3, 2) and rows[1]["resized"]
     assert bytes(rows[2]["payload"]) == bytes(wav)  # byte-identical
     assert rows[2]["kind"] == "audio" and not rows[2]["resized"]
+
+
+def test_cli_vacuum_line_counts(spark, tmp_path, capsys):
+    """vacuum --line-counts applies retention to the line-count store;
+    bare vacuum (no target) exits with a usage error."""
+    from text_indexer_spark.streaming.linecount_stream import (
+        commit_line_counts,
+        load_line_counts_version,
+    )
+
+    counts_dir = str(tmp_path / "counts")
+    os.makedirs(counts_dir)
+    for b in range(3):
+        commit_line_counts(
+            spark.createDataFrame(
+                [(f"l{b}", 1)], "line string, n_docs long"
+            ),
+            counts_dir, txn_app="ck", txn_batch_id=b,
+        )
+    rc = cli.main(
+        ["--master", "local[4]", "vacuum", "--line-counts", counts_dir,
+         "--keep-last", "1"]
+    )
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert [os.path.basename(p) for p in rep["removed"]] == [
+        "counts_v000001", "counts_v000002",
+    ]
+    assert load_line_counts_version(counts_dir) == 3
+
+    with pytest.raises(SystemExit):
+        cli.main(["--master", "local[4]", "vacuum"])

@@ -955,3 +955,64 @@ def test_line_count_stream_auto_compacts(spark, tmp_path):
         for r in load_line_counts(spark, counts_dir).collect()
     }
     assert got == {("shared", 2), ("alpha", 1), ("beta", 1)}
+
+
+def test_vacuum_line_counts_retention(spark, tmp_path):
+    """vacuum_line_counts drops all but the newest keep_last committed
+    counts tables (+ meta sidecars), never the LATEST version (whose
+    meta carries the replay marker) and never crash orphans above the
+    pointer; serving and replay detection are unaffected."""
+    from text_indexer_spark.streaming.linecount_stream import (
+        commit_line_counts,
+        load_line_counts,
+        load_line_counts_version,
+        vacuum_line_counts,
+    )
+
+    counts_dir = str(tmp_path / "c")
+    os.makedirs(counts_dir)
+    assert vacuum_line_counts(counts_dir) == []  # empty store: no-op
+    for b in range(4):
+        commit_line_counts(
+            spark.createDataFrame(
+                [(f"line{b}", 1)], "line string, n_docs long"
+            ),
+            counts_dir,
+            txn_app="ck",
+            txn_batch_id=b,
+        )
+    # a crash orphan ABOVE the pointer must survive vacuum
+    orphan = os.path.join(counts_dir, "counts_v000099")
+    spark.createDataFrame([("x", 1)], "line string, n_docs long").write.parquet(orphan)
+
+    removed = vacuum_line_counts(counts_dir, keep_last=2)
+    assert [os.path.basename(p) for p in removed] == [
+        "counts_v000001", "counts_v000002",
+    ]
+    for v in (1, 2):
+        assert not os.path.exists(
+            os.path.join(counts_dir, f"counts_v{v:06d}")
+        )
+        assert not os.path.exists(
+            os.path.join(counts_dir, f"counts_v{v:06d}.meta.json")
+        )
+    for keep in ("counts_v000003", "counts_v000004",
+                 "counts_v000004.meta.json", "counts_v000099"):
+        assert os.path.exists(os.path.join(counts_dir, keep))
+    assert load_line_counts_version(counts_dir) == 4
+    got = {
+        (r["line"], r["n_docs"])
+        for r in load_line_counts(spark, counts_dir).collect()
+    }
+    assert got == {(f"line{b}", 1) for b in range(4)}
+
+    # replay marker intact: re-presenting the last (app, batch) skips
+    assert (
+        commit_line_counts(
+            spark.createDataFrame([("line3", 1)], "line string, n_docs long"),
+            counts_dir, txn_app="ck", txn_batch_id=3,
+        )
+        == 4
+    )
+    # idempotent
+    assert vacuum_line_counts(counts_dir, keep_last=2) == []

@@ -627,11 +627,25 @@ def cmd_grep_compact(args) -> int:
 
 
 def cmd_vacuum(args) -> int:
-    """Retention over the immutable version chain (streaming sync
-    output): drop all but the newest N committed versions."""
-    from text_indexer_spark.operators.index_sync import vacuum_versions
+    """Retention over an immutable version chain: drop all but the
+    newest N committed versions — the streaming-sync index chain
+    (``--versions``) or the line-count store (``--line-counts``,
+    which also compacts nothing: seen-id delta compaction is the
+    maintenance's own job)."""
+    if not args.versions and not args.line_counts:
+        raise SystemExit("vacuum: pass --versions or --line-counts")
+    if args.line_counts:
+        from text_indexer_spark.streaming.linecount_stream import (
+            vacuum_line_counts,
+        )
 
-    removed = vacuum_versions(args.versions, keep_last=args.keep_last)
+        removed = vacuum_line_counts(
+            args.line_counts, keep_last=args.keep_last
+        )
+    else:
+        from text_indexer_spark.operators.index_sync import vacuum_versions
+
+        removed = vacuum_versions(args.versions, keep_last=args.keep_last)
     print(json.dumps({"removed": removed, "kept_last": args.keep_last}))
     return 0
 
@@ -923,7 +937,12 @@ def main(argv: list[str] | None = None) -> int:
     v = sub.add_parser(
         "vacuum", help="delete all but the newest N committed index versions"
     )
-    v.add_argument("--versions", required=True, help="versions directory (v0001, ...)")
+    v.add_argument("--versions", help="versions directory (v0001, ...)")
+    v.add_argument(
+        "--line-counts",
+        help="line-count store directory (counts_v000001, ...) to "
+        "vacuum instead of an index version chain",
+    )
     v.add_argument("--keep-last", type=int, default=2)
     v.set_defaults(fn=cmd_vacuum)
 

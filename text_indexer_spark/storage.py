@@ -104,6 +104,15 @@ def rmtree(path: str) -> None:
         f.delete_dir(p)
 
 
+def remove_file(path: str) -> None:
+    """Delete a single file (no-op if absent)."""
+    from pyarrow import fs as pafs
+
+    f, p = resolve(path)
+    if f.get_file_info(p).type == pafs.FileType.File:
+        f.delete_file(p)
+
+
 def write_bytes_atomic(path: str, payload: bytes) -> None:
     f, p = resolve(path)
     if _is_local(f):

@@ -233,6 +233,43 @@ def commit_line_counts(
     return version
 
 
+def vacuum_line_counts(counts_dir: str, keep_last: int = 2) -> list[str]:
+    """Retention for the line-count version chain: delete all but the
+    newest ``keep_last`` committed ``counts_v<N>`` tables (and their
+    meta sidecars).  Returns the removed table paths, oldest first.
+
+    Each commit writes a FULL merged table, so the chain grows
+    O(versions × table size) — this is the ``index_sync.
+    vacuum_versions`` discipline applied to the line-count store.
+    Safety: the LATEST version is always kept (serving + the next
+    merge read it, and its meta carries the (txn_app, batch_id)
+    replay marker); versions ABOVE the pointer (crash orphans from a
+    failed commit) are never touched — the next commit overwrites
+    them; the seen-id ``docs_v``/``docs_compact_v`` dirs are
+    compaction's job (:func:`compact_seen_doc_ids`), not vacuum's;
+    idempotent — re-running removes nothing new."""
+    from text_indexer_spark import storage
+
+    cur = load_line_counts_version(counts_dir)
+    if cur == 0:
+        return []
+    committed = [
+        v
+        for v in range(1, cur + 1)
+        if storage.exists(storage.join(counts_dir, f"counts_v{v:06d}"))
+    ]
+    doomed = committed[: max(0, len(committed) - max(keep_last, 1))]
+    removed = []
+    for v in doomed:
+        p = storage.join(counts_dir, f"counts_v{v:06d}")
+        storage.rmtree(p)
+        storage.remove_file(
+            storage.join(counts_dir, f"counts_v{v:06d}.meta.json")
+        )
+        removed.append(p)
+    return removed
+
+
 def run_stream_line_counts(
     spark: SparkSession,
     drop_dir: str,
