@@ -315,3 +315,41 @@ def test_registry_durable_multi_op_survives_restart(spark, tmp_path):
     s4 = add_file_sources(resumed, more, persist_dir=sd)
     assert load_state_version(sd) == 4
     assert ("r", "z/new.txt", "file", 9, "independent") in key(s4)
+
+
+def test_registry_state_vacuum_retention(spark, tmp_path):
+    """vacuum_state drops all but the newest keep_last snapshot
+    versions; the LATEST version survives and still loads exactly."""
+    import os
+
+    from text_indexer_spark.operators.registry import (
+        add_file_sources,
+        empty_state,
+        load_state,
+        load_state_version,
+        save_state,
+        vacuum_state,
+    )
+
+    sd = str(tmp_path / "rs")
+    assert vacuum_state(sd) == []  # empty store: no-op
+    state = empty_state(spark)
+    for i in range(3):
+        files = spark.createDataFrame(
+            [("r", f"a/f{i}.txt", i)], "repo string, path string, doc_id long"
+        )
+        state = add_file_sources(load_state(spark, sd) if i else state, files)
+        assert save_state(state, sd) == i + 1
+
+    removed = vacuum_state(sd, keep_last=1)
+    assert [os.path.basename(p) for p in removed] == [
+        "state_v000001", "state_v000002",
+    ]
+    assert load_state_version(sd) == 3
+    got = sorted(
+        r["path"]
+        for r in load_state(spark, sd).collect()
+        if r["doc_id"] is not None  # registry also tracks ancestor dirs
+    )
+    assert got == ["a/f0.txt", "a/f1.txt", "a/f2.txt"]
+    assert vacuum_state(sd, keep_last=1) == []  # idempotent

@@ -632,8 +632,10 @@ def cmd_vacuum(args) -> int:
     (``--versions``) or the line-count store (``--line-counts``,
     which also compacts nothing: seen-id delta compaction is the
     maintenance's own job)."""
-    if not args.versions and not args.line_counts:
-        raise SystemExit("vacuum: pass --versions or --line-counts")
+    if not args.versions and not args.line_counts and not args.registry_state:
+        raise SystemExit(
+            "vacuum: pass --versions, --line-counts or --registry-state"
+        )
     if args.line_counts:
         from text_indexer_spark.streaming.linecount_stream import (
             vacuum_line_counts,
@@ -642,6 +644,10 @@ def cmd_vacuum(args) -> int:
         removed = vacuum_line_counts(
             args.line_counts, keep_last=args.keep_last
         )
+    elif args.registry_state:
+        from text_indexer_spark.operators.registry import vacuum_state
+
+        removed = vacuum_state(args.registry_state, keep_last=args.keep_last)
     else:
         from text_indexer_spark.operators.index_sync import vacuum_versions
 
@@ -941,6 +947,11 @@ def main(argv: list[str] | None = None) -> int:
     v.add_argument(
         "--line-counts",
         help="line-count store directory (counts_v000001, ...) to "
+        "vacuum instead of an index version chain",
+    )
+    v.add_argument(
+        "--registry-state",
+        help="registry snapshot directory (state_v000001, ...) to "
         "vacuum instead of an index version chain",
     )
     v.add_argument("--keep-last", type=int, default=2)

@@ -374,3 +374,15 @@ def load_state(spark, state_dir: str) -> DataFrame:
     return spark.read.parquet(
         storage.join(state_dir, f"state_v{version:06d}")
     )
+
+
+def vacuum_state(state_dir: str, keep_last: int = 2) -> list[str]:
+    """Retention for the registry snapshot chain: each ``save_state``
+    writes a FULL state table, so the chain grows O(saves × state
+    size).  Drops all but the newest ``keep_last`` committed versions;
+    the LATEST version and above-pointer crash orphans are never
+    touched (``storage.vacuum_versioned`` semantics, shared with the
+    line-count store).  Returns removed dirs, oldest first."""
+    from text_indexer_spark import storage
+
+    return storage.vacuum_versioned(state_dir, "state_v", keep_last=keep_last)

@@ -113,6 +113,40 @@ def remove_file(path: str) -> None:
         f.delete_file(p)
 
 
+def vacuum_versioned(
+    dir_path: str,
+    prefix: str,
+    keep_last: int = 2,
+    sidecar: str | None = None,
+) -> list[str]:
+    """Retention over a LATEST-pointer version chain: delete all but
+    the newest ``keep_last`` committed ``<prefix><NNNNNN>`` dirs at or
+    below the LATEST pointer.  Versions ABOVE the pointer (crash
+    orphans from a failed commit) are never touched — the next commit
+    overwrites them; the pointed-at version always survives
+    (``keep_last`` floors at 1).  ``sidecar`` names a per-version file
+    suffix (e.g. ``".meta.json"``) deleted with its version.
+    Idempotent.  Returns the removed version dirs, oldest first."""
+    raw = read_bytes(join(dir_path, "LATEST"))
+    cur = int(raw.decode().strip()) if raw else 0
+    if cur == 0:
+        return []
+    committed = [
+        v
+        for v in range(1, cur + 1)
+        if exists(join(dir_path, f"{prefix}{v:06d}"))
+    ]
+    doomed = committed[: max(0, len(committed) - max(keep_last, 1))]
+    removed = []
+    for v in doomed:
+        p = join(dir_path, f"{prefix}{v:06d}")
+        rmtree(p)
+        if sidecar:
+            remove_file(join(dir_path, f"{prefix}{v:06d}{sidecar}"))
+        removed.append(p)
+    return removed
+
+
 def write_bytes_atomic(path: str, payload: bytes) -> None:
     f, p = resolve(path)
     if _is_local(f):

@@ -250,24 +250,9 @@ def vacuum_line_counts(counts_dir: str, keep_last: int = 2) -> list[str]:
     idempotent — re-running removes nothing new."""
     from text_indexer_spark import storage
 
-    cur = load_line_counts_version(counts_dir)
-    if cur == 0:
-        return []
-    committed = [
-        v
-        for v in range(1, cur + 1)
-        if storage.exists(storage.join(counts_dir, f"counts_v{v:06d}"))
-    ]
-    doomed = committed[: max(0, len(committed) - max(keep_last, 1))]
-    removed = []
-    for v in doomed:
-        p = storage.join(counts_dir, f"counts_v{v:06d}")
-        storage.rmtree(p)
-        storage.remove_file(
-            storage.join(counts_dir, f"counts_v{v:06d}.meta.json")
-        )
-        removed.append(p)
-    return removed
+    return storage.vacuum_versioned(
+        counts_dir, "counts_v", keep_last=keep_last, sidecar=".meta.json"
+    )
 
 
 def run_stream_line_counts(
