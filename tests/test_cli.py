@@ -566,3 +566,20 @@ def test_cli_vacuum_line_counts(spark, tmp_path, capsys):
 
     with pytest.raises(SystemExit):
         cli.main(["--master", "local[4]", "vacuum"])
+
+
+def test_cli_vacuum_trigram(spark, corpus_dir, tmp_path, capsys):
+    """vacuum --trigram sweeps unreachable LSM files after grep-compact."""
+    tri = str(tmp_path / "tri")
+    cli.main(["--master", "local[4]", "grep-ingest",
+              "--corpus", corpus_dir, "--tri-index", tri])
+    cli.main(["--master", "local[4]", "grep-compact", "--tri-index", tri])
+    capsys.readouterr()
+    rc = cli.main(
+        ["--master", "local[4]", "vacuum", "--trigram", tri,
+         "--keep-last", "1"]
+    )
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "seg_000001" in rep["removed"]
+    assert os.path.exists(os.path.join(tri, "seg_000002"))

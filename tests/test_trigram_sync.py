@@ -241,3 +241,40 @@ def test_registry_concurrent_save_detected(spark, tri_dir):
     # ...but a stale swap fails loudly
     with pytest.raises(storage.ConcurrentCommitError):
         storage.swap_latest(tri_dir, 4, 5)
+
+
+def test_trigram_vacuum_reachability(spark, tri_dir):
+    """trigram_vacuum deletes exactly what no kept manifest references:
+    after a compaction, the pre-compaction segments/tombstones and old
+    manifests go; the live view is unchanged; still-referenced old
+    segments and above-pointer in-flight files survive; idempotent."""
+    import os
+
+    from text_indexer_spark.operators.trigram import trigram_vacuum
+
+    trigram_commit(_docs(spark, [(1, "aaa bbb"), (2, "ccc ddd")]), tri_dir)
+    trigram_commit(
+        _docs(spark, [(3, "eee fff")]),
+        tri_dir,
+        removed_ids=spark.createDataFrame([(1,)], "doc_id long"),
+    )
+    # v1/v2 segments are still referenced by LATEST: vacuum removes only
+    # the superseded manifest(s), never a live segment
+    removed = trigram_vacuum(tri_dir)
+    assert removed == ["manifest_v000001.json"]
+    view_before = _rel(read_committed_trigrams(spark, tri_dir))
+
+    v = trigram_compact(spark, tri_dir)  # v3: one fresh segment
+    # simulate an in-flight commit: a segment of version cur+1 exists
+    # before its manifest/pointer — vacuum must not touch it
+    orphan = os.path.join(tri_dir, f"seg_{v + 1:06d}")
+    _docs(spark, [(9, "zzz")]).write.parquet(orphan)
+
+    removed = trigram_vacuum(tri_dir)
+    assert removed == [
+        "manifest_v000002.json", "seg_000001", "seg_000002", "ts_000002",
+    ]
+    assert os.path.exists(orphan)
+    assert os.path.exists(os.path.join(tri_dir, f"seg_{v:06d}"))
+    assert _rel(read_committed_trigrams(spark, tri_dir)) == view_before
+    assert trigram_vacuum(tri_dir) == []  # idempotent

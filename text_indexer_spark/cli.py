@@ -632,11 +632,18 @@ def cmd_vacuum(args) -> int:
     (``--versions``) or the line-count store (``--line-counts``,
     which also compacts nothing: seen-id delta compaction is the
     maintenance's own job)."""
-    if not args.versions and not args.line_counts and not args.registry_state:
+    targets = [args.versions, args.line_counts, args.registry_state,
+               args.trigram]
+    if not any(targets):
         raise SystemExit(
-            "vacuum: pass --versions, --line-counts or --registry-state"
+            "vacuum: pass --versions, --line-counts, --registry-state "
+            "or --trigram"
         )
-    if args.line_counts:
+    if args.trigram:
+        from text_indexer_spark.operators.trigram import trigram_vacuum
+
+        removed = trigram_vacuum(args.trigram, keep_versions=args.keep_last)
+    elif args.line_counts:
         from text_indexer_spark.streaming.linecount_stream import (
             vacuum_line_counts,
         )
@@ -953,6 +960,11 @@ def main(argv: list[str] | None = None) -> int:
         "--registry-state",
         help="registry snapshot directory (state_v000001, ...) to "
         "vacuum instead of an index version chain",
+    )
+    v.add_argument(
+        "--trigram",
+        help="committed trigram index directory: delete segments/"
+        "tombstones/manifests no kept manifest references",
     )
     v.add_argument("--keep-last", type=int, default=2)
     v.set_defaults(fn=cmd_vacuum)

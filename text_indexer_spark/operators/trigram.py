@@ -757,3 +757,48 @@ def trigram_compact(
     _write_segment(view, storage.join(tri_dir, seg), num_partitions, id_col)
     _tri_commit(tri_dir, version, {"segments": [seg], "tombstones": {}})
     return version
+
+
+def trigram_vacuum(tri_dir: str, keep_versions: int = 1) -> list[str]:
+    """Delete segments, tombstones and manifests no version in the
+    newest ``keep_versions`` window references — the retention half
+    :func:`trigram_compact` defers ("old segments stay on disk until
+    vacuumed").
+
+    Reachability, not age, decides: a segment written at version 3 and
+    still referenced by the LATEST manifest survives any vacuum; a
+    segment compaction dropped from the manifest is deleted once every
+    kept manifest stopped referencing it.  Files whose encoded version
+    is ABOVE the LATEST pointer are never touched — they belong to an
+    in-flight commit (`_tri_commit` writes the segment before the
+    pointer swap); deleting them would corrupt it.  Idempotent.
+    Returns removed base names, sorted."""
+    from text_indexer_spark import storage
+
+    cur, _ = _tri_manifest(tri_dir)
+    if cur == 0:
+        return []
+    floor = max(1, cur - max(keep_versions, 1) + 1)
+    keep: set[str] = set()
+    for v in range(floor, cur + 1):
+        m = storage.read_json(
+            storage.join(tri_dir, f"manifest_v{v:06d}.json")
+        )
+        if m:
+            keep.update(m.get("segments", []))
+            keep.update(m.get("tombstones", {}))
+    removed: list[str] = []
+    for name in storage.listdir(tri_dir):
+        if name.startswith(("seg_", "ts_")):
+            v = int(name.split("_", 1)[1])
+            if v > cur or name in keep:
+                continue
+            storage.rmtree(storage.join(tri_dir, name))
+            removed.append(name)
+        elif name.startswith("manifest_v") and name.endswith(".json"):
+            v = int(name[len("manifest_v") : -len(".json")])
+            if v >= floor:  # kept window + above-pointer orphans
+                continue
+            storage.remove_file(storage.join(tri_dir, name))
+            removed.append(name)
+    return sorted(removed)
