@@ -144,3 +144,42 @@ def test_exact_verify_join_is_broadcast(spark):
         _docs(spark, SKEWED), 0.05
     )._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_heavy_hitters_items_shingle_stream(spark):
+    """The generic item-stream form works over a non-token relation
+    (word shingles) and equals the brute-force shingle count — the
+    hot_shingles use case at sketch scale."""
+    texts = SKEWED
+    docs = _docs(spark, texts, parts=5)
+    n = 3
+    shingles = docs.select(
+        F.explode(
+            F.transform(
+                F.sequence(
+                    F.lit(1),
+                    F.greatest(
+                        F.size(F.split(F.lower("text"), r"\s+")) - (n - 1),
+                        F.lit(0),
+                    ),
+                ),
+                lambda i: F.concat_ws(
+                    " ", F.slice(F.split(F.lower("text"), r"\s+"), i, n)
+                ),
+            )
+        ).alias("shingle")
+    )
+    got = {
+        r["item"]: r["n"]
+        for r in sketch.heavy_hitters_items(shingles, 0.05).collect()
+    }
+    # brute force over the same shingle definition
+    cnt = Counter()
+    for t in texts:
+        ws = t.lower().split()
+        cnt.update(
+            " ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)
+        )
+    total = sum(cnt.values())
+    thr = math.ceil(0.05 * total)
+    assert got == {i: c for i, c in cnt.items() if c >= thr}

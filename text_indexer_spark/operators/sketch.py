@@ -72,20 +72,24 @@ def _mg_truncate(cnt: dict, k: int) -> int:
     return dec
 
 
-def mg_summaries(
-    corpus: DataFrame, k: int, text_col: str = "text"
-) -> DataFrame:
-    """Per-partition Misra-Gries summaries of the token stream:
-    ≤ k ``(item, cnt)`` rows per partition plus one sentinel row
-    (``item IS NULL``) carrying the partition's accumulated ``err``
-    and exact ``n_tokens``.  Zero shuffle; Arrow-batched."""
-    if k < 1:
-        raise ValueError("k must be >= 1")
-    tokens = corpus.select(
+def _token_items(corpus: DataFrame, text_col: str) -> DataFrame:
+    return corpus.select(
         F.explode(
             tokenize_column(F.coalesce(F.col(text_col), F.lit("")))
         ).alias("item")
     )
+
+
+def mg_summaries_items(items: DataFrame, k: int) -> DataFrame:
+    """Per-partition Misra-Gries summaries of ANY single-string-column
+    item stream (tokens, shingles, URLs, …): ≤ k ``(item, cnt)`` rows
+    per partition plus one sentinel row (``item IS NULL``) carrying the
+    partition's accumulated ``err`` and exact ``n_tokens``.  Zero
+    shuffle; Arrow-batched.  The first column is the item; any other
+    columns are ignored."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    tokens = items.select(F.col(items.columns[0]).alias("item"))
 
     def run(batches: Iterator) -> Iterator:
         import pandas as pd
@@ -117,23 +121,35 @@ def mg_summaries(
     return tokens.mapInPandas(run, SUMMARY_SCHEMA)
 
 
-def heavy_hitters(
-    corpus: DataFrame,
+def mg_summaries(
+    corpus: DataFrame, k: int, text_col: str = "text"
+) -> DataFrame:
+    """Token-stream convenience wrapper over
+    :func:`mg_summaries_items` (the engine's single tokenizer)."""
+    return mg_summaries_items(_token_items(corpus, text_col), k)
+
+
+def heavy_hitters_items(
+    items: DataFrame,
     min_frac: float,
-    text_col: str = "text",
     k: int | None = None,
 ) -> DataFrame:
-    """``(item, n)`` — the EXACT count of every token whose corpus-wide
-    frequency is at least ``min_frac`` of all tokens (``n ≥
+    """``(item, n)`` — the EXACT count of every item whose frequency in
+    the stream is at least ``min_frac`` of all items (``n ≥
     ceil(min_frac · N)``), computed without ever shuffling the full
-    vocabulary.  Output equals the exact full count's answer (the
-    sketch only prunes provably-light items; survivors are re-counted
-    exactly)."""
+    key space.  Works over ANY single-string-column relation (the
+    first column is the item): tokens, shingles, URLs, n-grams.
+    Output equals the exact full count's answer (the sketch only
+    prunes provably-light items; survivors are re-counted exactly).
+
+    ``items`` is scanned twice (sketch + exact verify) — cache or
+    checkpoint upstream if it is expensive to recompute."""
     if not 0 < min_frac <= 1:
         raise ValueError("min_frac must be in (0, 1]")
     if k is None:
         k = min(int(math.ceil(2.0 / min_frac)), 100_000)
-    summ = mg_summaries(corpus, k, text_col).localCheckpoint(eager=True)
+    tokens = items.select(F.col(items.columns[0]).alias("item"))
+    summ = mg_summaries_items(tokens, k).localCheckpoint(eager=True)
     totals = summ.groupBy().agg(
         F.sum("err").alias("total_err"), F.sum("n_tokens").alias("n_total")
     )
@@ -148,11 +164,6 @@ def heavy_hitters(
         )
         .select("item", "n_total")
     )
-    tokens = corpus.select(
-        F.explode(
-            tokenize_column(F.coalesce(F.col(text_col), F.lit("")))
-        ).alias("item")
-    )
     return (
         tokens.join(F.broadcast(cand.select("item")), "item", "left_semi")
         .groupBy("item")
@@ -163,3 +174,15 @@ def heavy_hitters(
         )
         .select("item", "n")
     )
+
+
+def heavy_hitters(
+    corpus: DataFrame,
+    min_frac: float,
+    text_col: str = "text",
+    k: int | None = None,
+) -> DataFrame:
+    """Token-stream convenience wrapper over
+    :func:`heavy_hitters_items`: the exact φ-heavy tokens of a corpus
+    (see the module docstring for the two-pass guarantee)."""
+    return heavy_hitters_items(_token_items(corpus, text_col), min_frac, k=k)
