@@ -583,3 +583,25 @@ def test_cli_vacuum_trigram(spark, corpus_dir, tmp_path, capsys):
     rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert "seg_000001" in rep["removed"]
     assert os.path.exists(os.path.join(tri, "seg_000002"))
+
+
+def test_cli_hot_items(spark, tmp_path, capsys):
+    """hot-items prints exact heavy-hitter counts, hottest first."""
+    d = str(tmp_path / "hh")
+    spark.createDataFrame(
+        [(i, "the common the words the filler%d" % i) for i in range(10)],
+        "doc_id long, text string",
+    ).write.parquet(d)
+    rc = cli.main(
+        ["--master", "local[4]", "hot-items", "--corpus", d,
+         "--min-frac", "0.15"]
+    )
+    assert rc == 0
+    lines = [
+        json.loads(l) for l in capsys.readouterr().out.strip().splitlines()
+    ]
+    # 60 tokens total: 'the' 30 (0.5), 'common'/'words' 10 (0.167)
+    assert lines[0] == {"item": "the", "n": 30}
+    assert {(l["item"], l["n"]) for l in lines} == {
+        ("the", 30), ("common", 10), ("words", 10),
+    }

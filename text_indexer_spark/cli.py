@@ -481,6 +481,28 @@ def cmd_media_resize(args) -> int:
     return 0
 
 
+def cmd_hot_items(args) -> int:
+    """Exact corpus-wide heavy hitters via the two-pass Misra-Gries
+    sketch (``operators/sketch.py``): tokens whose frequency is at
+    least ``--min-frac`` of all tokens, with exact counts, computed
+    without a full-vocabulary shuffle.  One JSON line per item,
+    hottest first."""
+    from pyspark.sql import functions as F
+
+    from text_indexer_spark.operators.sketch import heavy_hitters
+
+    spark = _spark(args)
+    corpus = _grep_docs(spark.read.parquet(args.corpus))
+    rows = (
+        heavy_hitters(corpus, args.min_frac)
+        .orderBy(F.col("n").desc(), "item")
+        .collect()
+    )
+    for r in rows:
+        print(json.dumps({"item": r["item"], "n": r["n"]}))
+    return 0
+
+
 def _grep_docs(corpus):
     """Normalize a corpus frame to (doc_id, text): accepts the engine's
     native (doc_id, text) shape or the source-table shape (repo, path,
@@ -867,6 +889,15 @@ def main(argv: list[str] | None = None) -> int:
     ds.add_argument("--n", type=int, default=50, help="span width in tokens")
     ds.add_argument("--min-count", type=int, default=2)
     ds.set_defaults(fn=cmd_dedup_spans)
+
+    hi = sub.add_parser(
+        "hot-items",
+        help="exact heavy-hitter tokens (Misra-Gries sketch + exact "
+        "verify, no full-vocabulary shuffle)",
+    )
+    hi.add_argument("--corpus", required=True)
+    hi.add_argument("--min-frac", type=float, default=0.01)
+    hi.set_defaults(fn=cmd_hot_items)
 
     mr = sub.add_parser(
         "media-resize",
