@@ -481,6 +481,42 @@ def cmd_media_resize(args) -> int:
     return 0
 
 
+def cmd_mix(args) -> int:
+    """Data-mixture sampling: per-source token budgets from mixture
+    weights, deterministic content-stable draws
+    (``operators/mixing.py``).  ``--weights "en=0.5,fr=0.3"``; sources
+    not listed are dropped."""
+    from pyspark.sql import functions as F
+
+    from text_indexer_spark.operators import mixing
+
+    weights = {}
+    for part in args.weights.split(","):
+        k, _, v = part.partition("=")
+        if not _ or not k.strip():
+            raise SystemExit(f"mix: bad --weights entry {part!r}")
+        weights[k.strip()] = float(v)
+    spark = _spark(args)
+    corpus = spark.read.parquet(args.corpus)
+    kept = mixing.mixture_sample(
+        corpus, weights, args.total_tokens, source_col=args.source_col
+    )
+    kept.write.mode("overwrite").parquet(args.out)
+    rates = {
+        r[args.source_col]: {
+            "avail_tokens": r["avail_tokens"],
+            "target_tokens": round(r["target_tokens"], 1),
+            "rate": round(r["rate"], 6),
+        }
+        for r in mixing.mixture_rates(
+            corpus, weights, args.total_tokens, source_col=args.source_col
+        ).collect()
+    }
+    n_out = spark.read.parquet(args.out).count()
+    print(json.dumps({"rows_kept": n_out, "sources": rates}))
+    return 0
+
+
 def cmd_hot_items(args) -> int:
     """Exact corpus-wide heavy hitters via the two-pass Misra-Gries
     sketch (``operators/sketch.py``): tokens whose frequency is at
@@ -889,6 +925,19 @@ def main(argv: list[str] | None = None) -> int:
     ds.add_argument("--n", type=int, default=50, help="span width in tokens")
     ds.add_argument("--min-count", type=int, default=2)
     ds.set_defaults(fn=cmd_dedup_spans)
+
+    mx = sub.add_parser(
+        "mix",
+        help="mixture-sample a corpus to per-source token budgets "
+        "(deterministic data mixing)",
+    )
+    mx.add_argument("--corpus", required=True)
+    mx.add_argument("--out", required=True)
+    mx.add_argument("--total-tokens", type=int, required=True)
+    mx.add_argument("--weights", required=True,
+                    help='e.g. "en=0.5,fr=0.3,de=0.2"')
+    mx.add_argument("--source-col", default="lang")
+    mx.set_defaults(fn=cmd_mix)
 
     hi = sub.add_parser(
         "hot-items",
