@@ -215,6 +215,14 @@ def cmd_clean(args) -> int:
     spark = _spark(args)
     corpus = spark.read.parquet(args.corpus)
     text_col = "content" if "content" in corpus.columns else "text"
+    if args.normalize:
+        # canonicalize BEFORE any filter/hash tier sees the text:
+        # ws = codegen whitespace/control tier only; nfc/nfkc add the
+        # Unicode normal form (operators/normalize.py)
+        from text_indexer_spark.operators import normalize as norm_op
+
+        form = None if args.normalize == "ws" else args.normalize.upper()
+        corpus = norm_op.normalize_text(corpus, text_col=text_col, form=form)
     n_in = corpus.count()
     kept = textstats.filter_by_quality(
         corpus, min_quality=args.min_quality, text_col=text_col
@@ -865,6 +873,12 @@ def main(argv: list[str] | None = None) -> int:
     )
     cl.add_argument("--corpus", required=True)
     cl.add_argument("--out", required=True)
+    cl.add_argument(
+        "--normalize", choices=["ws", "nfc", "nfkc"], default=None,
+        help="canonicalize text before filtering: ws = whitespace/"
+        "control strip (pure codegen); nfc/nfkc add the Unicode "
+        "normal form (Arrow-batched)",
+    )
     cl.add_argument("--min-quality", type=float, default=0.4)
     cl.add_argument("--max-dup-line-frac", type=float, default=0.3)
     cl.add_argument("--max-top-2gram-frac", type=float, default=0.2)
