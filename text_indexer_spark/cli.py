@@ -224,8 +224,36 @@ def cmd_clean(args) -> int:
         form = None if args.normalize == "ws" else args.normalize.upper()
         corpus = norm_op.normalize_text(corpus, text_col=text_col, form=form)
     n_in = corpus.count()
+    kept = corpus
+    if args.block_domains or args.block_words:
+        # C4 blocklist cuts run first: cheapest row-local/semi-join
+        # filters, and nothing downstream should ever see blocked docs
+        from text_indexer_spark.operators import urlfilter
+
+        id_col = "doc_id" if "doc_id" in kept.columns else None
+        if id_col is None:
+            parts = [
+                F.coalesce(F.col(c).cast("string"), F.lit(""))
+                for c in ("repo", "path")
+                if c in kept.columns
+            ]
+            parts.append(F.coalesce(F.col(text_col), F.lit("")))
+            kept = kept.withColumn("doc_id", F.xxhash64(*parts))
+        if args.block_domains:
+            bl = spark.read.parquet(args.block_domains)
+            kept = urlfilter.filter_blocked_domains(
+                kept, bl, text_col=text_col
+            )
+        if args.block_words:
+            kept = urlfilter.filter_blocked_words(
+                kept,
+                [w for w in args.block_words.split(",") if w.strip()],
+                text_col=text_col,
+            )
+        if id_col is None:
+            kept = kept.drop("doc_id")
     kept = textstats.filter_by_quality(
-        corpus, min_quality=args.min_quality, text_col=text_col
+        kept, min_quality=args.min_quality, text_col=text_col
     )
     kept = textstats.filter_by_repetition(
         kept,
@@ -873,6 +901,16 @@ def main(argv: list[str] | None = None) -> int:
     )
     cl.add_argument("--corpus", required=True)
     cl.add_argument("--out", required=True)
+    cl.add_argument(
+        "--block-domains", default=None,
+        help="parquet of blocked domains (first column); docs "
+        "mentioning a blocked domain or subdomain drop (C4 rule)",
+    )
+    cl.add_argument(
+        "--block-words", default=None,
+        help='comma-separated blocked words; docs containing any '
+        "(whole-token, case-folded) drop (C4 bad-words rule)",
+    )
     cl.add_argument(
         "--normalize", choices=["ws", "nfc", "nfkc"], default=None,
         help="canonicalize text before filtering: ws = whitespace/"
