@@ -50,7 +50,10 @@ runs inside in-window ``wand_bm25_topk``; ``multimodal_frames`` over
 ``bm25f_topk`` — the last two displaced by the quantize-rewrite
 re-admits; ``search_symbol`` over in-window ``symbol_postings``,
 displaced by the span-dedup admit).  They lead the tail order below.
-Resulting union freshness: 50 r5 + 44 r4 + 20 r3 = 114/114.  Of the
+Resulting union freshness: 50 r5 + 44 r4 + 20 r3 = 114/114 (the
+115th gate, ``ann_ivf_upsert_topk`` — the maintained IVF vector store,
+new late in r5 — registers OUTSIDE the window so it displaces nothing;
+it is oracle-replayed at HEAD like every other gate).  Of the
 111 pre-existing gates, 91 end the round ≤1 round stale (47 in the r5
 window + 44 still r4-green); the 20 two-rounds-stale r3 gates are
 exactly the documented thin variants above.  A few more r3 heads
@@ -59,7 +62,7 @@ changed-code-first / new-operator-first rule: gates whose code
 changed after their r4 row (including the two whose quantizer was
 rewritten this round) and the three operators new this round outrank
 unchanged thin variants.
-All 114 queries remain oracle-replayed at HEAD in
+All 115 queries remain oracle-replayed at HEAD in
 ``tests/test_driver_contract.py`` regardless of window position.
 """
 

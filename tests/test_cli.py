@@ -446,6 +446,58 @@ def test_cli_ann_lifecycle(spark, tmp_path, capsys):
     with pytest.raises(SystemExit):
         cli.main(["ann-query", "--index", idx])
 
+    # --- maintenance: upsert (replace + insert), delete, compact,
+    # vacuum — the served view tracks the logical corpus throughout
+    rows2 = [
+        (i, [float(x) for x in rng.normal(size=8)]) for i in range(55, 70)
+    ]
+    src2 = str(tmp_path / "emb2")
+    spark.createDataFrame(
+        rows2, "vec_id long, embedding array<float>"
+    ).write.parquet(src2)
+    rc = cli.main([
+        "--master", "local[4]", "ann-upsert", "--index", idx,
+        "--embeddings", src2, "--delete-ids", "3,4",
+    ])
+    assert rc == 0
+    up = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert up["version"] == 2 and up["n_upserts"] == 15 and up["n_deletes"] == 2
+
+    logical = (
+        emb.filter(~F.col("vec_id").isin(3, 4))
+        .filter(F.col("vec_id") < 55)
+        .unionByName(spark.read.parquet(src2))
+    )
+    brute2 = {
+        (r["query_id"], r["vec_id"], r["cos"])
+        for r in cosine_topk(logical, queries, k=5).collect()
+    }
+    rc = cli.main([
+        "--master", "local[4]", "ann-query", "--index", idx,
+        "--query-ids", "0,1", "-k", "5", "--n-probe", "4",
+    ])
+    assert rc == 0
+    hits2 = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert {(h["query_id"], h["vec_id"], h["cos"]) for h in hits2} == brute2
+
+    rc = cli.main(["--master", "local[4]", "ann-compact", "--index", idx])
+    assert rc == 0
+    assert json.loads(capsys.readouterr().out.strip().splitlines()[-1])["version"] == 3
+    rc = cli.main([
+        "--master", "local[4]", "vacuum", "--ann-index", idx,
+        "--keep-last", "1",
+    ])
+    assert rc == 0
+    removed = json.loads(capsys.readouterr().out.strip().splitlines()[-1])["removed"]
+    assert "seg_000002" in removed
+    rc = cli.main([
+        "--master", "local[4]", "ann-query", "--index", idx,
+        "--query-ids", "0,1", "-k", "5", "--n-probe", "4",
+    ])
+    assert rc == 0
+    hits3 = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert {(h["query_id"], h["vec_id"], h["cos"]) for h in hits3} == brute2
+
 
 def test_cli_bpe_train_encode(spark, tmp_path, capsys):
     """bpe-train persists the rank-ordered merge list; bpe-encode

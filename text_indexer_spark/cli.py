@@ -393,8 +393,12 @@ def cmd_ann_query(args) -> int:
         queries = spark.read.parquet(args.queries)
     else:
         ids = [int(x) for x in args.query_ids.split(",")]
+        from text_indexer_spark.operators.vecstore import resolved_vectors
+
+        # the LIVE view, not the base segment — query-by-example must
+        # see upserted vectors and must not resurrect deleted ones
         queries = (
-            spark.read.parquet(storage.join(args.index, "vectors"))
+            resolved_vectors(spark, args.index)
             .filter(F.col("vec_id").isin(ids))
             .select(
                 F.col("vec_id").alias("query_id"),
@@ -408,6 +412,48 @@ def cmd_ann_query(args) -> int:
         print(json.dumps({
             "query_id": r["query_id"], "vec_id": r["vec_id"], "cos": r["cos"],
         }))
+    return 0
+
+
+def cmd_ann_upsert(args) -> int:
+    """Commit a change set against a persisted IVF index: replace /
+    insert the vectors in ``--embeddings``, remove ``--delete-ids`` —
+    one immutable cid-partitioned delta segment plus a tombstone list;
+    the base is never rewritten (``operators/vecstore.py``)."""
+    from text_indexer_spark.operators.vecstore import ivf_upsert
+
+    spark = _spark(args)
+    if not args.embeddings and not args.delete_ids:
+        raise SystemExit(
+            "ann-upsert: pass --embeddings and/or --delete-ids"
+        )
+    ups = spark.read.parquet(args.embeddings) if args.embeddings else None
+    dels = None
+    if args.delete_ids:
+        ids = [int(x) for x in args.delete_ids.split(",")]
+        dels = spark.createDataFrame([(i,) for i in ids], "vec_id long")
+    version = ivf_upsert(spark, args.index, ups, dels)
+    print(json.dumps({
+        "index": args.index, "version": version,
+        "n_upserts": ups.count() if ups is not None else 0,
+        "n_deletes": dels.count() if dels is not None else 0,
+    }))
+    return 0
+
+
+def cmd_ann_compact(args) -> int:
+    """Fold the IVF segment chain back into one base segment (and with
+    ``--retrain`` re-fit the coarse quantizer on the live corpus) —
+    the answer to tombstone-chain growth and assignment drift after
+    heavy upserting."""
+    from text_indexer_spark.operators.vecstore import ivf_compact
+
+    spark = _spark(args)
+    version = ivf_compact(spark, args.index, retrain=args.retrain)
+    print(json.dumps({
+        "index": args.index, "version": version,
+        "retrained": bool(args.retrain),
+    }))
     return 0
 
 
@@ -727,16 +773,20 @@ def cmd_vacuum(args) -> int:
     which also compacts nothing: seen-id delta compaction is the
     maintenance's own job)."""
     targets = [args.versions, args.line_counts, args.registry_state,
-               args.trigram]
+               args.trigram, args.ann_index]
     if not any(targets):
         raise SystemExit(
-            "vacuum: pass --versions, --line-counts, --registry-state "
-            "or --trigram"
+            "vacuum: pass --versions, --line-counts, --registry-state, "
+            "--trigram or --ann-index"
         )
     if args.trigram:
         from text_indexer_spark.operators.trigram import trigram_vacuum
 
         removed = trigram_vacuum(args.trigram, keep_versions=args.keep_last)
+    elif args.ann_index:
+        from text_indexer_spark.operators.vecstore import ivf_vacuum
+
+        removed = ivf_vacuum(args.ann_index, keep_versions=args.keep_last)
     elif args.line_counts:
         from text_indexer_spark.streaming.linecount_stream import (
             vacuum_line_counts,
@@ -958,6 +1008,31 @@ def main(argv: list[str] | None = None) -> int:
     aq.add_argument("--n-probe", type=int, default=2)
     aq.set_defaults(fn=cmd_ann_query)
 
+    au = sub.add_parser(
+        "ann-upsert",
+        help="commit a change set (replace/insert + delete) against a "
+        "persisted IVF index without rewriting the base",
+    )
+    au.add_argument("--index", required=True)
+    au.add_argument(
+        "--embeddings", default=None,
+        help="parquet (vec_id, embedding) to insert or replace",
+    )
+    au.add_argument(
+        "--delete-ids", default=None,
+        help="comma-separated vec_ids to remove",
+    )
+    au.set_defaults(fn=cmd_ann_upsert)
+
+    ac = sub.add_parser(
+        "ann-compact",
+        help="fold the IVF segment chain into one base segment "
+        "(optionally retrain the coarse quantizer on the live corpus)",
+    )
+    ac.add_argument("--index", required=True)
+    ac.add_argument("--retrain", action="store_true")
+    ac.set_defaults(fn=cmd_ann_compact)
+
     dl = sub.add_parser(
         "dedup-lines",
         help="remove lines shared across >=N docs (C4 boilerplate rule)",
@@ -1097,6 +1172,11 @@ def main(argv: list[str] | None = None) -> int:
         "--trigram",
         help="committed trigram index directory: delete segments/"
         "tombstones/manifests no kept manifest references",
+    )
+    v.add_argument(
+        "--ann-index",
+        help="persisted IVF vector store: delete segments/tombstones/"
+        "manifests no kept manifest references",
     )
     v.add_argument("--keep-last", type=int, default=2)
     v.set_defaults(fn=cmd_vacuum)

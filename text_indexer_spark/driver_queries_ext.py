@@ -574,6 +574,68 @@ def q_ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk_indexed(spark, _IVF_INDEX_CACHE[sf_dir], queries, k=10, n_probe=4)
 
 
+_IVF_UPSERT_CACHE: dict[str, str] = {}
+
+
+def q_ann_ivf_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF serving through the MAINTAINED store (``vecstore.py``): the
+    base ingest carries STALE embeddings for ids ≡2 (mod 4) and is
+    missing ids ≡3 (mod 4); upsert v2 replaces the stale vectors and
+    inserts the missing ones, upsert v3 deletes ids ≡6 (mod 7) — three
+    committed versions, segment/tombstone resolution at read.  Full
+    probe → the served result must equal brute force over the LOGICAL
+    corpus (embeddings minus the deletes), which is what the oracle
+    computes; stale rows surviving, replaced rows duplicated, or
+    deleted rows resurrected all hash-mismatch."""
+    from text_indexer_spark.operators.similarity import (
+        ivf_ingest,
+        ivf_topk_indexed,
+    )
+    from text_indexer_spark.operators.vecstore import ivf_upsert
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()["embedding"])
+    if sf_dir not in _IVF_UPSERT_CACHE:
+        idx = tempfile.mkdtemp(prefix="driver_ivf_upsert_idx_")
+        base = emb.filter(F.col("vec_id") % 4 != 3).withColumn(
+            "embedding",
+            F.when(
+                F.col("vec_id") % 4 == 2, F.reverse(F.col("embedding"))
+            ).otherwise(F.col("embedding")),
+        )
+        ivf_ingest(base, idx, dim, n_centroids=4)
+        ivf_upsert(
+            spark, idx, emb.filter(F.col("vec_id") % 4 >= 2)
+        )
+        ivf_upsert(
+            spark, idx, None,
+            emb.filter(F.col("vec_id") % 7 == 6).select("vec_id"),
+        )
+        _IVF_UPSERT_CACHE[sf_dir] = idx
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return ivf_topk_indexed(
+        spark, _IVF_UPSERT_CACHE[sf_dir], queries, k=10, n_probe=4
+    )
+
+
+def sql_ann_upsert_topk() -> str:
+    # brute force over the logical corpus the maintained store must
+    # serve: every embedding except the deleted ids (≡6 mod 7)
+    return f"""
+SELECT q.vec_id AS query_id, e.vec_id,
+       round(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), {ROUND}) AS cos
+FROM (SELECT * FROM embeddings WHERE vec_id % 7 <> 6) e
+JOIN (SELECT * FROM embeddings WHERE vec_id < 5) q ON e.vec_id <> q.vec_id
+QUALIFY row_number() OVER (
+  PARTITION BY q.vec_id
+  ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), {ROUND}) DESC,
+           e.vec_id ASC
+) <= 10
+"""
+
+
 # ---------------------------------------------------------------- textstats
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     from text_indexer_spark.unicode_fixture import docs_with_fixture
@@ -2099,6 +2161,7 @@ def queries():
         "ann_ivf_int8_full_probe": q_ann_ivf_int8,
         "ann_ivf_full_probe": q_ann_ivf_full,
         "ann_ivf_indexed_full_probe": q_ann_ivf_indexed,
+        "ann_ivf_upsert_topk": q_ann_ivf_upsert,
         "lang_id": q_lang_id,
         "lang_id_nb": q_lang_id_nb,
         "quality_scores": q_quality,
@@ -2164,6 +2227,7 @@ def oracle_sql():
         "ann_ivf_int8_full_probe": sql_ann_topk(),
         "ann_ivf_full_probe": sql_ann_topk(),
         "ann_ivf_indexed_full_probe": sql_ann_topk(),
+        "ann_ivf_upsert_topk": sql_ann_upsert_topk(),
         "lang_id": _ufix(sql_lang_id()),
         "lang_id_nb": sql_lang_id_nb(),
         "quality_scores": _ufix(sql_quality()),

@@ -620,9 +620,12 @@ def ivf_topk_indexed(
     # the scan filter is a LITERAL in-list — that is what lets Catalyst
     # prune partitions at plan time instead of scanning + filtering
     probe_cids = sorted({r["cid"] for r in q.select("cid").distinct().collect()})
-    vectors = spark.read.parquet(storage.join(index_dir, "vectors")).filter(
-        F.col("cid").isin(probe_cids)
-    )
+    # resolved view = segment union minus tombstones (vecstore.py); a
+    # never-upserted ivf_ingest layout short-circuits to the plain
+    # pruned scan, so the batch path keeps its exact pre-maintenance plan
+    from text_indexer_spark.operators.vecstore import resolved_vectors
+
+    vectors = resolved_vectors(spark, index_dir, probe_cids, id_col=id_col)
     scored = (
         vectors.join(F.broadcast(q), "cid")
         .filter(F.col(id_col) != F.col("query_id"))
@@ -676,9 +679,9 @@ def ivf_topk_indexed_int8(
         "query_id", "query_vec", F.explode(probes(F.col("query_vec"))).alias("cid")
     )
     probe_cids = sorted({r["cid"] for r in q.select("cid").distinct().collect()})
-    vectors = spark.read.parquet(storage.join(index_dir, "vectors")).filter(
-        F.col("cid").isin(probe_cids)
-    )
+    from text_indexer_spark.operators.vecstore import resolved_vectors
+
+    vectors = resolved_vectors(spark, index_dir, probe_cids, id_col=id_col)
     qn = _unit_queries(queries)
     pairs = (
         vectors.select(id_col, "qvec", "scale", "cid")
