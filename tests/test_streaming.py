@@ -1016,3 +1016,126 @@ def test_vacuum_line_counts_retention(spark, tmp_path):
     )
     # idempotent
     assert vacuum_line_counts(counts_dir, keep_last=2) == []
+
+
+# --------------------------------------------------------- vector store
+def _vec_rows(ids, shift=0.0):
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    all_vecs = {i: rng.normal(size=6) for i in range(64)}
+    return {i: [float(x + shift) for x in all_vecs[i]] for i in ids}
+
+
+def test_stream_vector_maintenance_equals_logical_corpus(spark, tmp_path):
+    """Streamed vector upserts + tombstones into the committed IVF
+    store ≡ the logical corpus: within-batch last-write-wins by
+    event_time, cross-batch replace/delete via the store's segment +
+    tombstone merge — same differential discipline as the trigram and
+    postings stream maintenances."""
+    import datetime as dt
+
+    from text_indexer_spark.operators.similarity import ivf_ingest
+    from text_indexer_spark.operators.vecstore import resolved_vectors
+    from text_indexer_spark.streaming.vector_stream import (
+        run_stream_vector_maintenance,
+    )
+
+    t0 = dt.datetime(2026, 1, 1)
+    idx = str(tmp_path / "ivf")
+    base = _vec_rows(range(8))
+    ivf_ingest(
+        spark.createDataFrame(
+            [(i, v) for i, v in base.items()],
+            "vec_id long, embedding array<float>",
+        ),
+        idx, 6, n_centroids=2,
+    )
+
+    schema = (
+        "vec_id long, embedding array<float>, "
+        "event_time timestamp, deleted boolean"
+    )
+    stale = _vec_rows([2], shift=5.0)
+    fresh = _vec_rows([2, 8, 9])
+    drop = str(tmp_path / "drops")
+    os.makedirs(drop)
+    # one batch: id 2 upserted twice (stale then fresh — event_time
+    # decides), ids 8/9 inserted, id 5 deleted
+    spark.createDataFrame(
+        [
+            (2, stale[2], t0, False),
+            (2, fresh[2], t0 + dt.timedelta(seconds=5), False),
+            (8, fresh[8], t0, False),
+            (9, fresh[9], t0, None),  # NULL deleted = upsert
+            (5, None, t0, True),
+        ],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(drop)
+
+    q, ver = run_stream_vector_maintenance(
+        spark, drop, str(tmp_path / "ck1"), idx
+    )
+    q.awaitTermination(120)
+    assert ver() == 2
+
+    expected = {**{i: v for i, v in base.items() if i != 5}, **fresh}
+    got = {
+        r["vec_id"]: [round(x, 5) for x in r["embedding"]]
+        for r in resolved_vectors(spark, idx).collect()
+    }
+    assert got == {i: [round(x, 5) for x in v] for i, v in expected.items()}
+
+
+def test_vector_stream_replay_is_effect_idempotent(spark, tmp_path):
+    """Crash-replay window: redelivering the same micro-batch commits a
+    redundant version but the served view is unchanged (replace
+    semantics) — the same guarantee the index and trigram stream
+    maintenances test, NOT the additive line-count case."""
+    import datetime as dt
+
+    from text_indexer_spark.operators.similarity import ivf_ingest
+    from text_indexer_spark.operators.vecstore import resolved_vectors
+    from text_indexer_spark.streaming.vector_stream import (
+        run_stream_vector_maintenance,
+    )
+
+    t0 = dt.datetime(2026, 1, 1)
+    idx = str(tmp_path / "ivf")
+    base = _vec_rows(range(6))
+    ivf_ingest(
+        spark.createDataFrame(
+            [(i, v) for i, v in base.items()],
+            "vec_id long, embedding array<float>",
+        ),
+        idx, 6, n_centroids=2,
+    )
+    schema = (
+        "vec_id long, embedding array<float>, "
+        "event_time timestamp, deleted boolean"
+    )
+    fresh = _vec_rows([1, 10])
+    drop = str(tmp_path / "drops")
+    os.makedirs(drop)
+    spark.createDataFrame(
+        [(1, fresh[1], t0, False), (10, fresh[10], t0, False),
+         (3, None, t0, True)],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(drop)
+
+    q, ver = run_stream_vector_maintenance(spark, drop, str(tmp_path / "ck1"), idx)
+    q.awaitTermination(120)
+    v1 = ver()
+    once = sorted(
+        (r["vec_id"], tuple(round(x, 5) for x in r["embedding"]))
+        for r in resolved_vectors(spark, idx).collect()
+    )
+    # replay: fresh checkpoint, same drop dir
+    q2, ver2 = run_stream_vector_maintenance(spark, drop, str(tmp_path / "ck2"), idx)
+    q2.awaitTermination(120)
+    assert ver2() > v1  # replay burned a version...
+    twice = sorted(
+        (r["vec_id"], tuple(round(x, 5) for x in r["embedding"]))
+        for r in resolved_vectors(spark, idx).collect()
+    )
+    assert twice == once  # ...but the served vectors are unchanged
