@@ -579,10 +579,15 @@ def ivf_ingest(
         # (id, embedding) for the candidate sliver (ReadSchema-asserted)
         q = quantize_int8(embeddings, id_col, vec_col)
         rows = rows.join(q, id_col)
-    (
-        rows.write.mode("overwrite")
-        .partitionBy("cid")
-        .parquet(storage.join(index_dir, "vectors"))
+    # range-partition on (cid, id) before the partitionBy write: ~1
+    # file per inverted-list directory, hot cells split across ranges
+    # (same layout rule as trigram segments and vecstore deltas) —
+    # instead of one file per upstream partition per cid, which
+    # measurably slows every probe (BENCH/vecstore_maint.json)
+    from text_indexer_spark.operators.vecstore import _write_segment
+
+    _write_segment(
+        rows.sparkSession, rows, storage.join(index_dir, "vectors"), id_col
     )
     storage.write_json_atomic(
         storage.join(index_dir, "centroids.json"),

@@ -148,6 +148,21 @@ def resolved_vectors(
     )
 
 
+def _write_segment(spark, rows: DataFrame, seg_dir: str, id_col: str) -> None:
+    """Write one immutable cid-partitioned segment with a bounded file
+    count: range-repartition on (cid, id) first, so each inverted-list
+    directory gets ~1 file (hot cells split across ranges — the same
+    layout rule as the trigram segments) instead of one file per
+    upstream shuffle partition per cid.  Measured: a compacted segment
+    written straight from the resolved view's join partitioning carried
+    ~shuffle_partitions×n_centroids tiny files and served ~40 % SLOWER
+    than the 4-segment chain it replaced (BENCH/vecstore_maint.json);
+    this write fixed it."""
+    rows.repartitionByRange(
+        spark.sparkContext.defaultParallelism, "cid", id_col
+    ).write.mode("overwrite").partitionBy("cid").parquet(seg_dir)
+
+
 def ivf_upsert(
     spark,
     index_dir: str,
@@ -212,9 +227,7 @@ def ivf_upsert(
         if meta.get("quantized"):
             rows = rows.join(quantize_int8(upserts, id_col, vec_col), id_col)
         seg = f"seg_{version:06d}"
-        rows.write.mode("overwrite").partitionBy("cid").parquet(
-            storage.join(index_dir, seg)
-        )
+        _write_segment(spark, rows, storage.join(index_dir, seg), id_col)
         segments[seg] = version
 
     tombstones = dict(m.get("tombstones", {}))
@@ -288,9 +301,7 @@ def ivf_compact(
             {**meta, "centroids": centroids},
         )
     seg = f"seg_{version:06d}"
-    live.write.mode("overwrite").partitionBy("cid").parquet(
-        storage.join(index_dir, seg)
-    )
+    _write_segment(spark, live, storage.join(index_dir, seg), id_col)
     _commit(index_dir, ptr, version, {"segments": {seg: version}, "tombstones": {}})
     return version
 
