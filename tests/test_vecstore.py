@@ -204,3 +204,80 @@ def test_legacy_layout_reads_unchanged(spark, tmp_path):
     live = resolved_vectors(spark, idx)
     assert live.count() == 20
     assert "Join" not in live._jdf.queryExecution().executedPlan().toString()
+
+
+def test_retrain_quantizer_is_versioned_and_crash_safe(spark, store, monkeypatch):
+    """A retraining compaction must never leave probes using a
+    quantizer the committed rows were not assigned with: the new
+    centroids go to a VERSIONED file referenced by the manifest
+    (bootstrap centroids.json immutable), committed by the same atomic
+    swap as the segment — a crash before the swap leaves the old
+    version serving exactly as before."""
+    import text_indexer_spark.operators.vecstore as vs
+
+    _apply_changes(spark, store)
+    boot = storage.read_json(storage.join(store, "centroids.json"))
+    queries = _mk(spark, [0, 1]).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    before = sorted(
+        map(tuple, ivf_topk_indexed(spark, store, queries, k=5, n_probe=4).collect())
+    )
+
+    # crash window: everything written, LATEST swap never happens
+    real_commit = vs._commit
+    def boom(*a, **k):
+        raise RuntimeError("crash before pointer swap")
+    monkeypatch.setattr(vs, "_commit", boom)
+    with pytest.raises(RuntimeError, match="crash before pointer swap"):
+        ivf_compact(spark, store, retrain=True)
+    monkeypatch.setattr(vs, "_commit", real_commit)
+
+    # old version intact: bootstrap untouched, reader resolves the OLD
+    # quantizer, served rows unchanged; the orphan centroids_v/seg_ are
+    # above the pointer (never vacuumed, overwritten by the retry)
+    assert storage.read_json(storage.join(store, "centroids.json")) == boot
+    assert vs.current_centroids(store)["centroids"] == boot["centroids"]
+    mid = sorted(
+        map(tuple, ivf_topk_indexed(spark, store, queries, k=5, n_probe=4).collect())
+    )
+    assert mid == before
+
+    # retry succeeds; manifest references the versioned quantizer and
+    # the bootstrap file still holds the ORIGINAL ingest-time centroids
+    v = ivf_compact(spark, store, retrain=True)
+    m = storage.read_json(storage.join(store, f"manifest_v{v:06d}.json"))
+    assert m["centroids_file"] == f"centroids_v{v:06d}.json"
+    assert storage.read_json(storage.join(store, "centroids.json")) == boot
+    assert (
+        vs.current_centroids(store)["centroids"]
+        != boot["centroids"]
+    )
+    after = sorted(
+        map(tuple, ivf_topk_indexed(spark, store, queries, k=5, n_probe=4).collect())
+    )
+    assert after == before  # full probe: geometry changes nothing
+
+    # a later upsert + plain compact carry the versioned quantizer
+    # forward; vacuum keeps the referenced file, sweeps nothing above
+    # the pointer, and drops it only once unreferenced
+    cfile = m["centroids_file"]
+    ivf_upsert(spark, store, _mk(spark, [90]))
+    m2 = storage.read_json(
+        storage.join(store, f"manifest_v{v + 1:06d}.json")
+    )
+    assert m2["centroids_file"] == cfile
+    ivf_compact(spark, store)
+    assert storage.read_json(
+        storage.join(store, f"manifest_v{v + 2:06d}.json")
+    )["centroids_file"] == cfile
+    removed = ivf_vacuum(store, keep_versions=1)
+    assert cfile not in removed
+    assert storage.exists(storage.join(store, cfile))
+    v2 = ivf_compact(spark, store, retrain=True)  # supersedes cfile
+    removed = ivf_vacuum(store, keep_versions=1)
+    assert cfile in removed
+    assert storage.exists(
+        storage.join(store, f"centroids_v{v2:06d}.json")
+    )

@@ -405,7 +405,9 @@ def cmd_ann_query(args) -> int:
                 F.col("embedding").alias("query_vec"),
             )
         )
-    meta = storage.read_json(storage.join(args.index, "centroids.json")) or {}
+    from text_indexer_spark.operators.vecstore import current_centroids
+
+    meta = current_centroids(args.index)
     serve = ivf_topk_indexed_int8 if meta.get("quantized") else ivf_topk_indexed
     hits = serve(spark, args.index, queries, k=args.k, n_probe=args.n_probe)
     for r in hits.orderBy("query_id", F.desc("cos"), "vec_id").collect():

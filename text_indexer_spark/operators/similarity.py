@@ -611,11 +611,12 @@ def ivf_topk_indexed(
     partitioned parquet — Spark prunes unprobed list directories at
     planning time (no IO, no decode; PartitionFilters in the plan).
     Same output shape/semantics as ``ivf_topk``."""
-    from text_indexer_spark import storage
+    from text_indexer_spark.operators.vecstore import current_centroids
 
-    meta = storage.read_json(storage.join(index_dir, "centroids.json"))
-    if meta is None:
-        raise FileNotFoundError(f"no centroids.json under {index_dir}")
+    # resolve through the manifest: a retraining compaction versions
+    # the quantizer, and probes must use the one the COMMITTED rows
+    # were assigned with
+    meta = current_centroids(index_dir)
     centroids = meta["centroids"]
     probes = _centroid_probes_udf(centroids, n_probe)
     q = queries.select(
@@ -669,11 +670,9 @@ def ivf_topk_indexed_int8(
     With a full probe the result is byte-identical to brute force
     (both stages are lossless); with a partial probe the recall loss is
     exactly the IVF probe's — the int8 stage never adds any."""
-    from text_indexer_spark import storage
+    from text_indexer_spark.operators.vecstore import current_centroids
 
-    meta = storage.read_json(storage.join(index_dir, "centroids.json"))
-    if meta is None:
-        raise FileNotFoundError(f"no centroids.json under {index_dir}")
+    meta = current_centroids(index_dir)
     if not meta.get("quantized"):
         raise ValueError(
             "index was not ingested with quantize=True — use ivf_topk_indexed"

@@ -80,6 +80,26 @@ def _manifest(index_dir: str) -> tuple[int, int, dict]:
     return 0, 0, {"segments": {}, "tombstones": {}}
 
 
+def current_centroids(index_dir: str) -> dict:
+    """The coarse-quantizer metadata the CURRENT committed version was
+    assigned with: the manifest's ``centroids_file`` when present (a
+    retraining compaction versions the quantizer — see
+    :func:`ivf_compact`), else the bootstrap ``centroids.json`` from
+    ``ivf_ingest``.  Readers and writers must resolve through here, not
+    read ``centroids.json`` directly: the bootstrap file is immutable
+    after ingest precisely so that a crash mid-retrain can never leave
+    probes computed against a quantizer the committed rows were not
+    assigned with."""
+    _, version, m = _manifest(index_dir)
+    if version == 0:
+        raise FileNotFoundError(f"no vector store under {index_dir}")
+    name = m.get("centroids_file", "centroids.json")
+    meta = storage.read_json(storage.join(index_dir, name))
+    if meta is None:
+        raise FileNotFoundError(f"no {name} under {index_dir}")
+    return meta
+
+
 def _commit(index_dir: str, ptr: int, version: int, manifest: dict) -> None:
     storage.write_json_atomic(
         storage.join(index_dir, f"manifest_v{version:06d}.json"), manifest
@@ -193,9 +213,7 @@ def ivf_upsert(
         quantize_int8,
     )
 
-    meta = storage.read_json(storage.join(index_dir, "centroids.json"))
-    if meta is None:
-        raise FileNotFoundError(f"no centroids.json under {index_dir}")
+    meta = current_centroids(index_dir)
     ptr, cur, m = _manifest(index_dir)
     if cur == 0:
         raise FileNotFoundError(f"no vector store under {index_dir}")
@@ -240,12 +258,10 @@ def ivf_upsert(
         dead.write.mode("overwrite").parquet(storage.join(index_dir, ts))
         tombstones[ts] = version
 
-    _commit(
-        index_dir,
-        ptr,
-        version,
-        {"segments": segments, "tombstones": tombstones},
-    )
+    new_m = {"segments": segments, "tombstones": tombstones}
+    if "centroids_file" in m:  # carry the versioned quantizer forward
+        new_m["centroids_file"] = m["centroids_file"]
+    _commit(index_dir, ptr, version, new_m)
     return version
 
 
@@ -263,17 +279,27 @@ def ivf_compact(
     ``retrain=True`` additionally re-fits the coarse quantizer on the
     LIVE corpus (Lloyd refinement seeded from the current centroids)
     and reassigns every vector — the answer to assignment drift after
-    heavy upserting.  Old segments stay on disk until
-    :func:`ivf_vacuum`; the LATEST swap is atomic.
+    heavy upserting.  The retrained quantizer is written as a NEW
+    versioned file (``centroids_v{V}.json``) referenced by the
+    manifest, committed by the same atomic LATEST swap as the segment:
+    a crash anywhere mid-compaction leaves the old version serving with
+    the quantizer its rows were actually assigned with (the bootstrap
+    ``centroids.json`` is never overwritten — found in self-review: the
+    original write-in-place left a crash window where probes used new
+    geometry against old assignments).  Old segments stay on disk until
+    :func:`ivf_vacuum`.
     """
     from text_indexer_spark.operators.similarity import _centroid_assign_udf
 
-    meta = storage.read_json(storage.join(index_dir, "centroids.json"))
-    ptr, cur, _ = _manifest(index_dir)
+    meta = current_centroids(index_dir)
+    ptr, cur, parent = _manifest(index_dir)
     if cur == 0:
         raise FileNotFoundError(f"no vector store under {index_dir}")
     live = resolved_vectors(spark, index_dir, id_col=id_col)
     version = cur + 1
+    new_m: dict = {"segments": {}, "tombstones": {}}
+    if "centroids_file" in parent:
+        new_m["centroids_file"] = parent["centroids_file"]
     if retrain:
         import numpy as np
 
@@ -296,13 +322,16 @@ def ivf_compact(
         live = live.drop("cid").withColumn(
             "cid", _centroid_assign_udf(centroids)(F.col(vec_col))
         )
+        cfile = f"centroids_v{version:06d}.json"
         storage.write_json_atomic(
-            storage.join(index_dir, "centroids.json"),
+            storage.join(index_dir, cfile),
             {**meta, "centroids": centroids},
         )
+        new_m["centroids_file"] = cfile
     seg = f"seg_{version:06d}"
     _write_segment(spark, live, storage.join(index_dir, seg), id_col)
-    _commit(index_dir, ptr, version, {"segments": {seg: version}, "tombstones": {}})
+    new_m["segments"] = {seg: version}
+    _commit(index_dir, ptr, version, new_m)
     return version
 
 
@@ -327,6 +356,8 @@ def ivf_vacuum(index_dir: str, keep_versions: int = 1) -> list[str]:
         if m:
             keep.update(m.get("segments", {}))
             keep.update(m.get("tombstones", {}))
+            if "centroids_file" in m:
+                keep.add(m["centroids_file"])
     removed: list[str] = []
     for name in storage.listdir(index_dir):
         if name.startswith(("seg_", "ts_")):
@@ -334,6 +365,14 @@ def ivf_vacuum(index_dir: str, keep_versions: int = 1) -> list[str]:
             if v > cur or name in keep:
                 continue
             storage.rmtree(storage.join(index_dir, name))
+            removed.append(name)
+        elif name.startswith("centroids_v") and name.endswith(".json"):
+            # versioned quantizers from retraining compactions; the
+            # bootstrap centroids.json is never touched
+            v = int(name[len("centroids_v") : -len(".json")])
+            if v > cur or name in keep:
+                continue
+            storage.remove_file(storage.join(index_dir, name))
             removed.append(name)
         elif name.startswith("manifest_v") and name.endswith(".json"):
             v = int(name[len("manifest_v") : -len(".json")])
