@@ -480,6 +480,12 @@ def test_cli_ann_lifecycle(spark, tmp_path, capsys):
     hits2 = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
     assert {(h["query_id"], h["vec_id"], h["cos"]) for h in hits2} == brute2
 
+    rc = cli.main(["--master", "local[4]", "ann-stats", "--index", idx])
+    assert rc == 0
+    st = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert st["n_segments"] == 2 and st["n_tombstone_lists"] == 1
+    assert st["n_live"] == 68 and st["quantized"] is True
+
     rc = cli.main(["--master", "local[4]", "ann-compact", "--index", idx])
     assert rc == 0
     assert json.loads(capsys.readouterr().out.strip().splitlines()[-1])["version"] == 3

@@ -281,3 +281,24 @@ def test_retrain_quantizer_is_versioned_and_crash_safe(spark, store, monkeypatch
     assert storage.exists(
         storage.join(store, f"centroids_v{v2:06d}.json")
     )
+
+
+def test_ivf_stats_reports_chain_and_balance(spark, store):
+    from text_indexer_spark.operators.vecstore import ivf_stats
+
+    _apply_changes(spark, store)
+    s = ivf_stats(spark, store)
+    assert s["version"] == 3
+    assert s["n_segments"] == 2  # base + the v2 delta (v3 was delete-only)
+    assert s["n_tombstone_lists"] == 2
+    assert s["n_live"] == 77  # 80 logical ids minus 3 deletes
+    # v2 tombstoned its 35 upserted ids (15 replacements ≡2 mod 4 in
+    # 0..59 + 20 inserts 60..79); v3 added the 3 deletes
+    assert s["n_tombstoned"] == 38
+    assert s["n_cells"] >= 1 and sum(s["cell_sizes"].values()) == 77
+    assert s["imbalance"] >= 1.0
+    assert s["quantized"] is False
+    v = ivf_compact(spark, store)
+    s2 = ivf_stats(spark, store)
+    assert (s2["version"], s2["n_segments"], s2["n_tombstone_lists"]) == (v, 1, 0)
+    assert s2["n_live"] == 77 and s2["n_tombstoned"] == 0

@@ -443,6 +443,17 @@ def cmd_ann_upsert(args) -> int:
     return 0
 
 
+def cmd_ann_stats(args) -> int:
+    """Store health: chain length, tombstone mass, per-cell live counts
+    and imbalance — the numbers that decide when to `ann-compact` (and
+    when to also `--retrain`)."""
+    from text_indexer_spark.operators.vecstore import ivf_stats
+
+    spark = _spark(args)
+    print(json.dumps(ivf_stats(spark, args.index)))
+    return 0
+
+
 def cmd_ann_compact(args) -> int:
     """Fold the IVF segment chain back into one base segment (and with
     ``--retrain`` re-fit the coarse quantizer on the live corpus) —
@@ -1025,6 +1036,14 @@ def main(argv: list[str] | None = None) -> int:
         help="comma-separated vec_ids to remove",
     )
     au.set_defaults(fn=cmd_ann_upsert)
+
+    ast = sub.add_parser(
+        "ann-stats",
+        help="IVF store health: chain length, tombstones, cell "
+        "imbalance (the compact/retrain signals)",
+    )
+    ast.add_argument("--index", required=True)
+    ast.set_defaults(fn=cmd_ann_stats)
 
     ac = sub.add_parser(
         "ann-compact",

@@ -335,6 +335,50 @@ def ivf_compact(
     return version
 
 
+def ivf_stats(spark, index_dir: str, id_col: str = "vec_id") -> dict:
+    """Operational health of the store — the numbers that decide WHEN
+    to compact (chain length, tombstone mass) and when to also retrain
+    (cell imbalance, which partial-probe recall degrades with):
+
+    * ``n_segments`` / ``n_tombstone_lists`` / ``version`` — chain
+      shape; reads pay one union + anti-merge per extra segment;
+    * ``n_live`` / ``n_tombstoned`` — live rows vs ids the merge
+      filters on every read (dead weight compaction reclaims);
+    * ``cell_sizes`` (per-cid live counts), ``imbalance`` — max cell /
+      mean cell; 1.0 is perfectly balanced, large values mean hot
+      cells dominate partial probes and the quantizer has drifted.
+
+    One job over the live view (count per cid — the aggregate is
+    n_centroids rows); tombstone counting is delta-sized.
+    """
+    _, version, m = _manifest(index_dir)
+    if version == 0:
+        raise FileNotFoundError(f"no vector store under {index_dir}")
+    cells = {
+        r["cid"]: r["n"]
+        for r in resolved_vectors(spark, index_dir, id_col=id_col)
+        .groupBy("cid")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    n_ts = 0
+    for name in m.get("tombstones", {}):
+        n_ts += spark.read.parquet(storage.join(index_dir, name)).count()
+    n_live = sum(cells.values())
+    mean = n_live / max(len(cells), 1)
+    return {
+        "version": version,
+        "n_segments": len(m["segments"]),
+        "n_tombstone_lists": len(m.get("tombstones", {})),
+        "n_live": n_live,
+        "n_tombstoned": n_ts,
+        "n_cells": len(cells),
+        "cell_sizes": dict(sorted(cells.items())),
+        "imbalance": round(max(cells.values()) / mean, 3) if cells else 0.0,
+        "quantized": bool(current_centroids(index_dir).get("quantized")),
+    }
+
+
 def ivf_vacuum(index_dir: str, keep_versions: int = 1) -> list[str]:
     """Delete segments, tombstones and manifests no version in the
     newest ``keep_versions`` window references — reachability, not age:
