@@ -60,7 +60,9 @@ def vector_change_stream(
     )
 
 
-def collapse_vector_batch(batch_df: DataFrame) -> tuple[DataFrame, DataFrame]:
+def collapse_vector_batch(
+    batch_df: DataFrame, checkpoint: bool = False
+) -> tuple[DataFrame, DataFrame]:
     """Within-batch collapse to (upserts, delete_ids): one row per
     vec_id — the newest by ``event_time`` wins, and whether it is an
     upsert or a delete decides which side the id lands on (disjoint by
@@ -88,6 +90,13 @@ def collapse_vector_batch(batch_df: DataFrame) -> tuple[DataFrame, DataFrame]:
         .groupBy("vec_id")
         .agg(F.max_by(F.struct("embedding", "_del"), order).alias("last"))
     )
+    if checkpoint:
+        # the two sides feed ivf_upsert's contract counts + assignment
+        # + segment/tombstone writes — materialize the (delta-sized)
+        # collapse once instead of re-aggregating per consuming job
+        # (same reason the line-count maintenance checkpoints its
+        # collapsed batch)
+        latest = latest.localCheckpoint(eager=True)
     upserts = latest.filter(~F.col("last._del")).select(
         "vec_id", F.col("last.embedding").alias("embedding")
     )
@@ -113,7 +122,7 @@ def run_stream_vector_maintenance(
     def apply_batch(batch_df, batch_id):
         if batch_df.isEmpty():
             return
-        upserts, delete_ids = collapse_vector_batch(batch_df)
+        upserts, delete_ids = collapse_vector_batch(batch_df, checkpoint=True)
         ups = None if upserts.isEmpty() else upserts
         dels = None if delete_ids.isEmpty() else delete_ids
         if ups is None and dels is None:
