@@ -161,6 +161,12 @@ def test_quantized_store_upsert_serves_int8_path(spark, tmp_path):
     got = ivf_topk_indexed_int8(spark, idx, queries, k=5, n_probe=4)
     exp = cosine_topk(logical, queries, k=5)
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, exp.collect()))
+    # retraining compaction on a QUANTIZED store: qvec/scale quantize
+    # the vector itself (centroid-independent), so they survive the
+    # reassignment and the int8 bound path still serves exactly
+    ivf_compact(spark, idx, retrain=True)
+    got2 = ivf_topk_indexed_int8(spark, idx, queries, k=5, n_probe=4)
+    assert sorted(map(tuple, got2.collect())) == sorted(map(tuple, exp.collect()))
 
 
 def test_upsert_contracts(spark, store):
