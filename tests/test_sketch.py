@@ -183,3 +183,20 @@ def test_heavy_hitters_items_shingle_stream(spark):
     total = sum(cnt.values())
     thr = math.ceil(0.05 * total)
     assert got == {i: c for i, c in cnt.items() if c >= thr}
+
+
+def test_heavy_hitters_null_items_excluded_consistently(spark):
+    """NULL items (e.g. failed host parses in a URL stream) must not
+    inflate the φ·N threshold: they are uncountable by both passes, so
+    they are excluded from the stream AND from N. With nulls counted
+    into N, 'b' (6/12 non-null items) would miss a 0.5 cut computed
+    over 18 rows; the contract says it passes."""
+    from text_indexer_spark.operators.sketch import heavy_hitters_items
+
+    rows = [("b",)] * 6 + [("a",)] * 4 + [("c",)] * 2 + [(None,)] * 6
+    items = spark.createDataFrame(rows, "item string").repartition(3)
+    got = {
+        (r["item"], r["n"])
+        for r in heavy_hitters_items(items, min_frac=0.5).collect()
+    }
+    assert got == {("b", 6)}

@@ -86,10 +86,17 @@ def mg_summaries_items(items: DataFrame, k: int) -> DataFrame:
     per partition plus one sentinel row (``item IS NULL``) carrying the
     partition's accumulated ``err`` and exact ``n_tokens``.  Zero
     shuffle; Arrow-batched.  The first column is the item; any other
-    columns are ignored."""
+    columns are ignored.  NULL items are excluded from the stream —
+    and from ``n_tokens`` — BEFORE sketching: ``value_counts`` (pass 1)
+    and the semi-join (pass 2) both drop nulls, so counting them into
+    N would inflate every φ·N threshold with rows no item can ever
+    match (real in the URL/domain streams, where a failed host parse
+    yields NULL)."""
     if k < 1:
         raise ValueError("k must be >= 1")
-    tokens = items.select(F.col(items.columns[0]).alias("item"))
+    tokens = items.select(F.col(items.columns[0]).alias("item")).filter(
+        F.col("item").isNotNull()
+    )
 
     def run(batches: Iterator) -> Iterator:
         import pandas as pd
@@ -148,7 +155,10 @@ def heavy_hitters_items(
         raise ValueError("min_frac must be in (0, 1]")
     if k is None:
         k = min(int(math.ceil(2.0 / min_frac)), 100_000)
-    tokens = items.select(F.col(items.columns[0]).alias("item"))
+    # same null contract as the sketch: N counts countable items only
+    tokens = items.select(F.col(items.columns[0]).alias("item")).filter(
+        F.col("item").isNotNull()
+    )
     summ = mg_summaries_items(tokens, k).localCheckpoint(eager=True)
     totals = summ.groupBy().agg(
         F.sum("err").alias("total_err"), F.sum("n_tokens").alias("n_total")
