@@ -17,15 +17,16 @@ from text_indexer_spark.operators import normalize
 def _py_norm(t: str | None, form: str | None = None) -> str | None:
     if t is None:
         return None
-    out = re.sub("\r\n?", "\n", t)
+    out = t
+    if form:  # form FIRST: NFKC folds NBSP/fullwidth spaces to U+0020,
+        # which the whitespace tier must then collapse
+        out = unicodedata.normalize(form, out)
+    out = re.sub("\r\n?", "\n", out)
     out = re.sub("[\x00-\x08\x0b\x0c\x0e-\x1f\x7f\x80-\x9f]", "", out)
     out = re.sub("[ \t\x0b\f]+", " ", out)
     out = re.sub(" ?\n ?", "\n", out)
     out = re.sub("\n{3,}", "\n\n", out)
-    out = out.strip()
-    if form:
-        out = unicodedata.normalize(form, out)
-    return out
+    return out.strip()
 
 
 FIXTURES = [
@@ -37,6 +38,7 @@ FIXTURES = [
     "too\n\n\n\n\nmany blank lines",
     "  padded at the ends  ",
     "ﬁ ligature ＆ ｆｕｌｌｗｉｄｔｈ ２３",  # NFKC folds these
+    "nbsp\u00a0\u00a0run and fullwidth\u3000\u3000spaces",  # NFKC → U+0020 runs the ws tier must collapse
     "café combining accent",  # NFC composes this
     "",
     None,

@@ -65,27 +65,34 @@ def normalize_text(
 ) -> DataFrame:
     """The corpus with ``text_col`` canonicalized in place (same
     schema, same column order).  ``form`` adds the Unicode normal form
-    tier (``"NFC"``/``"NFKC"``/``"NFD"``/``"NFKD"``) AFTER the
-    whitespace tier; ``None`` (default) keeps the plan pure JVM."""
+    tier (``"NFC"``/``"NFKC"``/``"NFD"``/``"NFKD"``) BEFORE the
+    whitespace tier — NFKC itself introduces ASCII spaces (NBSP
+    U+00A0, fullwidth space U+3000 and friends fold to U+0020), so
+    form-last would leave fresh uncollapsed runs the whitespace pass
+    already ran past (found in self-review; order is now
+    form → whitespace, matching C4/CCNet practice).  ``None``
+    (default) keeps the plan pure JVM."""
     cols = corpus.columns
-    out = corpus.withColumn(
+    out = corpus
+    if form is not None:
+        if form not in ("NFC", "NFKC", "NFD", "NFKD"):
+            raise ValueError(
+                f"form must be NFC/NFKC/NFD/NFKD/None, got {form!r}"
+            )
+        schema = out.schema
+
+        def run(batches: Iterator) -> Iterator:
+            import unicodedata
+
+            for b in batches:
+                if len(b):
+                    b[text_col] = [
+                        unicodedata.normalize(form, t) if t is not None else None
+                        for t in b[text_col]
+                    ]
+                yield b
+
+        out = out.mapInPandas(run, schema)
+    return out.withColumn(
         text_col, normalize_whitespace_column(F.col(text_col))
-    )
-    if form is None:
-        return out.select(*cols)
-    if form not in ("NFC", "NFKC", "NFD", "NFKD"):
-        raise ValueError(f"form must be NFC/NFKC/NFD/NFKD/None, got {form!r}")
-    schema = out.schema
-
-    def run(batches: Iterator) -> Iterator:
-        import unicodedata
-
-        for b in batches:
-            if len(b):
-                b[text_col] = [
-                    unicodedata.normalize(form, t) if t is not None else None
-                    for t in b[text_col]
-                ]
-            yield b
-
-    return out.mapInPandas(run, schema).select(*cols)
+    ).select(*cols)
