@@ -663,3 +663,53 @@ def test_cli_hot_items(spark, tmp_path, capsys):
     assert {(l["item"], l["n"]) for l in lines} == {
         ("the", 30), ("common", 10), ("words", 10),
     }
+
+
+def test_cli_ann_sync_drains_drop_dir(spark, tmp_path, capsys):
+    """ann-sync: drop-dir feed → one committed store version; the
+    checkpoint makes a re-run a no-op (version unchanged), and the
+    served view reflects the upsert + delete."""
+    import numpy as np
+    import os
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(5)
+    rows = [(i, [float(x) for x in rng.normal(size=6)]) for i in range(20)]
+    src = str(tmp_path / "emb")
+    spark.createDataFrame(rows, "vec_id long, embedding array<float>").write.parquet(src)
+    idx = str(tmp_path / "ivf")
+    assert cli.main([
+        "--master", "local[4]", "ann-ingest", "--embeddings", src,
+        "--index", idx, "--centroids", "2",
+    ]) == 0
+    capsys.readouterr()
+
+    drop = str(tmp_path / "drops")
+    os.makedirs(drop)
+    import datetime as dt
+    t0 = dt.datetime(2026, 1, 1)
+    new_vec = [float(x) for x in rng.normal(size=6)]
+    spark.createDataFrame(
+        [(30, new_vec, t0, False), (3, None, t0, True)],
+        "vec_id long, embedding array<float>, event_time timestamp, deleted boolean",
+    ).coalesce(1).write.mode("append").parquet(drop)
+    ck = str(tmp_path / "ck")
+    assert cli.main([
+        "--master", "local[4]", "ann-sync", "--index", idx,
+        "--drop-dir", drop, "--checkpoint", ck,
+    ]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["version"] == 2
+
+    from text_indexer_spark.operators.vecstore import resolved_vectors
+    live = {r["vec_id"] for r in resolved_vectors(spark, idx).collect()}
+    assert 30 in live and 3 not in live and len(live) == 20
+
+    # re-run: checkpoint suppresses the processed file -> no new version
+    assert cli.main([
+        "--master", "local[4]", "ann-sync", "--index", idx,
+        "--drop-dir", drop, "--checkpoint", ck,
+    ]) == 0
+    out2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out2["version"] == 0  # no batch seen this run
+    assert {r["vec_id"] for r in resolved_vectors(spark, idx).collect()} == live

@@ -443,6 +443,29 @@ def cmd_ann_upsert(args) -> int:
     return 0
 
 
+def cmd_ann_sync(args) -> int:
+    """Drain a vector upsert/tombstone drop directory into the
+    committed IVF store (one `ivf_upsert` version per micro-batch,
+    availableNow trigger — the cron/test mode every other stream
+    maintenance exposes); the checkpoint makes re-runs skip already-
+    processed files."""
+    from text_indexer_spark.streaming.vector_stream import (
+        run_stream_vector_maintenance,
+    )
+
+    spark = _spark(args)
+    q, version = run_stream_vector_maintenance(
+        spark, args.drop_dir, args.checkpoint, args.index,
+        max_files_per_trigger=args.max_files_per_trigger,
+    )
+    q.awaitTermination()
+    print(json.dumps({
+        "index": args.index, "version": version(),
+        "drop_dir": args.drop_dir,
+    }))
+    return 0
+
+
 def cmd_ann_stats(args) -> int:
     """Store health: chain length, tombstone mass, per-cell live counts
     and imbalance — the numbers that decide when to `ann-compact` (and
@@ -1036,6 +1059,17 @@ def main(argv: list[str] | None = None) -> int:
         help="comma-separated vec_ids to remove",
     )
     au.set_defaults(fn=cmd_ann_upsert)
+
+    asy = sub.add_parser(
+        "ann-sync",
+        help="drain a vector upsert/tombstone drop dir into the IVF "
+        "store (one committed version per micro-batch)",
+    )
+    asy.add_argument("--index", required=True)
+    asy.add_argument("--drop-dir", required=True)
+    asy.add_argument("--checkpoint", required=True)
+    asy.add_argument("--max-files-per-trigger", type=int, default=16)
+    asy.set_defaults(fn=cmd_ann_sync)
 
     ast = sub.add_parser(
         "ann-stats",
