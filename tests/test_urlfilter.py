@@ -70,13 +70,16 @@ def test_domain_filter_is_not_fooled_by_suffix_strings(spark):
 
 
 def test_domain_join_is_equi_not_nested_loop(spark):
+    """The suffix-chain rewrite's whole point: an equi semi-join, never
+    the BroadcastNestedLoopJoin an ENDSWITH-style inequality join
+    forces.  The blocklist is deliberately NOT hint-forced (unbounded
+    caller input — the --max-ppl ADVICE precedent), so the broadcast is
+    AQE's runtime choice for a small list: execute first, then assert
+    on the final adaptive plan."""
     bl = spark.createDataFrame([(d,) for d in BLOCKED], "domain string")
-    plan = (
-        urlfilter.blocked_doc_ids(_docs(spark), bl)
-        ._jdf.queryExecution()
-        .executedPlan()
-        .toString()
-    )
+    df = urlfilter.blocked_doc_ids(_docs(spark), bl)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
 

@@ -95,11 +95,13 @@ def blocked_doc_ids(
     subdomains.  ``blocklist``'s first column holds the domains
     (lowercased or not).  Suffix-chain equi-join — never a nested
     loop."""
-    bl = F.broadcast(
-        blocklist.select(
-            F.lower(F.col(blocklist.columns[0])).alias("_blocked")
-        ).distinct()
-    )
+    # not broadcast-forced: a domain blocklist is usually tiny (the
+    # optimizer broadcasts it from its stats) but is caller-provided and
+    # unbounded — a forced hint would pin an OOM at scale (the --max-ppl
+    # ADVICE precedent); oversized lists degrade to a shuffled semi-join
+    bl = blocklist.select(
+        F.lower(F.col(blocklist.columns[0])).alias("_blocked")
+    ).distinct()
     suffixes = (
         extract_urls(corpus, id_col, text_col)
         .filter(F.col("domain").isNotNull())
