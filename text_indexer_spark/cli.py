@@ -635,6 +635,36 @@ def cmd_mix(args) -> int:
     return 0
 
 
+def cmd_dsir_select(args) -> int:
+    """Model-based data selection (DSIR, Xie et al. 2023): pick the
+    ``--n`` corpus documents whose hashed-n-gram profile most resembles
+    the ``--target`` corpus, by deterministic Gumbel top-k over the
+    importance weights (``operators/dsir.py``).  Writes the selected
+    rows; prints the selection stats."""
+    from text_indexer_spark.operators import dsir
+
+    spark = _spark(args)
+    corpus = _grep_docs(spark.read.parquet(args.corpus))
+    target = _grep_docs(spark.read.parquet(args.target))
+    kept = dsir.dsir_select(
+        corpus, target, args.n, n_buckets=args.buckets, k=args.k,
+        salt=args.salt,
+    )
+    kept.write.mode("overwrite").parquet(args.out)
+    n_out = spark.read.parquet(args.out).count()
+    print(
+        json.dumps(
+            {
+                "rows_selected": n_out,
+                "requested": args.n,
+                "buckets": args.buckets,
+                "k": args.k,
+            }
+        )
+    )
+    return 0
+
+
 def cmd_hot_items(args) -> int:
     """Exact corpus-wide heavy hitters via the two-pass Misra-Gries
     sketch (``operators/sketch.py``): tokens whose frequency is at
@@ -1120,6 +1150,20 @@ def main(argv: list[str] | None = None) -> int:
                     help='e.g. "en=0.5,fr=0.3,de=0.2"')
     mx.add_argument("--source-col", default="lang")
     mx.set_defaults(fn=cmd_mix)
+
+    ds = sub.add_parser(
+        "select",
+        help="DSIR importance resampling: select the corpus docs that "
+        "look most like a target corpus",
+    )
+    ds.add_argument("--corpus", required=True)
+    ds.add_argument("--target", required=True)
+    ds.add_argument("--out", required=True)
+    ds.add_argument("--n", type=int, required=True)
+    ds.add_argument("--buckets", type=int, default=1 << 16)
+    ds.add_argument("--k", type=float, default=0.5)
+    ds.add_argument("--salt", default="dsir1")
+    ds.set_defaults(fn=cmd_dsir_select)
 
     hi = sub.add_parser(
         "hot-items",

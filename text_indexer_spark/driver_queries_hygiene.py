@@ -495,6 +495,81 @@ def sql_span_dedup_kept() -> str:
     )
 
 
+# ------------------------------------------------------------------ DSIR
+# model-based data selection (Xie et al. 2023): target = every 29th doc
+# (~17 at sf0.01 — a "domain sample"), raw = the whole corpus; hashed
+# unigram+bigram multinomials, ×10⁷ integer λ sums, Gumbel top-k pick.
+# The oracle replays train AND score AND selection in SQL (portable md5
+# bucket hash, same smoothing, same fixed-point discipline as lm_ppl).
+DSIR_B = 512
+DSIR_K = 0.5
+DSIR_MOD = 29
+DSIR_N = 100
+
+
+def q_dsir_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from text_indexer_spark.operators import dsir
+
+    docs = load_table(spark, sf_dir, "documents")
+    target = docs.filter(F.col("doc_id") % DSIR_MOD == 0)
+    return dsir.dsir_scores(docs, target, n_buckets=DSIR_B, k=DSIR_K)
+
+
+def _dsir_ctes() -> str:
+    toks = f"list_filter({duckdb_tokens_sql('text')}, x -> x <> '')"
+    big = duckdb_word_ngrams_sql("coalesce(text, '')", 2)
+    b, k = DSIR_B, DSIR_K
+    kb = k * b
+    return (
+        f"g AS (SELECT doc_id, unnest({toks}) AS gram FROM documents "
+        f"UNION ALL SELECT doc_id, unnest({big}) AS gram FROM documents), "
+        f"feats AS (SELECT doc_id, ('0x' || substr(md5(gram), 1, 8))::BIGINT "
+        f"% {b} AS bucket, count(*) AS c FROM g GROUP BY doc_id, bucket), "
+        "rc AS (SELECT bucket, sum(c) AS c FROM feats GROUP BY bucket), "
+        f"tc AS (SELECT bucket, sum(c) AS c FROM feats "
+        f"WHERE doc_id % {DSIR_MOD} = 0 GROUP BY bucket), "
+        "tot AS (SELECT (SELECT sum(c) FROM tc)::DOUBLE AS nt, "
+        "(SELECT sum(c) FROM rc)::DOUBLE AS nr), "
+        f"spine AS (SELECT unnest(range(0, {b})) AS bucket), "
+        "lam AS (SELECT bucket, round((ln((coalesce(tc.c, 0) + "
+        f"{k}) / (nt + {kb})) - ln((coalesce(rc.c, 0) + {k}) / "
+        f"(nr + {kb}))) * 10000000.0)::BIGINT AS ilam "
+        "FROM spine LEFT JOIN tc USING (bucket) "
+        "LEFT JOIN rc USING (bucket) CROSS JOIN tot), "
+        "sc AS (SELECT doc_id, sum(c)::BIGINT AS n_feats, "
+        "sum(c * ilam)::DOUBLE / 10000000.0 AS logw "
+        "FROM feats JOIN lam USING (bucket) GROUP BY doc_id)"
+    )
+
+
+def sql_dsir_scores() -> str:
+    return f"WITH {_dsir_ctes()} SELECT doc_id, n_feats, logw FROM sc"
+
+
+def q_dsir_selected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from text_indexer_spark.operators import dsir
+
+    docs = load_table(spark, sf_dir, "documents")
+    target = docs.filter(F.col("doc_id") % DSIR_MOD == 0)
+    return dsir.dsir_resample(
+        docs, target, n=DSIR_N, n_buckets=DSIR_B, k=DSIR_K
+    )
+
+
+def sql_dsir_selected() -> str:
+    u = (
+        "(('0x' || substr(md5(doc_id::VARCHAR || '|dsir1'), 1, 8))::BIGINT"
+        " + 0.5) / 4294967296.0"
+    )
+    return (
+        f"WITH {_dsir_ctes()}, "
+        f"keyed AS (SELECT doc_id, logw, round(logw - ln(-ln({u})), 5) "
+        "AS key FROM sc) "
+        "SELECT doc_id, logw, key FROM keyed "
+        f"ORDER BY key DESC, doc_id ASC LIMIT {DSIR_N}"
+    )
+
+
 def q_search_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return fuzzy.fuzzy_conjunctive_match(docs, FUZZY_QUERY)
@@ -530,6 +605,8 @@ def queries():
         "search_fuzzy": q_search_fuzzy,
         "tokenize_by_lang": q_tokenize_by_lang,
         "pii_stats": q_pii_stats,
+        "dsir_scores": q_dsir_scores,
+        "dsir_selected": q_dsir_selected,
     }
 
 
@@ -549,4 +626,6 @@ def oracle_sql():
         "search_fuzzy": sql_search_fuzzy(),
         "tokenize_by_lang": _ufix(sql_tokenize_by_lang()),
         "pii_stats": sql_pii_stats(),
+        "dsir_scores": sql_dsir_scores(),
+        "dsir_selected": sql_dsir_selected(),
     }
