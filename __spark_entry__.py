@@ -51,11 +51,12 @@ runs inside in-window ``wand_bm25_topk``; ``multimodal_frames`` over
 re-admits; ``search_symbol`` over in-window ``symbol_postings``,
 displaced by the span-dedup admit).  They lead the tail order below.
 Resulting union freshness: 50 r5 + 44 r4 + 20 r3 = 114/114 (gates
-115-117, ``ann_ivf_upsert_topk`` — the maintained IVF vector store —
-and ``dsir_scores``/``dsir_selected`` — DSIR importance resampling —
-new late in r5, register OUTSIDE the window so they displace nothing;
-they are oracle-replayed at HEAD like every other gate, and the DSIR
-pair additionally hash-verified at sf0.1).  Of the
+115-118 — ``ann_ivf_upsert_topk`` (the maintained IVF vector store),
+``dsir_scores``/``dsir_selected`` (DSIR importance resampling) and
+``semdedup_kept`` (SemDeDup semantic dedup) — are new late in r5 and
+register OUTSIDE the window so they displace nothing; they are
+oracle-replayed at HEAD like every other gate, and the DSIR/SemDeDup
+gates additionally hash-verified at sf0.1).  Of the
 111 pre-existing gates, 91 end the round ≤1 round stale (47 in the r5
 window + 44 still r4-green); the 20 two-rounds-stale r3 gates are
 exactly the documented thin variants above.  A few more r3 heads
@@ -64,7 +65,7 @@ changed-code-first / new-operator-first rule: gates whose code
 changed after their r4 row (including the two whose quantizer was
 rewritten this round) and the three operators new this round outrank
 unchanged thin variants.
-All 117 queries remain oracle-replayed at HEAD in
+All 118 queries remain oracle-replayed at HEAD in
 ``tests/test_driver_contract.py`` regardless of window position.
 """
 

@@ -665,6 +665,36 @@ def cmd_dsir_select(args) -> int:
     return 0
 
 
+def cmd_semdedup(args) -> int:
+    """Semantic deduplication of an embedding corpus (SemDeDup, Abbas
+    et al. 2023): cluster-confined cosine pairs, one survivor per
+    duplicate group (``operators/semdedup.py``)."""
+    from text_indexer_spark.operators import semdedup
+
+    spark = _spark(args)
+    emb = spark.read.parquet(args.embeddings)
+    dim = len(emb.select(args.vec_col).first()[args.vec_col])
+    kept = semdedup.semantic_dedup(
+        emb, dim, threshold=args.threshold, n_centroids=args.centroids,
+        keep=args.keep, id_col=args.id_col, vec_col=args.vec_col,
+    )
+    kept.write.mode("overwrite").parquet(args.out)
+    n_in, n_out = emb.count(), spark.read.parquet(args.out).count()
+    print(
+        json.dumps(
+            {
+                "rows_in": n_in,
+                "rows_kept": n_out,
+                "rows_dropped": n_in - n_out,
+                "threshold": args.threshold,
+                "n_centroids": args.centroids,
+                "keep": args.keep,
+            }
+        )
+    )
+    return 0
+
+
 def cmd_hot_items(args) -> int:
     """Exact corpus-wide heavy hitters via the two-pass Misra-Gries
     sketch (``operators/sketch.py``): tokens whose frequency is at
@@ -1164,6 +1194,21 @@ def main(argv: list[str] | None = None) -> int:
     ds.add_argument("--k", type=float, default=0.5)
     ds.add_argument("--salt", default="dsir1")
     ds.set_defaults(fn=cmd_dsir_select)
+
+    sd = sub.add_parser(
+        "dedup-semantic",
+        help="SemDeDup: drop embedding-level semantic duplicates "
+        "(cluster-confined cosine groups, one survivor each)",
+    )
+    sd.add_argument("--embeddings", required=True)
+    sd.add_argument("--out", required=True)
+    sd.add_argument("--threshold", type=float, default=0.99)
+    sd.add_argument("--centroids", type=int, default=8)
+    sd.add_argument("--keep", choices=["centroid_far", "min_id"],
+                    default="centroid_far")
+    sd.add_argument("--id-col", default="vec_id")
+    sd.add_argument("--vec-col", default="embedding")
+    sd.set_defaults(fn=cmd_semdedup)
 
     hi = sub.add_parser(
         "hot-items",

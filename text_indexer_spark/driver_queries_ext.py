@@ -474,6 +474,45 @@ SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node
 """
 
 
+def q_semdedup_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (operators/semdedup.py) at its SQL-able configuration:
+    ONE cluster (pair search is exhaustive) + min-id keep — by
+    construction identical to global embedding near-dup dedup, so the
+    recursive-CTE oracle proves the assignment → within-cluster pair →
+    transitive closure → keep → anti-join plumbing end to end (the
+    paper's centroid_far keep rule and the cluster confinement are
+    pytest-pinned in test_semdedup.py)."""
+    from text_indexer_spark.operators import semdedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()["embedding"])
+    one = [[1.0] + [0.0] * (dim - 1)]
+    return semdedup.semantic_dedup(
+        emb, dim, threshold=COSINE_T, centroids=one, keep="min_id"
+    ).select("vec_id", "label")
+
+
+def sql_semdedup_kept() -> str:
+    return f"""
+WITH RECURSIVE
+p AS (
+  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), {ROUND}) >= {COSINE_T}
+),
+edges AS (SELECT doc_a AS a, doc_b AS b FROM p UNION SELECT doc_b AS a, doc_a AS b FROM p),
+nodes AS (SELECT DISTINCT a AS node FROM edges),
+reach AS (
+  SELECT node, node AS r FROM nodes
+  UNION
+  SELECT reach.node, e.b AS r FROM reach JOIN edges e ON e.a = reach.r
+),
+comp AS (SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node)
+SELECT vec_id, label FROM embeddings
+WHERE vec_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> cluster_id)
+"""
+
+
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5).select(
@@ -2156,6 +2195,7 @@ def queries():
         "neardup_cosine": q_neardup_cosine,
         "neardup_cosine_lsh": q_neardup_cosine_lsh,
         "neardup_clusters_cosine": q_neardup_clusters_cosine,
+        "semdedup_kept": q_semdedup_kept,
         "ann_cosine_topk": q_ann_topk,
         "ann_int8_topk": q_ann_int8,
         "ann_ivf_int8_full_probe": q_ann_ivf_int8,
@@ -2222,6 +2262,7 @@ def oracle_sql():
         "neardup_cosine": sql_neardup_cosine(),
         "neardup_cosine_lsh": sql_neardup_cosine(),
         "neardup_clusters_cosine": sql_neardup_clusters_cosine(),
+        "semdedup_kept": sql_semdedup_kept(),
         "ann_cosine_topk": sql_ann_topk(),
         "ann_int8_topk": sql_ann_topk(),
         "ann_ivf_int8_full_probe": sql_ann_topk(),
