@@ -1,0 +1,188 @@
+"""Declarative pipeline runner (pipeline.py): composition ≡ chained
+operators, schema restoration after reassembly stages, per-stage
+accounting, lazy mode, config validation, CLI roundtrip."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from text_indexer_spark import pipeline
+from text_indexer_spark.operators import dedup, sampling, textstats
+
+GOOD = (
+    "the quick brown fox jumps over the lazy dog near the river bank "
+    "while traders discuss quarterly earnings and weather patterns"
+)
+# rows: 8 good docs (2 exact dups among them), 2 low-quality, 1 repetitive
+ROWS = (
+    [(i, "en", GOOD + f" variant {i}") for i in range(6)]
+    + [(6, "en", GOOD + " variant 0"), (7, "de", GOOD + " variant 1")]
+    + [(8, "en", "x"), (9, "en", "")]
+    + [(10, "en", " ".join(["spam"] * 30))]
+)
+
+
+def _df(spark, rows=ROWS):
+    return spark.createDataFrame(rows, "doc_id long, lang string, text string")
+
+
+STAGES = [
+    {"op": "quality", "min_quality": 0.1},
+    {"op": "repetition", "max_top_2gram_frac": 0.2},
+    {"op": "dedup_exact"},
+    {"op": "sample", "fraction": 0.9, "salt": "p1"},
+]
+
+
+def _manual(spark):
+    df = _df(spark)
+    df = textstats.filter_by_quality(df, min_quality=0.1)
+    df = textstats.filter_by_repetition(df, max_top_2gram_frac=0.2)
+    losers = (
+        dedup.exact_dedup(df)
+        .filter(F.col("doc_id") != F.col("canonical_id"))
+        .select("doc_id")
+    )
+    df = df.join(losers, "doc_id", "left_anti")
+    return sampling.hash_sample(df, 0.9, salt="p1")
+
+
+def test_pipeline_equals_manual_composition(spark):
+    out, stats = pipeline.run_pipeline(spark, _df(spark), STAGES)
+    got = {r["doc_id"] for r in out.collect()}
+    exp = {r["doc_id"] for r in _manual(spark).collect()}
+    assert got == exp
+    assert [s.stage for s in stats] == [s["op"] for s in STAGES]
+    # accounting chains: docs_in of stage i+1 == docs_out of stage i
+    assert stats[0].docs_in == len(ROWS)
+    for a, b in zip(stats, stats[1:]):
+        assert a.docs_out == b.docs_in
+    assert stats[-1].docs_out == len(got)
+    # the fixture exercises every stage: each drops at least one doc
+    # except sample (which may keep all) — quality drops 8/9,
+    # repetition drops 10, dedup drops one of each dup pair
+    assert stats[0].dropped >= 2
+    assert stats[1].dropped >= 1
+    assert stats[2].dropped == 2
+
+
+def test_lazy_mode_same_result_no_stats(spark):
+    eager, stats = pipeline.run_pipeline(spark, _df(spark), STAGES)
+    lazy, no_stats = pipeline.run_pipeline(
+        spark, _df(spark), STAGES, collect_stats=False
+    )
+    assert no_stats == []
+    assert {r["doc_id"] for r in lazy.collect()} == {
+        r["doc_id"] for r in eager.collect()
+    }
+
+
+def test_reassembly_stage_restores_schema(spark):
+    # shared line in docs 1/2/3 -> dedup_lines rewrites text but the
+    # lang column and column order survive
+    rows = [
+        (1, "en", "shared line here\nunique one"),
+        (2, "de", "shared line here\nunique two"),
+        (3, "fr", "shared line here\nunique three"),
+    ]
+    out, stats = pipeline.run_pipeline(
+        spark, _df(spark, rows), [{"op": "dedup_lines", "min_docs": 2}]
+    )
+    assert out.columns == ["doc_id", "lang", "text"]
+    got = {r["doc_id"]: (r["lang"], r["text"]) for r in out.collect()}
+    assert got == {
+        1: ("en", "unique one"),
+        2: ("de", "unique two"),
+        3: ("fr", "unique three"),
+    }
+    assert stats[0].dropped == 0
+
+
+def test_transform_stages_and_file_backed_stages(spark, tmp_path):
+    rows = [
+        (1, "en", "contact bob@example.com about the spark engine build"),
+        (2, "en", "see https://blocked.example.org/page for the details"),
+        (3, "en", "nothing to scrub in this perfectly ordinary text"),
+    ]
+    bl = str(tmp_path / "bl")
+    spark.createDataFrame([("blocked.example.org",)], "domain string").write.parquet(bl)
+    out, stats = pipeline.run_pipeline(
+        spark,
+        _df(spark, rows),
+        [{"op": "block_domains", "blocklist": bl}, {"op": "pii"}],
+    )
+    got = {r["doc_id"]: r["text"] for r in out.collect()}
+    assert set(got) == {1, 3}
+    assert "bob@example.com" not in got[1]
+    assert stats[0].dropped == 1 and stats[1].dropped == 0
+
+
+def test_remaining_stages_smoke(spark, tmp_path):
+    """Every registry op not covered above runs inside a chain:
+    normalize, block_words, lm_ppl, decontam, dedup_spans, mix,
+    dsir_select — accounting stays chained throughout."""
+    ev = str(tmp_path / "eval")
+    # the only eval 5-gram present in the corpus is "and weather
+    # patterns variant 0" — exactly docs 0 and 6 are contaminated
+    spark.createDataFrame(
+        [(100, "xx yy and weather patterns variant 0")],
+        "doc_id long, text string",
+    ).write.parquet(ev)
+    tgt = str(tmp_path / "target")
+    spark.createDataFrame(
+        [(200, GOOD)], "doc_id long, text string"
+    ).write.parquet(tgt)
+    stages = [
+        {"op": "normalize"},
+        {"op": "block_words", "words": ["nonexistentword"]},
+        {"op": "lm_ppl", "max_ppl": 10_000.0},
+        {"op": "decontam", "evalset": ev, "n": 5},
+        {"op": "dedup_spans", "n": 8},
+        {"op": "mix", "weights": {"en": 0.8, "de": 0.2},
+         "total_tokens": 500},
+        {"op": "dsir_select", "target": tgt, "n": 3, "buckets": 64},
+    ]
+    out, stats = pipeline.run_pipeline(spark, _df(spark), stages)
+    assert [s.stage for s in stats] == [s["op"] for s in stages]
+    for a, b in zip(stats, stats[1:]):
+        assert a.docs_out == b.docs_in
+    rows = out.collect()
+    assert stats[-1].docs_out == len(rows) == 3
+    assert out.columns == ["doc_id", "lang", "text"]
+    # the decontam stage dropped the docs sharing the planted 5-gram
+    assert stats[3].dropped >= 1
+
+
+def test_validation(spark):
+    with pytest.raises(ValueError):
+        pipeline.validate_stages([])
+    with pytest.raises(ValueError):
+        pipeline.validate_stages([{"min_quality": 0.3}])
+    with pytest.raises(ValueError):
+        pipeline.validate_stages([{"op": "no_such_stage"}])
+    with pytest.raises(ValueError):
+        pipeline.run_pipeline(spark, _df(spark), [{"op": "bogus"}])
+
+
+def test_cli_pipeline(spark, tmp_path, capsys):
+    from text_indexer_spark import cli
+
+    src = str(tmp_path / "corpus")
+    _df(spark).write.parquet(src)
+    cfg = tmp_path / "stages.json"
+    cfg.write_text(json.dumps({"stages": STAGES}))
+    out = str(tmp_path / "cleaned")
+    rc = cli.main(
+        ["--master", "local[4]", "pipeline", "--corpus", src,
+         "--out", out, "--config", str(cfg)]
+    )
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    exp = {r["doc_id"] for r in _manual(spark).collect()}
+    assert rep["rows_out"] == len(exp)
+    assert [s["op"] for s in rep["stages"]] == [s["op"] for s in STAGES]
+    assert rep["stages"][0]["docs_in"] == len(ROWS)
+    assert {r["doc_id"] for r in spark.read.parquet(out).collect()} == exp

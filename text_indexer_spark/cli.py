@@ -695,6 +695,59 @@ def cmd_semdedup(args) -> int:
     return 0
 
 
+def cmd_pipeline(args) -> int:
+    """Run a declarative cleaning pipeline (``pipeline.py``): the
+    stage list comes from a JSON config file (``{"stages": [{"op":
+    "quality", ...}, ...]}`` or a bare list), runs in order, and the
+    report carries per-stage in/out/dropped counts (``--no-stats``
+    skips the counting actions for production runs)."""
+    from pyspark.sql import functions as F
+
+    from text_indexer_spark.pipeline import run_pipeline, validate_stages
+
+    with open(args.config) as f:
+        cfg = json.load(f)
+    stages = cfg["stages"] if isinstance(cfg, dict) else cfg
+    validate_stages(stages)
+    spark = _spark(args)
+    corpus = spark.read.parquet(args.corpus)
+    text_col = "content" if "content" in corpus.columns else "text"
+    synth_id = "doc_id" not in corpus.columns
+    if synth_id:
+        parts = [
+            F.coalesce(F.col(c).cast("string"), F.lit(""))
+            for c in ("repo", "path")
+            if c in corpus.columns
+        ]
+        parts.append(F.coalesce(F.col(text_col), F.lit("")))
+        corpus = corpus.withColumn("doc_id", F.xxhash64(*parts))
+    out, stats = run_pipeline(
+        spark, corpus, stages, text_col=text_col,
+        collect_stats=not args.no_stats,
+    )
+    if synth_id:
+        out = out.drop("doc_id")
+    out.write.mode("overwrite").parquet(args.out)
+    n_out = spark.read.parquet(args.out).count()
+    print(
+        json.dumps(
+            {
+                "rows_out": n_out,
+                "stages": [
+                    {
+                        "op": s.stage,
+                        "docs_in": s.docs_in,
+                        "docs_out": s.docs_out,
+                        "dropped": s.dropped,
+                    }
+                    for s in stats
+                ],
+            }
+        )
+    )
+    return 0
+
+
 def cmd_hot_items(args) -> int:
     """Exact corpus-wide heavy hitters via the two-pass Misra-Gries
     sketch (``operators/sketch.py``): tokens whose frequency is at
@@ -1209,6 +1262,18 @@ def main(argv: list[str] | None = None) -> int:
     sd.add_argument("--id-col", default="vec_id")
     sd.add_argument("--vec-col", default="embedding")
     sd.set_defaults(fn=cmd_semdedup)
+
+    pl = sub.add_parser(
+        "pipeline",
+        help="run a declarative cleaning pipeline from a JSON stage "
+        "config, with per-stage accounting",
+    )
+    pl.add_argument("--corpus", required=True)
+    pl.add_argument("--out", required=True)
+    pl.add_argument("--config", required=True,
+                    help="JSON file: {\"stages\": [{\"op\": ..., ...}]}")
+    pl.add_argument("--no-stats", action="store_true")
+    pl.set_defaults(fn=cmd_pipeline)
 
     hi = sub.add_parser(
         "hot-items",

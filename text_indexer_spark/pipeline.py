@@ -1,0 +1,267 @@
+"""Declarative corpus-cleaning pipeline — the whole C4 / CCNet /
+Gopher hygiene stack as ONE ordered stage list.
+
+Every published pre-training pipeline is a fixed sequence of the same
+cuts (normalize → blocklists → rule filters → dedup tiers → LM cut →
+decontamination → PII → sampling/mixing/selection); this module makes
+that sequence a config value instead of a hand-written script, with
+per-stage accounting so the run reports exactly where documents went
+— the number every data card wants and ad-hoc scripts never keep.
+
+Design:
+
+* **A stage is a name + params dict**; the registry maps it onto the
+  corresponding operator module.  Nothing here re-implements an
+  operator — the runner is pure composition, so every stage keeps the
+  scale shape (and the oracle gates) of its operator.
+* **Stats are optional and honest.** ``collect_stats=True`` counts
+  the corpus after every stage (one cheap count action per stage —
+  the frames are lineage-cut, so nothing upstream recomputes).
+  ``collect_stats=False`` builds one fully lazy plan with zero extra
+  actions for production runs where only the final write matters.
+* **Lineage is cut between stages** (``localCheckpoint``; pass
+  ``checkpoint_dir`` for RELIABLE cuts on a real cluster — the
+  ``connected_components`` precedent): a 10-stage chain of joins and
+  anti-joins otherwise compounds into one plan whose optimization
+  time and shuffle reuse Catalyst cannot manage.  Cutting also makes
+  the per-stage counts cost one scan of the CURRENT corpus, not a
+  re-execution of every stage before it.  With ``collect_stats=False``
+  no cuts happen — the plan stays lazy end to end.
+* **Schema contract**: stages that reassemble text from token/line
+  grain (``dedup_lines``, ``dedup_spans``) emit ``(id, text)``; the
+  runner re-joins the corpus' other columns by id so the pipeline
+  preserves the full schema regardless of stage order.
+
+The text stages assume a ``(doc_id, text, …)`` corpus (the engine's
+document grain).  Embedding-grain semantic dedup (``semdedup``) and
+the ANN store live at a different grain and keep their own CLIs.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+@dataclass
+class StageStat:
+    stage: str
+    docs_in: int
+    docs_out: int
+
+    @property
+    def dropped(self) -> int:
+        return self.docs_in - self.docs_out
+
+
+def _st_normalize(spark, df, p, ic, tc):
+    from text_indexer_spark.operators.normalize import normalize_text
+
+    form = p.get("form")
+    form = None if form in (None, "ws") else str(form).upper()
+    return normalize_text(df, text_col=tc, form=form)
+
+
+def _st_block_domains(spark, df, p, ic, tc):
+    from text_indexer_spark.operators import urlfilter
+
+    bl = spark.read.parquet(p["blocklist"])
+    return urlfilter.filter_blocked_domains(df, bl, id_col=ic, text_col=tc)
+
+
+def _st_block_words(spark, df, p, ic, tc):
+    from text_indexer_spark.operators import urlfilter
+
+    return urlfilter.filter_blocked_words(
+        df, list(p["words"]), text_col=tc, id_col=ic
+    )
+
+
+def _st_quality(spark, df, p, ic, tc):
+    from text_indexer_spark.operators import textstats
+
+    return textstats.filter_by_quality(
+        df, min_quality=p.get("min_quality", 0.4), text_col=tc
+    )
+
+
+def _st_repetition(spark, df, p, ic, tc):
+    from text_indexer_spark.operators import textstats
+
+    return textstats.filter_by_repetition(
+        df,
+        max_dup_line_frac=p.get("max_dup_line_frac", 0.3),
+        max_top_2gram_frac=p.get("max_top_2gram_frac", 0.2),
+        text_col=tc,
+    )
+
+
+def _st_lm_ppl(spark, df, p, ic, tc):
+    from text_indexer_spark.operators import lm
+
+    high = (
+        lm.lm_self_score(df, k=p.get("k", 0.5), id_col=ic, text_col=tc)
+        .filter(F.col("ppl") > float(p["max_ppl"]))
+        .select(ic)
+    )
+    # no forced broadcast — a tight cut can flag an unbounded fraction
+    return df.join(high, ic, "left_anti")
+
+
+def _st_decontam(spark, df, p, ic, tc):
+    from text_indexer_spark.operators import decontam
+
+    ev = spark.read.parquet(p["evalset"])
+    ev_tc = "content" if "content" in ev.columns else "text"
+    grams = decontam.eval_ngrams(ev, n=p.get("n", 8), text_col=ev_tc)
+    return decontam.decontaminate_auto(
+        df, grams, n=p.get("n", 8), id_col=ic, text_col=tc,
+        tier=p.get("tier", "auto"),
+    )
+
+
+def _st_pii(spark, df, p, ic, tc):
+    from text_indexer_spark.operators import redact
+
+    return redact.redact_pii(df, text_col=tc)
+
+
+def _st_dedup_exact(spark, df, p, ic, tc):
+    from text_indexer_spark.operators import dedup
+
+    losers = (
+        dedup.exact_dedup(df, text_col=tc, id_col=ic)
+        .filter(F.col(ic) != F.col("canonical_id"))
+        .select(ic)
+    )
+    return df.join(losers, ic, "left_anti")
+
+
+def _restore_columns(df, cleaned, ic, tc):
+    """Re-join non-text columns after a text-reassembling stage and
+    restore the original column order."""
+    extra = [c for c in df.columns if c not in (ic, tc)]
+    if not extra:
+        return cleaned.select(df.columns)
+    return cleaned.join(df.select(ic, *extra), ic).select(df.columns)
+
+
+def _st_dedup_lines(spark, df, p, ic, tc):
+    from text_indexer_spark.operators import linededup
+
+    out = linededup.dedup_lines(
+        df, min_docs=p.get("min_docs", 2), id_col=ic, text_col=tc
+    )
+    return _restore_columns(df, out, ic, tc)
+
+
+def _st_dedup_spans(spark, df, p, ic, tc):
+    from text_indexer_spark.operators import spandedup
+
+    out = spandedup.dedup_spans(
+        df, n=p.get("n", 8), min_count=p.get("min_count", 2),
+        id_col=ic, text_col=tc,
+    )
+    return _restore_columns(df, out, ic, tc)
+
+
+def _st_sample(spark, df, p, ic, tc):
+    from text_indexer_spark.operators import sampling
+
+    return sampling.hash_sample(
+        df, float(p["fraction"]), key_col=ic, salt=p.get("salt", "s1")
+    )
+
+
+def _st_mix(spark, df, p, ic, tc):
+    from text_indexer_spark.operators import mixing
+
+    return mixing.mixture_sample(
+        df, dict(p["weights"]), int(p["total_tokens"]),
+        source_col=p.get("source_col", "lang"), text_col=tc,
+        key_col=ic, salt=p.get("salt", "mix1"),
+    )
+
+
+def _st_dsir_select(spark, df, p, ic, tc):
+    from text_indexer_spark.operators import dsir
+
+    tgt = spark.read.parquet(p["target"])
+    tgt_tc = "content" if "content" in tgt.columns else "text"
+    return dsir.dsir_select(
+        df, tgt, int(p["n"]),
+        n_buckets=p.get("buckets", 1 << 16), k=p.get("k", 0.5),
+        salt=p.get("salt", "dsir1"), id_col=ic, text_col=tc,
+    )
+
+
+#: op name → stage function.  Transform stages (normalize, pii) change
+#: text; filter stages drop rows; reassembly stages rewrite text at
+#: token/line grain (schema restored by the runner).
+STAGES = {
+    "normalize": _st_normalize,
+    "block_domains": _st_block_domains,
+    "block_words": _st_block_words,
+    "quality": _st_quality,
+    "repetition": _st_repetition,
+    "lm_ppl": _st_lm_ppl,
+    "decontam": _st_decontam,
+    "pii": _st_pii,
+    "dedup_exact": _st_dedup_exact,
+    "dedup_lines": _st_dedup_lines,
+    "dedup_spans": _st_dedup_spans,
+    "sample": _st_sample,
+    "mix": _st_mix,
+    "dsir_select": _st_dsir_select,
+}
+
+
+def validate_stages(stages: list[dict]) -> None:
+    """Fail fast on a malformed config — BEFORE any Spark job runs."""
+    if not stages:
+        raise ValueError("pipeline needs at least one stage")
+    for i, s in enumerate(stages):
+        if not isinstance(s, dict) or "op" not in s:
+            raise ValueError(f"stage {i}: every stage needs an 'op' key")
+        if s["op"] not in STAGES:
+            known = ", ".join(sorted(STAGES))
+            raise ValueError(f"stage {i}: unknown op {s['op']!r} (known: {known})")
+
+
+def run_pipeline(
+    spark: SparkSession,
+    corpus: DataFrame,
+    stages: list[dict],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    collect_stats: bool = True,
+    checkpoint_dir: str | None = None,
+) -> tuple[DataFrame, list[StageStat]]:
+    """Run ``stages`` in order over ``corpus``; returns the cleaned
+    corpus and (when ``collect_stats``) one :class:`StageStat` per
+    stage.  Each stage dict is ``{"op": <name>, ...params}``."""
+    validate_stages(stages)
+    if checkpoint_dir is not None:
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def cut(df: DataFrame) -> DataFrame:
+        if not collect_stats:
+            return df  # fully lazy plan; no extra actions at all
+        if checkpoint_dir is not None:
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
+
+    df = corpus
+    stats: list[StageStat] = []
+    n = df.count() if collect_stats else -1
+    for spec in stages:
+        params = {k: v for k, v in spec.items() if k != "op"}
+        df = STAGES[spec["op"]](spark, df, params, id_col, text_col)
+        df = cut(df)
+        if collect_stats:
+            n_out = df.count()
+            stats.append(StageStat(spec["op"], n, n_out))
+            n = n_out
+    return df, stats
