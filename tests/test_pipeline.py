@@ -131,9 +131,11 @@ def test_remaining_stages_smoke(spark, tmp_path):
         [(100, "xx yy and weather patterns variant 0")],
         "doc_id long, text string",
     ).write.parquet(ev)
+    # target deliberately CONTENT-shaped and id-less — the stage must
+    # normalize it to the pipeline's (doc_id, text) columns
     tgt = str(tmp_path / "target")
     spark.createDataFrame(
-        [(200, GOOD)], "doc_id long, text string"
+        [(GOOD,)], "content string"
     ).write.parquet(tgt)
     stages = [
         {"op": "normalize"},
@@ -165,6 +167,31 @@ def test_validation(spark):
         pipeline.validate_stages([{"op": "no_such_stage"}])
     with pytest.raises(ValueError):
         pipeline.run_pipeline(spark, _df(spark), [{"op": "bogus"}])
+    # missing required param fails BEFORE any job runs
+    with pytest.raises(ValueError, match="max_ppl"):
+        pipeline.validate_stages([{"op": "lm_ppl"}])
+    # a typo'd knob must reject the config, not silently use a default
+    with pytest.raises(ValueError, match="min_qualty"):
+        pipeline.validate_stages([{"op": "quality", "min_qualty": 0.9}])
+
+
+def test_cli_pipeline_requires_real_ids_for_dedup(spark, tmp_path, capsys):
+    """A doc_id-less corpus + a dedup stage must refuse up front: a
+    content-hash id collides exactly on the duplicates dedup exists to
+    find (the silent-no-op failure mode found in review)."""
+    from text_indexer_spark import cli
+
+    src = str(tmp_path / "noid")
+    spark.createDataFrame(
+        [("same text",), ("same text",)], "text string"
+    ).write.parquet(src)
+    cfg = tmp_path / "cfg.json"
+    cfg.write_text(json.dumps([{"op": "dedup_exact"}]))
+    with pytest.raises(SystemExit, match="UNIQUE doc ids"):
+        cli.main(
+            ["--master", "local[4]", "pipeline", "--corpus", src,
+             "--out", str(tmp_path / "o"), "--config", str(cfg)]
+        )
 
 
 def test_cli_pipeline(spark, tmp_path, capsys):

@@ -154,3 +154,31 @@ def test_guards(spark):
         semdedup.semantic_dedup(
             emb, DIM, threshold=0.9, centroids=CENTROIDS, keep="random"
         )
+
+
+def test_string_ids_rejected_not_silently_ignored(spark):
+    """String vec ids reach the components closure, whose long cast
+    would NULL every edge and return the corpus unchanged — the guard
+    turns that silent no-op into an explicit error (found in review)."""
+    rows = [("a1", _e(0)), ("a2", _mix(0, 1, 0.1))]
+    emb = spark.createDataFrame(
+        rows, "vec_id string, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="integral node ids"):
+        semdedup.semantic_dedup(
+            emb, DIM, threshold=TAU, centroids=CENTROIDS
+        )
+
+
+def test_cli_empty_embeddings_clear_error(spark, tmp_path):
+    from text_indexer_spark import cli
+
+    src = str(tmp_path / "empty")
+    spark.createDataFrame(
+        [], "vec_id long, embedding array<double>"
+    ).write.parquet(src)
+    with pytest.raises(SystemExit, match="empty"):
+        cli.main(
+            ["--master", "local[4]", "dedup-semantic", "--embeddings",
+             src, "--out", str(tmp_path / "o")]
+        )

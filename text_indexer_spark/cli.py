@@ -673,7 +673,13 @@ def cmd_semdedup(args) -> int:
 
     spark = _spark(args)
     emb = spark.read.parquet(args.embeddings)
-    dim = len(emb.select(args.vec_col).first()[args.vec_col])
+    first = emb.select(args.vec_col).first()
+    if first is None or first[args.vec_col] is None:
+        raise SystemExit(
+            "dedup-semantic: the embeddings corpus is empty (or its "
+            f"first {args.vec_col!r} is NULL) — nothing to deduplicate"
+        )
+    dim = len(first[args.vec_col])
     kept = semdedup.semantic_dedup(
         emb, dim, threshold=args.threshold, n_centroids=args.centroids,
         keep=args.keep, id_col=args.id_col, vec_col=args.vec_col,
@@ -703,7 +709,11 @@ def cmd_pipeline(args) -> int:
     skips the counting actions for production runs)."""
     from pyspark.sql import functions as F
 
-    from text_indexer_spark.pipeline import run_pipeline, validate_stages
+    from text_indexer_spark.pipeline import (
+        ID_SENSITIVE_STAGES,
+        run_pipeline,
+        validate_stages,
+    )
 
     with open(args.config) as f:
         cfg = json.load(f)
@@ -714,6 +724,18 @@ def cmd_pipeline(args) -> int:
     text_col = "content" if "content" in corpus.columns else "text"
     synth_id = "doc_id" not in corpus.columns
     if synth_id:
+        # content-hash ids collide EXACTLY on duplicate rows, which
+        # would turn the dedup stages into silent no-ops (and merge
+        # distinct rows inside line/span reassembly) — those stages
+        # demand a real unique id column
+        id_needed = ID_SENSITIVE_STAGES & {s["op"] for s in stages}
+        if id_needed:
+            raise SystemExit(
+                "pipeline: the corpus has no doc_id column, but stages "
+                f"{sorted(id_needed)} need UNIQUE doc ids (a synthesized "
+                "content-hash id collides exactly on the duplicates "
+                "those stages exist to find) — add a doc_id column"
+            )
         parts = [
             F.coalesce(F.col(c).cast("string"), F.lit(""))
             for c in ("repo", "path")

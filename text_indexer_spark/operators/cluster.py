@@ -62,6 +62,18 @@ def connected_components(
     real cluster) instead of ``localCheckpoint`` — survives executor
     loss at the cost of one write+read per round.
     """
+    from pyspark.sql.types import IntegralType
+
+    for c in (src, dst):
+        if not isinstance(pairs.schema[c].dataType, IntegralType):
+            # a silent cast("long") would turn string ids into NULLs and
+            # drop every edge — the closure would "succeed" with zero
+            # clusters (a real silent-no-op failure mode, found in review)
+            raise ValueError(
+                f"connected_components needs integral node ids; column "
+                f"{c!r} is {pairs.schema[c].dataType.simpleString()} — "
+                "map ids to longs (e.g. xxhash64) before clustering"
+            )
     if checkpoint_dir is not None:
         pairs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
 

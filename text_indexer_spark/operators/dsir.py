@@ -30,10 +30,10 @@ The published recipe, re-expressed as DataFrame algebra end to end:
   Same row → same draw on any cluster, any rerun; ties break on
   doc_id.  Take the n largest keys.
 
-Scale shape: the corpus is touched by exactly two narrow scans
-(feature extraction for the raw-side counts, feature extraction for
-scoring — cache upstream to make it one); everything that shuffles is
-bucket-grain (≤ B rows) or doc-grain count pairs.  The λ join is a
+Scale shape: the raw-side counts are derived from the SAME per-doc
+feature frame the scorer consumes (one extraction subtree, shared
+structurally); everything that shuffles is bucket-grain (≤ B rows) or
+doc-grain count pairs.  The λ join is a
 B-bounded relation — the optimizer broadcasts it under the threshold,
 AQE shuffles it beyond (the urlfilter/--max-ppl precedent: no forced
 broadcast of caller-sized relations).  No Python in any hot path.
@@ -178,9 +178,12 @@ def dsir_scores(
     direction — observed as 4/5000 one-ulp diffs at sf0.1 before this
     was removed."""
     tc = bucket_counts(target, n_buckets, id_col, text_col)
-    rc = bucket_counts(corpus, n_buckets, id_col, text_col)
-    lam = log_ratio_table(tc, rc, n_buckets, k)
     feats = doc_features(corpus, n_buckets, id_col, text_col)
+    # raw-side counts derive from the SAME per-doc frame the scorer
+    # consumes — structural subtree sharing, not a second extraction
+    # left to Spark's exchange-reuse heuristic
+    rc = feats.groupBy("bucket").agg(F.sum("c").alias("c"))
+    lam = log_ratio_table(tc, rc, n_buckets, k)
     return (
         feats.join(lam, "bucket")
         .groupBy(id_col)

@@ -19,14 +19,18 @@ Design:
   the frames are lineage-cut, so nothing upstream recomputes).
   ``collect_stats=False`` builds one fully lazy plan with zero extra
   actions for production runs where only the final write matters.
-* **Lineage is cut between stages** (``localCheckpoint``; pass
-  ``checkpoint_dir`` for RELIABLE cuts on a real cluster — the
-  ``connected_components`` precedent): a 10-stage chain of joins and
-  anti-joins otherwise compounds into one plan whose optimization
-  time and shuffle reuse Catalyst cannot manage.  Cutting also makes
-  the per-stage counts cost one scan of the CURRENT corpus, not a
-  re-execution of every stage before it.  With ``collect_stats=False``
-  no cuts happen — the plan stays lazy end to end.
+* **Each stage materializes once, and the previous copy is
+  released.**  With stats on, every stage output is ``persist``ed so
+  the count and the next stage share the work, and the prior stage's
+  snapshot is ``unpersist``ed as soon as the new one is counted — at
+  most TWO corpus copies live in the block manager at any moment
+  (stage chains are linear, so plan growth is modest and a lineage
+  cut is not needed; every stage is deterministic, so recompute after
+  cache eviction is always safe).  Pass ``checkpoint_dir`` for
+  RELIABLE disk checkpoints instead (the ``connected_components``
+  precedent) when executor loss must not kill a multi-hour run.
+  With ``collect_stats=False`` nothing persists — the plan stays
+  lazy end to end.
 * **Schema contract**: stages that reassemble text from token/line
   grain (``dedup_lines``, ``dedup_spans``) emit ``(id, text)``; the
   runner re-joins the corpus' other columns by id so the pipeline
@@ -188,10 +192,21 @@ def _st_mix(spark, df, p, ic, tc):
 def _st_dsir_select(spark, df, p, ic, tc):
     from text_indexer_spark.operators import dsir
 
+    # dsir_select applies (id_col, text_col) to BOTH frames, so the
+    # target — an arbitrary external corpus — is normalized to the
+    # pipeline's column names first.  Target ids only group the target
+    # feature counts (never join the corpus), so a content hash is a
+    # fine stand-in when the target carries no id column.
     tgt = spark.read.parquet(p["target"])
     tgt_tc = "content" if "content" in tgt.columns else "text"
+    if tgt_tc != tc:
+        tgt = tgt.withColumn(tc, F.col(tgt_tc))
+    if ic not in tgt.columns:
+        tgt = tgt.withColumn(
+            ic, F.xxhash64(F.coalesce(F.col(tc), F.lit("")))
+        )
     return dsir.dsir_select(
-        df, tgt, int(p["n"]),
+        df, tgt.select(ic, tc), int(p["n"]),
         n_buckets=p.get("buckets", 1 << 16), k=p.get("k", 0.5),
         salt=p.get("salt", "dsir1"), id_col=ic, text_col=tc,
     )
@@ -218,16 +233,62 @@ STAGES = {
 }
 
 
+#: op → (required params, optional params).  Validation rejects a
+#: missing required key and any key outside the union — a typo'd knob
+#: ("min_qualty") must fail the config, not silently fall back to the
+#: operator default (found in review).
+_STAGE_PARAMS = {
+    "normalize": (set(), {"form"}),
+    "block_domains": ({"blocklist"}, set()),
+    "block_words": ({"words"}, set()),
+    "quality": (set(), {"min_quality"}),
+    "repetition": (set(), {"max_dup_line_frac", "max_top_2gram_frac"}),
+    "lm_ppl": ({"max_ppl"}, {"k"}),
+    "decontam": ({"evalset"}, {"n", "tier"}),
+    "pii": (set(), set()),
+    "dedup_exact": (set(), set()),
+    "dedup_lines": (set(), {"min_docs"}),
+    "dedup_spans": (set(), {"n", "min_count"}),
+    "sample": ({"fraction"}, {"salt"}),
+    "mix": ({"weights", "total_tokens"}, {"source_col", "salt"}),
+    "dsir_select": ({"target", "n"}, {"buckets", "k", "salt"}),
+}
+
+assert set(_STAGE_PARAMS) == set(STAGES)  # registries must not drift
+
+#: stages whose semantics require doc ids to be UNIQUE (dedup keeps /
+#: drops rows BY id; a content-derived synthetic id collides exactly on
+#: the duplicates these stages exist to find)
+ID_SENSITIVE_STAGES = {"dedup_exact", "dedup_lines", "dedup_spans"}
+
+
 def validate_stages(stages: list[dict]) -> None:
-    """Fail fast on a malformed config — BEFORE any Spark job runs."""
+    """Fail fast on a malformed config — BEFORE any Spark job runs:
+    unknown ops, missing required params, and unknown (typo'd) params
+    all reject the whole config up front."""
     if not stages:
         raise ValueError("pipeline needs at least one stage")
     for i, s in enumerate(stages):
         if not isinstance(s, dict) or "op" not in s:
             raise ValueError(f"stage {i}: every stage needs an 'op' key")
-        if s["op"] not in STAGES:
+        op = s["op"]
+        if op not in STAGES:
             known = ", ".join(sorted(STAGES))
-            raise ValueError(f"stage {i}: unknown op {s['op']!r} (known: {known})")
+            raise ValueError(f"stage {i}: unknown op {op!r} (known: {known})")
+        required, optional = _STAGE_PARAMS[op]
+        keys = set(s) - {"op"}
+        missing = required - keys
+        if missing:
+            raise ValueError(
+                f"stage {i} ({op}): missing required param(s) "
+                f"{sorted(missing)}"
+            )
+        unknown = keys - required - optional
+        if unknown:
+            raise ValueError(
+                f"stage {i} ({op}): unknown param(s) {sorted(unknown)} "
+                f"(accepted: {sorted(required | optional)})"
+            )
 
 
 def run_pipeline(
@@ -246,22 +307,33 @@ def run_pipeline(
     if checkpoint_dir is not None:
         spark.sparkContext.setCheckpointDir(checkpoint_dir)
 
-    def cut(df: DataFrame) -> DataFrame:
-        if not collect_stats:
-            return df  # fully lazy plan; no extra actions at all
-        if checkpoint_dir is not None:
-            return df.checkpoint(eager=True)
-        return df.localCheckpoint(eager=True)
-
     df = corpus
     stats: list[StageStat] = []
+    prev = None  # the previous stage's persisted frame, for release
     n = df.count() if collect_stats else -1
     for spec in stages:
         params = {k: v for k, v in spec.items() if k != "op"}
         df = STAGES[spec["op"]](spark, df, params, id_col, text_col)
-        df = cut(df)
         if collect_stats:
+            # materialize once per stage so the count and the next
+            # stage share the work, then RELEASE the previous stage's
+            # copy — at most two corpus snapshots live at any moment
+            # (an unreleased per-stage localCheckpoint chain holds one
+            # full copy per stage in the block manager, found in
+            # review).  checkpoint() (reliable, disk) is for clusters
+            # where executor loss must not kill a multi-hour run;
+            # persist is the single-job default.  Every stage is
+            # deterministic (content-stable draws), so recompute after
+            # cache eviction cannot change the result.
+            if checkpoint_dir is not None:
+                df = df.checkpoint(eager=True)
+            else:
+                df = df.persist()
             n_out = df.count()
+            if prev is not None and checkpoint_dir is None:
+                prev.unpersist()
+            prev = df
             stats.append(StageStat(spec["op"], n, n_out))
             n = n_out
+        # lazy mode: one end-to-end plan, zero extra actions
     return df, stats
