@@ -120,6 +120,29 @@ def test_transform_stages_and_file_backed_stages(spark, tmp_path):
     assert stats[0].dropped == 1 and stats[1].dropped == 0
 
 
+def test_neardup_stage_equals_manual_minhash_pipeline(spark):
+    from text_indexer_spark.operators.cluster import (
+        dedup_clusters,
+        materialize_deduped,
+    )
+
+    df = _df(spark)
+    sigs = dedup.minhash_signatures(df, num_hashes=16, n=3)
+    pairs = dedup.lsh_candidate_pairs(sigs, num_hashes=16, bands=4)
+    exp = {
+        r["doc_id"]
+        for r in materialize_deduped(df, dedup_clusters(pairs)).collect()
+    }
+    out, stats = pipeline.run_pipeline(
+        spark, df, [{"op": "dedup_neardup", "num_hashes": 16, "bands": 4}]
+    )
+    got = {r["doc_id"] for r in out.collect()}
+    assert got == exp
+    # the GOOD variants are genuine near-dups: the stage must drop some
+    assert stats[0].dropped >= 1
+    assert stats[0].docs_out == len(exp)
+
+
 def test_remaining_stages_smoke(spark, tmp_path):
     """Every registry op not covered above runs inside a chain:
     normalize, block_words, lm_ppl, decontam, dedup_spans, mix,

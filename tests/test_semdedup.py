@@ -170,6 +170,33 @@ def test_string_ids_rejected_not_silently_ignored(spark):
         )
 
 
+def test_cli_ann_index_quantizer_reuse(spark, tmp_path, capsys):
+    """--ann-index loads the persisted IVF store's committed quantizer
+    (no k-means pass) — the dedup clusters coincide with the store's
+    inverted lists, so the result matches the library call with the
+    same centroids."""
+    import json
+
+    from text_indexer_spark import cli
+    from text_indexer_spark.operators.similarity import ivf_ingest
+
+    src = str(tmp_path / "emb")
+    _df(spark).write.parquet(src)
+    store = str(tmp_path / "ivf")
+    ivf_ingest(_df(spark), store, dim=DIM, centroids=CENTROIDS)
+    out = str(tmp_path / "kept")
+    rc = cli.main(
+        ["--master", "local[4]", "dedup-semantic", "--embeddings", src,
+         "--out", out, "--threshold", str(TAU), "--ann-index", store]
+    )
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["quantizer"] == "ann-index"
+    assert rep["n_centroids"] == len(CENTROIDS)
+    got = {r["vec_id"] for r in spark.read.parquet(out).collect()}
+    assert got == {3, 11, 20, 30}  # centroid_far under CENTROIDS
+
+
 def test_cli_empty_embeddings_clear_error(spark, tmp_path):
     from text_indexer_spark import cli
 

@@ -673,16 +673,27 @@ def cmd_semdedup(args) -> int:
 
     spark = _spark(args)
     emb = spark.read.parquet(args.embeddings)
-    first = emb.select(args.vec_col).first()
-    if first is None or first[args.vec_col] is None:
-        raise SystemExit(
-            "dedup-semantic: the embeddings corpus is empty (or its "
-            f"first {args.vec_col!r} is NULL) — nothing to deduplicate"
-        )
-    dim = len(first[args.vec_col])
+    centroids = None
+    if args.ann_index:
+        # reuse the persisted IVF store's committed quantizer — dedup
+        # clusters then coincide with the serving store's inverted
+        # lists (and no k-means pass runs here)
+        from text_indexer_spark.operators.vecstore import current_centroids
+
+        meta = current_centroids(args.ann_index)
+        centroids, dim = meta["centroids"], int(meta["dim"])
+    else:
+        first = emb.select(args.vec_col).first()
+        if first is None or first[args.vec_col] is None:
+            raise SystemExit(
+                "dedup-semantic: the embeddings corpus is empty (or its "
+                f"first {args.vec_col!r} is NULL) — nothing to deduplicate"
+            )
+        dim = len(first[args.vec_col])
     kept = semdedup.semantic_dedup(
         emb, dim, threshold=args.threshold, n_centroids=args.centroids,
-        keep=args.keep, id_col=args.id_col, vec_col=args.vec_col,
+        centroids=centroids, keep=args.keep, id_col=args.id_col,
+        vec_col=args.vec_col,
     )
     kept.write.mode("overwrite").parquet(args.out)
     n_in, n_out = emb.count(), spark.read.parquet(args.out).count()
@@ -693,7 +704,8 @@ def cmd_semdedup(args) -> int:
                 "rows_kept": n_out,
                 "rows_dropped": n_in - n_out,
                 "threshold": args.threshold,
-                "n_centroids": args.centroids,
+                "n_centroids": len(centroids) if centroids else args.centroids,
+                "quantizer": "ann-index" if args.ann_index else "kmeans",
                 "keep": args.keep,
             }
         )
@@ -1283,6 +1295,9 @@ def main(argv: list[str] | None = None) -> int:
                     default="centroid_far")
     sd.add_argument("--id-col", default="vec_id")
     sd.add_argument("--vec-col", default="embedding")
+    sd.add_argument("--ann-index", default=None,
+                    help="reuse this IVF vector store's committed "
+                    "quantizer instead of running k-means")
     sd.set_defaults(fn=cmd_semdedup)
 
     pl = sub.add_parser(

@@ -152,6 +152,27 @@ def _restore_columns(df, cleaned, ic, tc):
     return cleaned.join(df.select(ic, *extra), ic).select(df.columns)
 
 
+def _st_dedup_neardup(spark, df, p, ic, tc):
+    """Fuzzy document dedup (the C4/FineWeb MinHash stage): banded LSH
+    candidate pairs → connected-component groups → min-id survivor."""
+    from text_indexer_spark.operators import dedup
+    from text_indexer_spark.operators.cluster import (
+        dedup_clusters,
+        materialize_deduped,
+    )
+
+    num_hashes = p.get("num_hashes", 16)
+    sigs = dedup.minhash_signatures(
+        df, num_hashes=num_hashes, n=p.get("n", 3),
+        text_col=tc, id_col=ic,
+    )
+    pairs = dedup.lsh_candidate_pairs(
+        sigs, num_hashes=num_hashes, bands=p.get("bands", 4), id_col=ic
+    )
+    clusters = dedup_clusters(pairs, src="doc_a", dst="doc_b")
+    return materialize_deduped(df, clusters, id_col=ic)
+
+
 def _st_dedup_lines(spark, df, p, ic, tc):
     from text_indexer_spark.operators import linededup
 
@@ -225,6 +246,7 @@ STAGES = {
     "decontam": _st_decontam,
     "pii": _st_pii,
     "dedup_exact": _st_dedup_exact,
+    "dedup_neardup": _st_dedup_neardup,
     "dedup_lines": _st_dedup_lines,
     "dedup_spans": _st_dedup_spans,
     "sample": _st_sample,
@@ -247,6 +269,7 @@ _STAGE_PARAMS = {
     "decontam": ({"evalset"}, {"n", "tier"}),
     "pii": (set(), set()),
     "dedup_exact": (set(), set()),
+    "dedup_neardup": (set(), {"num_hashes", "bands", "n"}),
     "dedup_lines": (set(), {"min_docs"}),
     "dedup_spans": (set(), {"n", "min_count"}),
     "sample": ({"fraction"}, {"salt"}),
@@ -259,7 +282,9 @@ assert set(_STAGE_PARAMS) == set(STAGES)  # registries must not drift
 #: stages whose semantics require doc ids to be UNIQUE (dedup keeps /
 #: drops rows BY id; a content-derived synthetic id collides exactly on
 #: the duplicates these stages exist to find)
-ID_SENSITIVE_STAGES = {"dedup_exact", "dedup_lines", "dedup_spans"}
+ID_SENSITIVE_STAGES = {
+    "dedup_exact", "dedup_neardup", "dedup_lines", "dedup_spans",
+}
 
 
 def validate_stages(stages: list[dict]) -> None:
