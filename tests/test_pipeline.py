@@ -181,6 +181,49 @@ def test_remaining_stages_smoke(spark, tmp_path):
     assert stats[3].dropped >= 1
 
 
+def test_chunk_pack_terminal_stage(spark):
+    """Terminal chunk→pack→assemble: every corpus token survives into
+    exactly one training sequence, sequences respect the budget, and
+    the result is partition-independent."""
+    import re
+
+    from text_indexer_spark.tokenizer import TOKEN_DELIM_REGEX
+
+    delim = re.compile(TOKEN_DELIM_REGEX)
+    stages = [
+        {"op": "quality", "min_quality": 0.1},
+        {"op": "chunk_pack", "max_tokens": 8, "budget": 16, "buckets": 4},
+    ]
+    out, stats = pipeline.run_pipeline(spark, _df(spark), stages)
+    assert out.columns == ["bucket", "seq_idx", "n_tokens", "text"]
+    rows = out.collect()
+    assert stats[-1].docs_out == len(rows)
+    # token conservation vs the quality-filtered corpus
+    kept = pipeline.run_pipeline(
+        spark, _df(spark), [{"op": "quality", "min_quality": 0.1}]
+    )[0].collect()
+    exp_tokens = sorted(
+        t for r in kept for t in delim.split(r["text"].lower()) if t
+    )
+    got_tokens = sorted(
+        t for r in rows for t in delim.split(r["text"].lower()) if t
+    )
+    assert got_tokens == exp_tokens
+    for r in rows:
+        assert r["n_tokens"] <= 16
+        assert r["n_tokens"] == len([t for t in delim.split(r["text"]) if t])
+    # deterministic across partitionings
+    out7 = pipeline.run_pipeline(
+        spark, _df(spark).repartition(7), stages
+    )[0]
+    assert sorted(map(tuple, out7.collect())) == sorted(map(tuple, rows))
+    # terminal enforcement
+    with pytest.raises(ValueError, match="LAST stage"):
+        pipeline.validate_stages(
+            [{"op": "chunk_pack"}, {"op": "quality"}]
+        )
+
+
 def test_validation(spark):
     with pytest.raises(ValueError):
         pipeline.validate_stages([])

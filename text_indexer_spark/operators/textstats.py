@@ -185,6 +185,51 @@ def pack_chunks(
     return bucketed.groupBy("bucket").applyInPandas(pack, out_schema)
 
 
+def packed_sequences(
+    df: DataFrame,
+    max_tokens: int = 64,
+    budget: int = 2048,
+    buckets: int = 256,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The terminal materialization of the preprocessing pipeline:
+    ``(bucket, seq_idx, n_tokens, text)`` — cleaned documents chunked
+    into ≤ ``max_tokens`` windows, greedily packed into ≤ ``budget``
+    training sequences, and the sequence TEXT assembled (chunks joined
+    in the pack's deterministic (doc_id, chunk_idx) order).
+
+    Pure composition: :func:`chunk_documents` (scan-fused) →
+    :func:`pack_chunks` over the token-count METADATA only (the text
+    never rides through the packing shuffle) → one metadata join back
+    to the chunk text → in-row ``sort_array`` assembly (no sort
+    exchange — the ``linededup`` reassembly shape).  Deterministic at
+    any parallelism because every constituent is."""
+    chunks = chunk_documents(df, max_tokens, text_col, id_col)
+    asg = pack_chunks(
+        chunks.select(id_col, "chunk_idx", "n_tokens"),
+        budget=budget, buckets=buckets, id_col=id_col,
+    )
+    joined = asg.join(
+        chunks.select(id_col, "chunk_idx", "chunk_text"),
+        [id_col, "chunk_idx"],
+    )
+    return joined.groupBy("bucket", "seq_idx").agg(
+        F.sum("n_tokens").alias("n_tokens"),
+        F.array_join(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(id_col, "chunk_idx", "chunk_text")
+                    )
+                ),
+                lambda s: s["chunk_text"],
+            ),
+            " ",
+        ).alias("text"),
+    )
+
+
 def _run_length_stats(sorted_arr):
     """Run-length scan over a SORTED array — one ``aggregate`` pass,
     O(L) per row, pure codegen. Returns a struct column with:

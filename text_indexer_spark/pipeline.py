@@ -233,6 +233,20 @@ def _st_dsir_select(spark, df, p, ic, tc):
     )
 
 
+def _st_chunk_pack(spark, df, p, ic, tc):
+    """Terminal stage: chunk → token-budget pack → assembled training
+    sequences (``textstats.packed_sequences``).  Changes the output
+    grain from documents to ``(bucket, seq_idx, n_tokens, text)``
+    sequences, so it must be the LAST stage (validated up front)."""
+    from text_indexer_spark.operators import textstats
+
+    return textstats.packed_sequences(
+        df, max_tokens=p.get("max_tokens", 64),
+        budget=p.get("budget", 2048), buckets=p.get("buckets", 256),
+        text_col=tc, id_col=ic,
+    )
+
+
 #: op name → stage function.  Transform stages (normalize, pii) change
 #: text; filter stages drop rows; reassembly stages rewrite text at
 #: token/line grain (schema restored by the runner).
@@ -252,6 +266,7 @@ STAGES = {
     "sample": _st_sample,
     "mix": _st_mix,
     "dsir_select": _st_dsir_select,
+    "chunk_pack": _st_chunk_pack,
 }
 
 
@@ -275,6 +290,7 @@ _STAGE_PARAMS = {
     "sample": ({"fraction"}, {"salt"}),
     "mix": ({"weights", "total_tokens"}, {"source_col", "salt"}),
     "dsir_select": ({"target", "n"}, {"buckets", "k", "salt"}),
+    "chunk_pack": (set(), {"max_tokens", "budget", "buckets"}),
 }
 
 assert set(_STAGE_PARAMS) == set(STAGES)  # registries must not drift
@@ -285,6 +301,10 @@ assert set(_STAGE_PARAMS) == set(STAGES)  # registries must not drift
 ID_SENSITIVE_STAGES = {
     "dedup_exact", "dedup_neardup", "dedup_lines", "dedup_spans",
 }
+
+#: stages that change the OUTPUT GRAIN (documents → training
+#: sequences) — nothing can run after them
+TERMINAL_STAGES = {"chunk_pack"}
 
 
 def validate_stages(stages: list[dict]) -> None:
@@ -313,6 +333,11 @@ def validate_stages(stages: list[dict]) -> None:
             raise ValueError(
                 f"stage {i} ({op}): unknown param(s) {sorted(unknown)} "
                 f"(accepted: {sorted(required | optional)})"
+            )
+        if op in TERMINAL_STAGES and i != len(stages) - 1:
+            raise ValueError(
+                f"stage {i} ({op}): changes the output grain to "
+                "training sequences and must be the LAST stage"
             )
 
 
