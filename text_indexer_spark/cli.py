@@ -713,6 +713,30 @@ def cmd_semdedup(args) -> int:
     return 0
 
 
+def cmd_report(args) -> int:
+    """Data-card report for a corpus (``operators/report.py``): docs,
+    token/char totals, quality quantiles, exact-duplication rate, PII
+    exposure, top domains, language mix — one JSON object."""
+    from pyspark.sql import functions as F
+
+    from text_indexer_spark.operators.report import corpus_report
+
+    spark = _spark(args)
+    raw = spark.read.parquet(args.corpus)
+    corpus = _grep_docs(raw)
+    if "lang" in raw.columns:
+        # same normalization as _grep_docs, keeping the lang column
+        tcol = "text" if "text" in raw.columns else "content"
+        with_id = raw if "doc_id" in raw.columns else raw.withColumn(
+            "doc_id", F.xxhash64("repo", "path")
+        )
+        corpus = with_id.select(
+            "doc_id", F.col(tcol).alias("text"), "lang"
+        )
+    print(json.dumps(corpus_report(corpus, top_domains=args.top_domains)))
+    return 0
+
+
 def cmd_pipeline(args) -> int:
     """Run a declarative cleaning pipeline (``pipeline.py``): the
     stage list comes from a JSON config file (``{"stages": [{"op":
@@ -1299,6 +1323,15 @@ def main(argv: list[str] | None = None) -> int:
                     help="reuse this IVF vector store's committed "
                     "quantizer instead of running k-means")
     sd.set_defaults(fn=cmd_semdedup)
+
+    rp = sub.add_parser(
+        "report",
+        help="data-card report: docs/tokens, quality quantiles, dup "
+        "rate, PII exposure, domains, language mix",
+    )
+    rp.add_argument("--corpus", required=True)
+    rp.add_argument("--top-domains", type=int, default=10)
+    rp.set_defaults(fn=cmd_report)
 
     pl = sub.add_parser(
         "pipeline",
