@@ -181,6 +181,88 @@ def test_remaining_stages_smoke(spark, tmp_path):
     assert stats[3].dropped >= 1
 
 
+def _stage_mtimes(wd):
+    import os
+
+    return {
+        d: os.path.getmtime(os.path.join(wd, d, "_SUCCESS"))
+        for d in sorted(os.listdir(wd))
+        if d.startswith("stage_") and not d.endswith(".json")
+    }
+
+
+def test_work_dir_resume_skips_sealed_stages(spark, tmp_path):
+    """A rerun with an unchanged config reads every sealed stage back
+    instead of recomputing; result and stats match the in-memory run."""
+    import os
+
+    wd = str(tmp_path / "work")
+    out1, stats1 = pipeline.run_pipeline(
+        spark, _df(spark), STAGES, work_dir=wd
+    )
+    mem, mem_stats = pipeline.run_pipeline(spark, _df(spark), STAGES)
+    assert {r["doc_id"] for r in out1.collect()} == {
+        r["doc_id"] for r in mem.collect()
+    }
+    assert [(s.stage, s.docs_in, s.docs_out) for s in stats1] == [
+        (s.stage, s.docs_in, s.docs_out) for s in mem_stats
+    ]
+    markers = [f for f in os.listdir(wd) if f.endswith(".done.json")]
+    assert len(markers) == len(STAGES)
+    before = _stage_mtimes(wd)
+    out2, stats2 = pipeline.run_pipeline(
+        spark, _df(spark), STAGES, work_dir=wd
+    )
+    assert _stage_mtimes(wd) == before  # nothing rewritten
+    assert {r["doc_id"] for r in out2.collect()} == {
+        r["doc_id"] for r in out1.collect()
+    }
+    assert [(s.stage, s.docs_out) for s in stats2] == [
+        (s.stage, s.docs_out) for s in stats1
+    ]
+
+
+def test_work_dir_spec_change_invalidates_downstream(spark, tmp_path):
+    """Editing a mid-chain stage spec recomputes that stage and
+    everything after it, but reuses the untouched prefix."""
+    wd = str(tmp_path / "work")
+    pipeline.run_pipeline(spark, _df(spark), STAGES, work_dir=wd)
+    before = _stage_mtimes(wd)
+    changed = [dict(s) for s in STAGES]
+    changed[3] = {"op": "sample", "fraction": 0.5, "salt": "p2"}
+    out, stats = pipeline.run_pipeline(
+        spark, _df(spark), changed, work_dir=wd
+    )
+    after = _stage_mtimes(wd)
+    for d in before:
+        if d.startswith(("stage_00", "stage_01", "stage_02")):
+            assert after[d] == before[d], f"{d} should be reused"
+    assert after["stage_03_sample"] != before["stage_03_sample"]
+    expect, _ = pipeline.run_pipeline(spark, _df(spark), changed)
+    assert {r["doc_id"] for r in out.collect()} == {
+        r["doc_id"] for r in expect.collect()
+    }
+
+
+def test_work_dir_unsealed_stage_recomputes(spark, tmp_path):
+    """A missing marker (crash between parquet write and seal) reruns
+    that stage and invalidates the suffix, never serving partial data."""
+    import os
+
+    wd = str(tmp_path / "work")
+    out1, _ = pipeline.run_pipeline(spark, _df(spark), STAGES, work_dir=wd)
+    ids1 = {r["doc_id"] for r in out1.collect()}  # snapshot BEFORE the
+    # rerun: the rerun overwrites the stage parquet, so a stale handle
+    # from the first run is invalid afterwards (normal Spark semantics)
+    os.remove(os.path.join(wd, "stage_01_repetition.done.json"))
+    before = _stage_mtimes(wd)
+    out2, _ = pipeline.run_pipeline(spark, _df(spark), STAGES, work_dir=wd)
+    after = _stage_mtimes(wd)
+    assert after["stage_00_quality"] == before["stage_00_quality"]
+    assert after["stage_01_repetition"] != before["stage_01_repetition"]
+    assert {r["doc_id"] for r in out2.collect()} == ids1
+
+
 def test_chunk_pack_terminal_stage(spark):
     """Terminal chunk→pack→assemble: every corpus token survives into
     exactly one training sequence, sequences respect the budget, and

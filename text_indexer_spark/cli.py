@@ -781,7 +781,7 @@ def cmd_pipeline(args) -> int:
         corpus = corpus.withColumn("doc_id", F.xxhash64(*parts))
     out, stats = run_pipeline(
         spark, corpus, stages, text_col=text_col,
-        collect_stats=not args.no_stats,
+        collect_stats=not args.no_stats, work_dir=args.work_dir,
     )
     if synth_id:
         out = out.drop("doc_id")
@@ -1343,6 +1343,9 @@ def main(argv: list[str] | None = None) -> int:
     pl.add_argument("--config", required=True,
                     help="JSON file: {\"stages\": [{\"op\": ..., ...}]}")
     pl.add_argument("--no-stats", action="store_true")
+    pl.add_argument("--work-dir", default=None,
+                    help="per-stage parquet + sealed markers; a rerun "
+                    "resumes after the last completed unchanged stage")
     pl.set_defaults(fn=cmd_pipeline)
 
     hi = sub.add_parser(

@@ -43,6 +43,8 @@ the ANN store live at a different grain and keep their own CLIs.
 
 from __future__ import annotations
 
+import json
+import os
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -341,6 +343,14 @@ def validate_stages(stages: list[dict]) -> None:
             )
 
 
+def _stage_dir(work_dir: str, i: int, op: str) -> str:
+    return os.path.join(work_dir, f"stage_{i:02d}_{op}")
+
+
+def _stage_marker(work_dir: str, i: int, op: str) -> str:
+    return _stage_dir(work_dir, i, op) + ".done.json"
+
+
 def run_pipeline(
     spark: SparkSession,
     corpus: DataFrame,
@@ -349,10 +359,26 @@ def run_pipeline(
     text_col: str = "text",
     collect_stats: bool = True,
     checkpoint_dir: str | None = None,
+    work_dir: str | None = None,
 ) -> tuple[DataFrame, list[StageStat]]:
     """Run ``stages`` in order over ``corpus``; returns the cleaned
     corpus and (when ``collect_stats``) one :class:`StageStat` per
-    stage.  Each stage dict is ``{"op": <name>, ...params}``."""
+    stage.  Each stage dict is ``{"op": <name>, ...params}``.
+
+    ``work_dir`` makes the run RESUMABLE (the engine-wide discipline:
+    builds resume per shard, streams replay per batch — a multi-hour
+    cleaning run must not restart at stage 0 because stage 7 died):
+    each stage's output is written to ``stage_NN_<op>`` parquet and
+    sealed by a marker recording the FULL stage spec and row count,
+    written only AFTER the parquet completes (crash between the two →
+    the stage reruns; the overwrite is idempotent because every stage
+    is deterministic).  A rerun replays markers from the front: a
+    stage whose marker matches its spec is read back instead of
+    recomputed, and the first changed/missing/unsealed stage
+    invalidates everything after it (a spec edit mid-chain cannot
+    serve stale downstream outputs).  With ``work_dir`` every stage is
+    materialized on disk, so stats cost nothing extra and no persist
+    juggling happens."""
     validate_stages(stages)
     if checkpoint_dir is not None:
         spark.sparkContext.setCheckpointDir(checkpoint_dir)
@@ -361,6 +387,49 @@ def run_pipeline(
     stats: list[StageStat] = []
     prev = None  # the previous stage's persisted frame, for release
     n = df.count() if collect_stats else -1
+
+    if work_dir is not None:
+        os.makedirs(work_dir, exist_ok=True)
+        valid_prefix = True
+        for i, spec in enumerate(stages):
+            op = spec["op"]
+            marker_path = _stage_marker(work_dir, i, op)
+            marker = None
+            if valid_prefix and os.path.exists(marker_path):
+                try:
+                    with open(marker_path) as f:
+                        marker = json.load(f)
+                except (OSError, ValueError):
+                    marker = None
+                if marker is not None and marker.get("spec") != spec:
+                    marker = None  # spec changed → recompute from here
+            if marker is not None:
+                df = spark.read.parquet(_stage_dir(work_dir, i, op))
+                n_out = int(marker["docs_out"])
+            else:
+                valid_prefix = False
+                params = {k: v for k, v in spec.items() if k != "op"}
+                df = STAGES[op](spark, df, params, id_col, text_col)
+                out_dir = _stage_dir(work_dir, i, op)
+                # stale marker (if any) dies BEFORE the overwrite so a
+                # crash mid-write can never leave a sealed-but-partial
+                # stage behind
+                try:
+                    os.remove(marker_path)
+                except OSError:
+                    pass
+                df.write.mode("overwrite").parquet(out_dir)
+                df = spark.read.parquet(out_dir)
+                n_out = df.count()
+                tmp = marker_path + ".tmp"
+                with open(tmp, "w") as f:
+                    json.dump({"spec": spec, "docs_out": n_out}, f)
+                os.replace(tmp, marker_path)
+            if collect_stats:
+                stats.append(StageStat(spec["op"], n, n_out))
+            n = n_out
+        return df, stats
+
     for spec in stages:
         params = {k: v for k, v in spec.items() if k != "op"}
         df = STAGES[spec["op"]](spark, df, params, id_col, text_col)
