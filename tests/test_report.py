@@ -36,6 +36,21 @@ def test_report_counters_exact(spark):
     assert rep["tokens"]["chars_total"] == sum(
         len(t) for _, _, t in ROWS if t is not None
     )
+    # HLL estimate of a tiny exact vocabulary is exact-or-near
+    import re
+
+    from text_indexer_spark.tokenizer import TOKEN_DELIM_REGEX
+
+    vocab = {
+        x
+        for _, _, t in ROWS
+        if t
+        for x in re.split(TOKEN_DELIM_REGEX, t.lower())
+        if x
+    }
+    assert abs(rep["tokens"]["vocab_size_approx"] - len(vocab)) <= max(
+        2, len(vocab) // 10
+    )
     assert rep["exact_duplication"] == {
         "docs_in_dup_groups": 2,
         "dup_groups": 1,

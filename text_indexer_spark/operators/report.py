@@ -59,6 +59,22 @@ def corpus_report(
         "words_per_doc_mean": round(t["words"] / n_docs, 2),
     }
 
+    from text_indexer_spark.tokenizer import tokenize_column
+
+    vocab = (
+        corpus.select(
+            F.explode(
+                tokenize_column(F.coalesce(F.col(text_col), F.lit("")))
+            ).alias("t")
+        )
+        # HLL sketch (rsd 2 %): vocabulary cardinality without a
+        # distinct-key exchange — the sketch merges map-side, so the
+        # shuffle carries one sketch per partition, not the vocabulary
+        .agg(F.approx_count_distinct("t", rsd=0.02).alias("v"))
+        .first()["v"]
+    )
+    out["tokens"]["vocab_size_approx"] = vocab
+
     q = textstats.quality_scores(corpus, text_col=text_col, id_col=id_col)
     p10, p50, p90 = q.stat.approxQuantile("quality", [0.1, 0.5, 0.9], 0.01)
     out["quality"] = {"p10": round(p10, 4), "p50": round(p50, 4),
