@@ -244,6 +244,27 @@ def test_work_dir_spec_change_invalidates_downstream(spark, tmp_path):
     }
 
 
+def test_work_dir_column_contract_invalidates(spark, tmp_path):
+    """A rerun under different id/text column names must not reuse
+    stage outputs computed under the old contract."""
+    wd = str(tmp_path / "work")
+    rows = [(i, f"content body number {i} with several more words here")
+            for i in range(8)]
+    base = spark.createDataFrame(rows, "doc_id long, text string")
+    pipeline.run_pipeline(
+        spark, base, [{"op": "sample", "fraction": 0.5, "salt": "x"}],
+        work_dir=wd,
+    )
+    before = _stage_mtimes(wd)
+    renamed = base.withColumnRenamed("doc_id", "uid")
+    out, _ = pipeline.run_pipeline(
+        spark, renamed, [{"op": "sample", "fraction": 0.5, "salt": "x"}],
+        id_col="uid", work_dir=wd,
+    )
+    assert _stage_mtimes(wd)["stage_00_sample"] != before["stage_00_sample"]
+    assert out.columns == ["uid", "text"]
+
+
 def test_work_dir_unsealed_stage_recomputes(spark, tmp_path):
     """A missing marker (crash between parquet write and seal) reruns
     that stage and invalidates the suffix, never serving partial data."""

@@ -401,8 +401,14 @@ def run_pipeline(
                         marker = json.load(f)
                 except (OSError, ValueError):
                     marker = None
-                if marker is not None and marker.get("spec") != spec:
-                    marker = None  # spec changed → recompute from here
+                # the seal covers the stage spec AND the column
+                # contract — a rerun under different id/text columns
+                # must not reuse outputs computed under the old ones
+                if marker is not None and (
+                    marker.get("spec") != spec
+                    or marker.get("cols") != [id_col, text_col]
+                ):
+                    marker = None  # changed → recompute from here
             if marker is not None:
                 df = spark.read.parquet(_stage_dir(work_dir, i, op))
                 n_out = int(marker["docs_out"])
@@ -423,7 +429,14 @@ def run_pipeline(
                 n_out = df.count()
                 tmp = marker_path + ".tmp"
                 with open(tmp, "w") as f:
-                    json.dump({"spec": spec, "docs_out": n_out}, f)
+                    json.dump(
+                        {
+                            "spec": spec,
+                            "cols": [id_col, text_col],
+                            "docs_out": n_out,
+                        },
+                        f,
+                    )
                 os.replace(tmp, marker_path)
             if collect_stats:
                 stats.append(StageStat(spec["op"], n, n_out))
